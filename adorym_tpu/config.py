@@ -1,0 +1,164 @@
+"""Typed configuration for reconstruction runs.
+
+The reference's entire configuration surface is the ~120-kwarg signature of
+``reconstruct_ptychography`` (``adorym/ptychography.py:54-174``) plus a
+``locals()`` dict leaked into the forward models.  Here the same surface is
+an explicit frozen dataclass; :func:`adorym_tpu.recon.reconstruct_ptychography`
+maps the reference's kwarg names onto it for drop-in migration.
+
+Everything in this file is *static* under jit — traced values (the object,
+probe, refinable parameters, per-batch indices) live in pytrees instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple, Union
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    """Beam/object geometry (reference kwargs: ``obj_size, energy_ev,
+    psize_cm, free_prop_cm, binning, slice_pos_cm_ls`` ...)."""
+    obj_size: Tuple[int, int, int]          # (y, x, z) voxels
+    probe_size: Tuple[int, int]             # detector/probe pixels
+    energy_ev: float = 5000.0
+    psize_cm: float = 1e-7
+    slice_spacing_cm: Optional[float] = None  # reference ``delta_cm``
+    free_prop_cm: Union[str, float, Sequence[float], None] = 'inf'
+    binning: int = 1
+    fresnel_approx: bool = True
+    sign_convention: int = 1
+    two_d_mode: bool = False
+    pure_projection: bool = False
+    is_minus_logged: bool = False
+    scale_ri_by_k: bool = True
+    # Sparse multislice: explicit slice z positions (cm); None = regular grid.
+    slice_pos_cm_ls: Optional[Tuple[float, ...]] = None
+    # Multi-distance holography: number of propagation distances.
+    n_dists: int = 1
+    # Safe-zone width for near-field models (None = auto).
+    safe_zone_width: Optional[int] = None
+
+    @property
+    def n_slices(self) -> int:
+        return self.obj_size[2]
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    loss_function_type: str = 'lsq'         # 'lsq' | 'poisson'
+    raw_data_type: str = 'magnitude'        # 'magnitude' | 'intensity'
+    poisson_multiplier: float = 1.0
+    normalize_fft: bool = False
+    # Regularizer weights (0 disables), mirroring reference kwargs
+    # ``alpha_d, alpha_b, gamma, reweighted_l1``:
+    alpha_d: float = 0.0
+    alpha_b: float = 0.0
+    gamma: float = 0.0
+    reweighted_l1: bool = False
+    corr_reg: float = 0.0
+    grad_corr_reg: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Which auxiliary parameters are optimized, and their learning rates.
+
+    One entry per refinable in the reference catalog (SURVEY §2.4;
+    ``adorym/ptychography.py:144-155``).
+    """
+    optimize_probe: bool = False
+    probe_learning_rate: float = 1e-3
+    probe_update_delay: int = 0             # epochs/batches before updating
+    probe_update_limit: Optional[int] = None
+    optimize_probe_defocusing: bool = False
+    probe_defocusing_learning_rate: float = 1e-5
+    optimize_probe_pos_offset: bool = False
+    probe_pos_offset_learning_rate: float = 1e-2
+    optimize_prj_pos_offset: bool = False
+    prj_pos_offset_learning_rate: float = 1e-2
+    optimize_all_probe_pos: bool = False
+    all_probe_pos_learning_rate: float = 1e-2
+    optimize_slice_pos: bool = False
+    slice_pos_learning_rate: float = 1e-4
+    optimize_free_prop: bool = False
+    free_prop_learning_rate: float = 1e-2
+    optimize_tilt: bool = False
+    tilt_learning_rate: float = 1e-3
+    optimize_prj_affine: bool = False
+    prj_affine_learning_rate: float = 1e-3
+    optimize_ctf_lg_kappa: bool = False
+    ctf_lg_kappa_learning_rate: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    n_epochs: Union[int, str] = 'auto'
+    crit_conv_rate: float = 0.03
+    max_nepochs: int = 200
+    minibatch_size: int = 23
+    randomize_probe_pos: bool = False
+    learning_rate: float = 1e-5
+    optimizer: str = 'adam'                  # adam | gd | momentum | cg | curveball
+    optimize_object: bool = True
+    update_scheme: str = 'immediate'         # 'immediate' | 'per angle'
+    unknown_type: str = 'delta_beta'
+    object_type: str = 'normal'              # normal | phase_only | absorption_only
+    non_negativity: bool = False
+    shrink_cycle: Optional[int] = None
+    shrink_threshold: float = 1e-9
+    multiscale_level: int = 1
+    n_epoch_final_pass: Optional[int] = None
+    theta_downsample: Optional[int] = None
+    n_batch_per_update: int = 1
+    rotate_out_of_loop: bool = False
+    n_probe_modes: int = 1
+    shared_probe_among_angles: bool = True
+    common_probe_pos: bool = True
+    forward_algorithm: str = 'fresnel'       # 'fresnel' | 'ctf'
+    ctf_kappa: float = 50.0
+    # Precision: compute multislice in bf16 where safe (reference
+    # ``run_bfloat16``, adorym/ptychography.py:166).
+    run_bfloat16: bool = False
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh layout.  The reference's three ``distribution_mode`` branches
+    collapse into one sharded implementation whose mesh shape is config
+    (SURVEY §2.2)."""
+    data_axis: int = 1      # number of devices sharding the scan-position batch
+    object_axis: int = 1    # number of devices sharding the object's y extent
+    axis_names: Tuple[str, str] = ('dp', 'op')
+
+
+@dataclasses.dataclass(frozen=True)
+class IOConfig:
+    fname: str = 'data.h5'
+    save_path: str = '.'
+    output_folder: str = 'recon'
+    finite_support_mask_path: Optional[str] = None
+    save_intermediate: bool = False
+    save_intermediate_level: str = 'epoch'   # 'epoch' | 'batch'
+    save_history: bool = False
+    store_checkpoint: bool = True
+    use_checkpoint: bool = True
+    force_to_use_checkpoint: bool = False
+    n_batch_per_checkpoint: int = 10
+    save_stdout: bool = False
+    t_max_min: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconConfig:
+    geometry: Geometry
+    loss: LossConfig = LossConfig()
+    refine: RefineConfig = RefineConfig()
+    train: TrainConfig = TrainConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    io: IOConfig = IOConfig()
+
+    def replace(self, **kw) -> 'ReconConfig':
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,184 @@
+"""Ptychography / ptychotomography forward model.
+
+TPU-native redesign of ``PtychographyModel``
+(``adorym/forward_model.py:164-404``).  The reference's per-spot Python loops
+(probe shifting :296-307, sub-object slicing :314-334, per-mode propagation
+:337-375) become batched array ops: one vmapped dynamic-slice gather for the
+patches, one broadcasted phase-ramp multiply for all sub-pixel probe shifts,
+and a single multislice ``lax.scan`` carrying a ``[n_modes, N, y, x]`` wave
+stack — everything inside one jitted function.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ReconConfig
+from ..constants import wavelength_nm
+from ..ops import patches as patch_ops
+from ..ops import propagate as prop
+from ..ops.fourier import fourier_shift
+from ..ops.rotate import rotate, tilt_rotate
+from .base import incoherent_mode_sum
+
+
+def complex_probe(probe):
+    """``[n_modes, py, px, 2]`` float -> ``[n_modes, py, px]`` complex."""
+    return (probe[..., 0] + 1j * probe[..., 1]).astype(jnp.complex64)
+
+
+def prepare_probe(params: Dict, batch: Dict, cfg: ReconConfig):
+    """Apply global probe refinements: defocus and per-angle position offset
+    (``adorym/forward_model.py:249-262``)."""
+    geo = cfg.geometry
+    probe = complex_probe(params['probe'])
+    if cfg.refine.optimize_probe_defocusing:
+        lmbda_nm = wavelength_nm(geo.energy_ev)
+        voxel_nm = (geo.psize_cm * 1e7,) * 3
+        dist_nm = params['probe_defocus_mm'][0] * 1e6
+        h = prop.fresnel_kernel(probe.shape[-2:], voxel_nm, lmbda_nm, dist_nm,
+                                fresnel_approx=geo.fresnel_approx,
+                                sign_convention=geo.sign_convention)
+        probe = prop.ifft2(prop.fft2(probe) * h)
+    if cfg.refine.optimize_probe_pos_offset:
+        offset = params['probe_pos_offset'][batch['i_theta']]
+        probe = fourier_shift(probe, offset)
+    return probe
+
+
+def rotated_object(params: Dict, batch: Dict, cfg: ReconConfig):
+    """Rotate the object to the view angle (``adorym/forward_model.py:264-281``).
+
+    2D mode and single-angle runs skip rotation.  With tilt refinement the
+    rotation is the differentiable 3-axis tilt sequence.
+    """
+    obj = params['obj']
+    geo = cfg.geometry
+    if geo.two_d_mode:
+        return obj
+    if cfg.refine.optimize_tilt:
+        tilts = params['tilt_ls'][:, batch['i_theta']]
+        return tilt_rotate(obj, tilts)
+    if cfg.train.rotate_out_of_loop:
+        # Driver rotates once per angle outside AD and rotates the gradient
+        # back (``adorym/ptychography.py:937-940,1069-1078``).
+        return obj
+    return rotate(obj, batch['theta'], axis=0)
+
+
+def shifted_probes(probe, params: Dict, batch: Dict, cfg: ReconConfig):
+    """Per-spot sub-pixel probe shifts from ``probe_pos_correction``.
+
+    The reference stacks per-spot Fourier-shifted probes in a Python loop
+    (``adorym/forward_model.py:296-307``); here one batched phase-ramp
+    multiply produces ``[N, n_modes, py, px]``, sharing the probe's forward
+    FFT across the batch.
+    """
+    if not cfg.refine.optimize_all_probe_pos:
+        return probe  # [n_modes, py, px] — shared across the batch
+    shifts = params['probe_pos_correction'][batch['i_theta'], batch['ind_batch']]
+    f = jnp.fft.fft2(probe)                                  # [n_modes, py, px]
+    from ..ops.fourier import shift_phase_ramp
+    ramp = shift_phase_ramp(probe.shape[-2:], shifts)        # [N, py, px]
+    return jnp.fft.ifft2(f[None] * ramp[:, None])            # [N, n_modes, py, px]
+
+
+def predict(params: Dict, batch: Dict, cfg: ReconConfig,
+            pad_arr: Optional[np.ndarray] = None, return_wave: bool = False):
+    """Predicted detected magnitudes ``[N, py, px]`` for one minibatch.
+
+    ``params``: pytree of optimizables (SURVEY §2.4).  ``batch``: traced
+    per-batch values — ``i_theta`` (int), ``theta`` (rad), ``pos_batch``
+    ``[N, 2]`` float scan positions, ``ind_batch`` ``[N]`` int spot indices.
+    ``pad_arr``: static padding from :func:`..ops.patches.calculate_pad`.
+    ``return_wave``: return complex exit waves ``[n_modes, N, y, x]`` before
+    detection instead (simulation mode, ``adorym/forward_model.py:487-490``).
+    """
+    geo = cfg.geometry
+    probe = prepare_probe(params, batch, cfg)
+    obj_rot = rotated_object(params, batch, cfg)
+
+    if pad_arr is None:
+        pad_arr = np.zeros((2, 2), dtype=np.int64)
+    obj_rot = patch_ops.pad_object(obj_rot, pad_arr, cfg.train.unknown_type)
+
+    pos = jnp.round(batch['pos_batch']).astype(jnp.int32)
+    pos = pos + jnp.asarray([pad_arr[0, 0], pad_arr[1, 0]], dtype=jnp.int32)
+    subobj = patch_ops.extract_patches(obj_rot, pos, geo.probe_size)
+    # [N, py, px, z, 2]
+    delta = subobj[..., 0]
+    beta = subobj[..., 1]
+
+    probes = shifted_probes(probe, params, batch, cfg)
+    if probes.ndim == 4:
+        # [N, n_modes, py, px] -> [n_modes, N, py, px]
+        wave = jnp.swapaxes(probes, 0, 1)
+    else:
+        # shared probe: broadcast (free) to the full [n_modes, N, py, px]
+        # stack so the multislice scan carry has a fixed shape.
+        wave = jnp.broadcast_to(
+            probes[:, None, :, :],
+            (probes.shape[0], delta.shape[0]) + probes.shape[-2:])
+
+    if cfg.train.run_bfloat16:
+        delta = delta.astype(jnp.bfloat16)
+        beta = beta.astype(jnp.bfloat16)
+
+    kappa = None
+    if cfg.refine.optimize_ctf_lg_kappa:
+        kappa = 10.0 ** params['ctf_lg_kappa'][0]
+
+    if geo.pure_projection:
+        exit_wave = prop.pure_projection_modulate(
+            delta, beta, wave, geo.energy_ev, geo.psize_cm,
+            slice_spacing_cm=geo.slice_spacing_cm,
+            unknown_type=cfg.train.unknown_type,
+            sign_convention=geo.sign_convention,
+            scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa,
+            is_minus_logged=geo.is_minus_logged,
+            return_sqrt=(cfg.loss.raw_data_type == 'intensity'))
+    elif geo.slice_pos_cm_ls is not None:
+        slice_pos = (params['slice_pos_cm_ls']
+                     if cfg.refine.optimize_slice_pos
+                     else jnp.asarray(geo.slice_pos_cm_ls))
+        exit_wave = prop.sparse_multislice_propagate(
+            delta, beta, wave, geo.energy_ev, geo.psize_cm, slice_pos,
+            unknown_type=cfg.train.unknown_type,
+            fresnel_approx=geo.fresnel_approx,
+            sign_convention=geo.sign_convention,
+            scale_ri_by_k=geo.scale_ri_by_k)
+    else:
+        exit_wave = prop.multislice_propagate(
+            delta, beta, wave, geo.energy_ev, geo.psize_cm,
+            slice_spacing_cm=geo.slice_spacing_cm, binning=geo.binning,
+            unknown_type=cfg.train.unknown_type,
+            fresnel_approx=geo.fresnel_approx,
+            sign_convention=geo.sign_convention,
+            scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa)
+
+    if cfg.refine.optimize_prj_pos_offset:
+        exit_wave = fourier_shift(exit_wave,
+                                  params['prj_pos_offset'][batch['i_theta']])
+
+    free_prop_cm = geo.free_prop_cm
+    if cfg.refine.optimize_free_prop:
+        free_prop_cm = params['free_prop_cm'][0]
+    lmbda_nm = wavelength_nm(geo.energy_ev)
+    dz_cm = geo.psize_cm if geo.slice_spacing_cm is None else geo.slice_spacing_cm
+    voxel_nm = (geo.psize_cm * 1e7, geo.psize_cm * 1e7, dz_cm * 1e7)
+    det_wave = prop.free_space_propagate(
+        exit_wave.astype(jnp.complex64), free_prop_cm, lmbda_nm, voxel_nm,
+        sign_convention=geo.sign_convention,
+        normalize_fft=cfg.loss.normalize_fft,
+        fresnel_approx=geo.fresnel_approx)
+
+    if return_wave:
+        return det_wave
+    if geo.pure_projection and geo.is_minus_logged:
+        # The modulated "wave" already is the predicted image (real-valued).
+        return jnp.abs(det_wave) if det_wave.ndim == 3 else incoherent_mode_sum(det_wave)
+    return incoherent_mode_sum(det_wave)

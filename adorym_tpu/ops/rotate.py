@@ -1,0 +1,122 @@
+"""Differentiable 3D rotation via bilinear gather.
+
+TPU-native replacement for the reference's rotation machinery
+(``adorym/util.py:446-696``), which precomputes per-angle coordinate lookup
+tables, saves them to disk as float16 ``.npy`` files, and re-reads them every
+batch.  Here the coordinates are a few trig ops on an iota grid, computed
+inside the jitted step — no disk, no host round-trip — and the bilinear
+gather's transpose (the scatter-add ``apply_rotation_transpose``,
+``adorym/util.py:623-696``) falls out of JAX AD automatically.
+
+Semantics match ``apply_rotation_primitive`` (``adorym/util.py:555-621``):
+rotation about ``axis`` (default 0 = y), coordinates relative to the array
+center ``(s-1)/2``, source coords edge-clamped, bilinear interpolation.
+Differentiable with respect to both the object and ``theta`` (the latter
+covers the reference's ``w.rotate`` tilt-refinement path,
+``adorym/wrappers.py:1178``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rotation_source_coords(shape2, theta):
+    """Source (pre-rotation) coordinates for each target pixel of a 2D plane.
+
+    ``shape2`` = (s1, s2) of the two rotated axes; ``theta`` may be traced.
+    Returns (c1, c2), float32 arrays of shape ``shape2`` — matching
+    ``calculate_original_coordinates_for_rotation`` (``adorym/util.py:465-477``).
+    """
+    s1, s2 = shape2
+    ctr1 = (s1 - 1) / 2.0
+    ctr2 = (s2 - 1) / 2.0
+    g1 = jnp.arange(s1, dtype=jnp.float32)[:, None] - ctr1
+    g2 = jnp.arange(s2, dtype=jnp.float32)[None, :] - ctr2
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    c1 = cos_t * g1 - sin_t * g2 + ctr1
+    c2 = sin_t * g1 + cos_t * g2 + ctr2
+    return c1, c2
+
+
+def _bilinear_gather_plane(vol, c1, c2, ax1, ax2):
+    """Bilinear sample of ``vol`` at (c1, c2) along axes (ax1, ax2).
+
+    ``c1``/``c2`` have the same shape as the (ax1, ax2) plane; all other axes
+    of ``vol`` are carried along.  Edge-clamp semantics
+    (``adorym/util.py:586-588``).
+    """
+    s1 = vol.shape[ax1]
+    s2 = vol.shape[ax2]
+    c1 = jnp.clip(c1, 0.0, s1 - 1.0)
+    c2 = jnp.clip(c2, 0.0, s2 - 1.0)
+    f1 = jnp.floor(c1)
+    f2 = jnp.floor(c2)
+    w1 = c1 - f1
+    w2 = c2 - f2
+    i1 = f1.astype(jnp.int32)
+    i2 = f2.astype(jnp.int32)
+    i1c = jnp.minimum(i1 + 1, s1 - 1)
+    i2c = jnp.minimum(i2 + 1, s2 - 1)
+
+    # Flatten the sampled plane, gather 4 corners with advanced indexing.
+    flat1 = [i1.ravel(), i1.ravel(), i1c.ravel(), i1c.ravel()]
+    flat2 = [i2.ravel(), i2c.ravel(), i2.ravel(), i2c.ravel()]
+    wts = [((1 - w1) * (1 - w2)).ravel(), ((1 - w1) * w2).ravel(),
+           (w1 * (1 - w2)).ravel(), (w1 * w2).ravel()]
+
+    # Move sampled axes to front for a single fused gather per corner.
+    perm = [ax1, ax2] + [a for a in range(vol.ndim) if a not in (ax1, ax2)]
+    v = jnp.transpose(vol, perm)
+    out = None
+    for a, b, wt in zip(flat1, flat2, wts):
+        vals = v[a, b]  # [n_plane, *rest]
+        wt = wt.reshape((-1,) + (1,) * (vals.ndim - 1)).astype(vals.dtype)
+        out = vals * wt if out is None else out + vals * wt
+    plane_shape = c1.shape
+    out = out.reshape(plane_shape + v.shape[2:])
+    # Undo the permutation.
+    inv = np.argsort(perm)
+    return jnp.transpose(out, inv)
+
+
+def rotate(obj, theta, axis=0):
+    """Rotate a volume ``[s0, s1, s2, ...]`` about ``axis`` by ``theta`` rad.
+
+    Trailing axes beyond the first three (e.g. the 2 delta/beta channels) are
+    carried along unchanged, matching the reference's treatment of
+    ``obj[y, x, z, 2]``.  Differentiable in ``obj`` and ``theta``.
+    """
+    axes_rot = [a for a in range(3) if a != axis]
+    c1, c2 = _rotation_source_coords((obj.shape[axes_rot[0]], obj.shape[axes_rot[1]]),
+                                     jnp.asarray(theta, dtype=jnp.float32))
+    return _bilinear_gather_plane(obj, c1, c2, axes_rot[0], axes_rot[1])
+
+
+def rotate_adjoint(cotangent, theta, axis=0):
+    """Transpose (adjoint) of :func:`rotate` at the same ``theta``.
+
+    The reference uses this to rotate accumulated gradients back to the 0-deg
+    frame (``apply_rotation(..., reverse=True)`` -> ``apply_rotation_transpose``,
+    ``adorym/util.py:623-696``; driver use at ``adorym/ptychography.py:1069-1078``).
+    Note this is the linear-map transpose, not rotation by ``-theta``.
+    Since :func:`rotate` is linear in the object, the VJP at any primal is
+    exact.
+    """
+    cotangent = jnp.asarray(cotangent)
+    _, vjp = jax.vjp(lambda o: rotate(o, theta, axis=axis),
+                     jnp.zeros_like(cotangent))
+    return vjp(cotangent)[0]
+
+
+def tilt_rotate(obj, tilts):
+    """Apply the 3-axis tilt sequence used for tilt refinement
+    (``adorym/forward_model.py:274-276``): rotate about axes 0, 1, 2 in turn
+    by ``tilts[0..2]``.  Differentiable in ``tilts``."""
+    obj = rotate(obj, tilts[0], axis=0)
+    obj = rotate(obj, tilts[1], axis=1)
+    obj = rotate(obj, tilts[2], axis=2)
+    return obj

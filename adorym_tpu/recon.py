@@ -1,0 +1,239 @@
+"""Reconstruction driver: the training loop.
+
+TPU-native redesign of ``reconstruct_ptychography``
+(``adorym/ptychography.py:54-1296``).  Structure:
+
+  * a Python epoch/angle/batch loop that only shuffles indices and slices
+    the measured data (host-side, cheap);
+  * ONE jitted ``train_step`` doing forward + AD + optimizer + constraints
+    on device — the reference's per-batch sequence of rotate / chunk-read /
+    grad / allreduce / update / constraint phases
+    (``adorym/ptychography.py:859-1262``) collapses into this single
+    compiled program;
+  * batches are ``minibatch_size`` same-angle scan positions, matching the
+    reference's global-batch construction (``adorym/ptychography.py:786-846``).
+
+Distribution: the step function is sharding-agnostic.  Under a device mesh
+the object/probe carry ``NamedSharding``s and the measured batch is sharded
+over the data axis; XLA inserts the ``psum``s that replace the reference's
+MPI allreduce (see ``adorym_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ReconConfig
+from .models import base as model_base
+from .models import regularizers as regs
+from .models import ptychography as ptycho_model
+from .optim import optimizers as opt_lib
+from .optim import params as param_lib
+from .ops import patches as patch_ops
+
+
+def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
+    """Regularizer list from config weights
+    (``adorym/ptychography.py:549-564``)."""
+    ls: List[regs.Regularizer] = []
+    lc = cfg.loss
+    ut = cfg.train.unknown_type
+    if lc.alpha_d or lc.alpha_b:
+        if lc.reweighted_l1:
+            ls.append(regs.ReweightedL1Regularizer(ut, lc.alpha_d, lc.alpha_b))
+        else:
+            ls.append(regs.L1Regularizer(ut, lc.alpha_d, lc.alpha_b))
+    if lc.gamma:
+        ls.append(regs.TVRegularizer(ut, lc.gamma))
+    if lc.corr_reg:
+        ls.append(regs.CorrRegularizer(ut, lc.corr_reg))
+    if lc.grad_corr_reg:
+        ls.append(regs.GradCorrRegularizer(ut, lc.grad_corr_reg))
+    return ls
+
+
+class Reconstructor:
+    """Owns params, optimizer state, and the compiled step for one run."""
+
+    def __init__(self, cfg: ReconConfig, *, data: np.ndarray,
+                 probe_pos: np.ndarray, theta_ls: Optional[np.ndarray] = None,
+                 obj_init: Optional[np.ndarray] = None,
+                 probe_init: Optional[np.ndarray] = None,
+                 beamstop: Optional[np.ndarray] = None,
+                 finite_support_mask: Optional[np.ndarray] = None,
+                 aux_init: Optional[Dict[str, Any]] = None,
+                 predict_fn=None):
+        self.cfg = cfg
+        geo = cfg.geometry
+        self.data = np.abs(np.asarray(data)).astype(np.float32)
+        self.n_theta = self.data.shape[0]
+        self.n_pos = self.data.shape[1]
+        self.probe_pos = np.asarray(probe_pos, dtype=np.float64)
+        if theta_ls is None:
+            theta_ls = np.zeros(self.n_theta)
+        self.theta_ls = np.asarray(theta_ls, dtype=np.float32)
+        self.predict_fn = predict_fn or ptycho_model.predict
+
+        # -- parameters ----------------------------------------------------
+        from .utils.initialize import initialize_object, initialize_probe
+        if obj_init is None:
+            obj_init = initialize_object(geo.obj_size,
+                                         unknown_type=cfg.train.unknown_type,
+                                         object_type=cfg.train.object_type,
+                                         non_negativity=cfg.train.non_negativity,
+                                         seed=cfg.train.seed)
+        if probe_init is None:
+            probe_init = initialize_probe(
+                geo.probe_size, 'plane', n_probe_modes=cfg.train.n_probe_modes,
+                energy_ev=geo.energy_ev, psize_cm=geo.psize_cm)
+        params: Dict[str, Any] = {
+            'obj': jnp.asarray(obj_init, jnp.float32),
+            'probe': jnp.asarray(probe_init, jnp.float32),
+        }
+        params.update(param_lib.build_aux_params(
+            cfg, self.n_theta, self.n_pos,
+            slice_pos_cm_ls=geo.slice_pos_cm_ls,
+            free_prop_cm=(geo.free_prop_cm
+                          if not isinstance(geo.free_prop_cm, str) else None),
+            **(aux_init or {})))
+        self.params = params
+
+        self.specs = param_lib.build_opt_specs(cfg)
+        self.opt_state = opt_lib.tree_init(self.specs, params)
+
+        # -- statics -------------------------------------------------------
+        self.pad_arr = patch_ops.calculate_pad(geo.obj_size[:2],
+                                               self.probe_pos, geo.probe_size)
+        self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
+        self.finite_support_mask = (None if finite_support_mask is None
+                                    else jnp.asarray(finite_support_mask))
+        self.reg_list = build_regularizers(cfg)
+        self._needs_weight_l1 = any(
+            isinstance(r, regs.ReweightedL1Regularizer) for r in self.reg_list)
+        self.weight_l1 = (jnp.ones_like(params['obj'])
+                          if self._needs_weight_l1 else None)
+
+        self.i_opt_batch = 0      # optimizer step counter (i_full_angle)
+        self.global_batch = 0     # epoch*n_batch + i_batch, for update gates
+        self.loss_history: List[float] = []
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch, measured, weight_l1):
+        cfg = self.cfg
+        pred = self.predict_fn(params, batch, cfg, self.pad_arr)
+        loss = model_base.mismatch_loss(
+            pred, measured, cfg.loss.loss_function_type,
+            cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
+            self.beamstop_mask)
+        if self.reg_list:
+            loss = loss + regs.total_regularization(
+                self.reg_list, params['obj'], weight_l1=weight_l1)
+        return loss
+
+    def _build_step(self):
+        cfg = self.cfg
+
+        def step(params, opt_state, batch, measured, weight_l1, i_opt_batch,
+                 global_batch):
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                params, batch, measured, weight_l1)
+            mask = {}
+            if 'probe' in self.specs:
+                mask['probe'] = param_lib.probe_update_gate(cfg, global_batch)
+            upd_params, opt_state = opt_lib.tree_apply(
+                self.specs, params, grads, opt_state, i_opt_batch,
+                update_mask=mask)
+            # Leaves without specs (fixed probe etc.) pass through untouched.
+            upd_params = param_lib.apply_param_constraints(upd_params, cfg)
+            upd_params['obj'] = param_lib.apply_object_constraints(
+                upd_params['obj'], cfg, self.finite_support_mask)
+            return upd_params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def make_batches(self, rng: np.random.Generator):
+        """Same-angle minibatches, angles shuffled, positions shuffled and
+        padded to a full final batch (``adorym/ptychography.py:791-847``)."""
+        mb = self.cfg.train.minibatch_size
+        batches = []
+        for i_theta in rng.permutation(self.n_theta):
+            spots = rng.permutation(self.n_pos)
+            n_batches = -(-self.n_pos // mb)
+            pad = n_batches * mb - self.n_pos
+            if pad:
+                spots = np.concatenate([spots, rng.choice(self.n_pos, pad)])
+            for b in range(n_batches):
+                batches.append((int(i_theta), spots[b * mb:(b + 1) * mb]))
+        return batches
+
+    def run_epoch(self, i_epoch: int, rng: Optional[np.random.Generator] = None,
+                  callback=None) -> float:
+        if rng is None:
+            rng = np.random.default_rng(self.cfg.train.seed + i_epoch)
+        losses = []
+        batches = self.make_batches(rng)
+        update_interval = max(1, len(batches) // 10)
+        for i_batch, (i_theta, inds) in enumerate(batches):
+            if self._needs_weight_l1 and i_batch % update_interval == 0:
+                # Reweighted-L1 weight refresh
+                # (``adorym/ptychography.py:994-1000``).
+                self.weight_l1 = 1.0 / (jnp.abs(self.params['obj']) + 1e-10)
+            batch = {
+                'i_theta': jnp.asarray(i_theta, jnp.int32),
+                'theta': jnp.asarray(self.theta_ls[i_theta], jnp.float32),
+                'pos_batch': jnp.asarray(self.probe_pos[inds], jnp.float32),
+                'ind_batch': jnp.asarray(inds, jnp.int32),
+            }
+            measured = jnp.asarray(self.data[i_theta][inds])
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, batch, measured, self.weight_l1,
+                jnp.asarray(self.i_opt_batch, jnp.int32),
+                jnp.asarray(self.global_batch, jnp.int32))
+            self.i_opt_batch += 1
+            self.global_batch += 1
+            losses.append(float(loss))
+            if callback is not None:
+                callback(i_epoch, i_batch, losses[-1])
+        mean_loss = float(np.mean(losses))
+        self.loss_history.append(mean_loss)
+        return mean_loss
+
+    def run(self, n_epochs: Optional[int] = None, callback=None) -> Dict[str, Any]:
+        t = self.cfg.train
+        if n_epochs is None:
+            n_epochs = t.max_nepochs if t.n_epochs == 'auto' else int(t.n_epochs)
+        auto = t.n_epochs == 'auto'
+        rng = np.random.default_rng(t.seed)
+        for i_epoch in range(n_epochs):
+            t0 = time.time()
+            loss = self.run_epoch(i_epoch, rng, callback=callback)
+            dt = time.time() - t0
+            if auto and len(self.loss_history) >= 2:
+                prev = self.loss_history[-2]
+                if prev > 0 and (prev - loss) / abs(prev) < t.crit_conv_rate:
+                    break
+        return self.results()
+
+    # ------------------------------------------------------------------
+    def results(self) -> Dict[str, Any]:
+        out = {k: np.asarray(v) for k, v in self.params.items()}
+        out['loss_history'] = np.asarray(self.loss_history)
+        return out
+
+    @property
+    def obj(self) -> np.ndarray:
+        return np.asarray(self.params['obj'])
+
+    @property
+    def probe(self) -> np.ndarray:
+        p = np.asarray(self.params['probe'])
+        return p[..., 0] + 1j * p[..., 1]

@@ -1,0 +1,83 @@
+"""Forward simulation of measurement data.
+
+TPU-native equivalent of ``simulate_ptychography``
+(``adorym/simulation.py:38-693``): run the forward model on a known object
+and write predictions into an ``exchange/data`` HDF5 file in the reference's
+layout, so simulated datasets are interchangeable between frameworks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ReconConfig
+from .models import ptychography as ptycho_model
+from .ops import patches as patch_ops
+
+
+def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
+             probe_pos: np.ndarray, theta_ls: Optional[np.ndarray] = None,
+             return_wave: bool = False, minibatch_size: int = 0) -> np.ndarray:
+    """Simulate diffraction data for every (angle, scan position).
+
+    Args:
+      obj: ``[y, x, z, 2]`` ground-truth object (delta/beta channels).
+      probe: ``[n_modes, py, px, 2]`` probe.
+      probe_pos: ``[n_pos, 2]`` scan positions (pixels).
+      theta_ls: view angles in rad (default: single zero angle).
+      return_wave: write complex exit waves instead of magnitudes (the
+        reference's fullfield simulation mode,
+        ``adorym/forward_model.py:487-490``).
+
+    Returns ``[n_theta, n_pos, py, px]`` float magnitudes (or complex waves).
+    """
+    if theta_ls is None:
+        theta_ls = np.zeros(1)
+    probe_pos = np.asarray(probe_pos, dtype=np.float64)
+    n_pos = len(probe_pos)
+    pad_arr = patch_ops.calculate_pad(cfg.geometry.obj_size[:2], probe_pos,
+                                      cfg.geometry.probe_size)
+    params = {'obj': jnp.asarray(obj, jnp.float32),
+              'probe': jnp.asarray(probe, jnp.float32)}
+
+    mb = minibatch_size or n_pos
+
+    @jax.jit
+    def fwd(theta, i_theta, pos, inds):
+        batch = {'i_theta': i_theta, 'theta': theta, 'pos_batch': pos,
+                 'ind_batch': inds}
+        return ptycho_model.predict(params, batch, cfg, pad_arr,
+                                    return_wave=return_wave)
+
+    out = []
+    for i_theta, theta in enumerate(theta_ls):
+        per_angle = []
+        for b0 in range(0, n_pos, mb):
+            inds = np.arange(b0, min(b0 + mb, n_pos))
+            pred = fwd(jnp.asarray(theta, jnp.float32),
+                       jnp.asarray(i_theta, jnp.int32),
+                       jnp.asarray(probe_pos[inds], jnp.float32),
+                       jnp.asarray(inds, jnp.int32))
+            if return_wave:
+                # [n_modes, N, y, x] -> mode 0 complex wave
+                pred = pred[0]
+            per_angle.append(np.asarray(pred))
+        out.append(np.concatenate(per_angle, axis=0))
+    return np.stack(out, axis=0)
+
+
+def simulate_to_file(path: str, cfg: ReconConfig, obj, probe, probe_pos,
+                     theta_ls=None, **kwargs):
+    """Simulate and write the reference-layout HDF5 file."""
+    from .io.data import write_data_file
+    data = simulate(cfg, obj, probe, probe_pos, theta_ls, **kwargs)
+    write_data_file(path, data, theta=theta_ls, probe_pos=probe_pos,
+                    energy_ev=cfg.geometry.energy_ev,
+                    psize_cm=cfg.geometry.psize_cm,
+                    free_prop_cm=(None if isinstance(cfg.geometry.free_prop_cm, str)
+                                  else cfg.geometry.free_prop_cm))
+    return data

@@ -1,0 +1,144 @@
+"""Tests for differentiable rotation and patch extraction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adorym_tpu.ops import patches as patch_ops
+from adorym_tpu.ops.rotate import rotate, rotate_adjoint, tilt_rotate
+
+
+def np_rotate_ref(obj, theta, axis=0):
+    """Independent numpy transcription of apply_rotation_primitive
+    (adorym/util.py:555-621): rotate about `axis`, bilinear, edge clamp."""
+    s = obj.shape[:3]
+    axes_rot = [a for a in range(3) if a != axis]
+    s1, s2 = s[axes_rot[0]], s[axes_rot[1]]
+    ctr1, ctr2 = (s1 - 1) / 2, (s2 - 1) / 2
+    g1, g2 = np.meshgrid(np.arange(s1) - ctr1, np.arange(s2) - ctr2,
+                         indexing='ij')
+    c1 = np.cos(theta) * g1 - np.sin(theta) * g2 + ctr1
+    c2 = np.sin(theta) * g1 + np.cos(theta) * g2 + ctr2
+    c1 = np.clip(c1, 0, s1 - 1)
+    c2 = np.clip(c2, 0, s2 - 1)
+    f1 = np.floor(c1).astype(int)
+    f2 = np.floor(c2).astype(int)
+    w1, w2 = c1 - f1, c2 - f2
+    c1c = np.minimum(f1 + 1, s1 - 1)
+    c2c = np.minimum(f2 + 1, s2 - 1)
+    out = np.empty_like(obj)
+    mov = np.moveaxis(obj, axis, 0)
+    outm = np.moveaxis(out, axis, 0)
+    for i in range(s[axis]):
+        plane = mov[i]
+        outm[i] = (plane[f1, f2] * ((1 - w1) * (1 - w2))[..., None]
+                   + plane[f1, c2c] * ((1 - w1) * w2)[..., None]
+                   + plane[c1c, f2] * (w1 * (1 - w2))[..., None]
+                   + plane[c1c, c2c] * (w1 * w2)[..., None])
+    return out
+
+
+class TestRotate:
+    @pytest.mark.parametrize('axis', [0, 1, 2])
+    @pytest.mark.parametrize('theta', [0.3, -1.1, 2.4])
+    def test_matches_reference_semantics(self, axis, theta):
+        rng = np.random.default_rng(1)
+        obj = rng.random((8, 9, 10, 2)).astype(np.float32)
+        out = rotate(jnp.asarray(obj), theta, axis=axis)
+        ref = np_rotate_ref(obj, theta, axis=axis)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_zero_rotation_identity(self):
+        rng = np.random.default_rng(2)
+        obj = rng.random((6, 6, 6, 2)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(rotate(jnp.asarray(obj), 0.0)),
+                                   obj, atol=1e-6)
+
+    def test_adjoint_is_transpose(self):
+        """<R x, y> == <x, R^T y> for random x, y."""
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((6, 7, 8, 2)).astype(np.float32))
+        y = jnp.asarray(rng.random((6, 7, 8, 2)).astype(np.float32))
+        theta = 0.7
+        lhs = jnp.vdot(rotate(x, theta), y)
+        rhs = jnp.vdot(x, rotate_adjoint(y, theta))
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+    def test_grad_wrt_theta(self):
+        """d/dtheta of a smooth functional of the rotated object exists and
+        matches finite differences."""
+        rng = np.random.default_rng(4)
+        obj = jnp.asarray(rng.random((8, 8, 8, 1)).astype(np.float32))
+        target = rotate(obj, 0.35)
+
+        def loss(theta):
+            return jnp.mean((rotate(obj, theta) - target) ** 2)
+
+        g = jax.grad(loss)(0.3)
+        eps = 1e-3
+        fd = (loss(0.3 + eps) - loss(0.3 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=0.05, atol=1e-5)
+        # And the gradient should push theta toward the target angle.
+        assert float(g) < 0
+
+    def test_tilt_rotate_composes(self):
+        rng = np.random.default_rng(5)
+        obj = jnp.asarray(rng.random((6, 6, 6, 2)).astype(np.float32))
+        out = tilt_rotate(obj, jnp.asarray([0.1, 0.2, -0.3]))
+        step = rotate(rotate(rotate(obj, 0.1, 0), 0.2, 1), -0.3, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(step), atol=1e-6)
+
+
+class TestPatches:
+    def test_extract_matches_slicing(self):
+        rng = np.random.default_rng(6)
+        obj = rng.random((20, 24, 3, 2)).astype(np.float32)
+        pos = np.array([[0, 0], [5, 7], [12, 16]])
+        out = patch_ops.extract_patches(jnp.asarray(obj), jnp.asarray(pos), (8, 8))
+        for i, (y, x) in enumerate(pos):
+            np.testing.assert_allclose(np.asarray(out[i]), obj[y:y + 8, x:x + 8])
+
+    def test_pad_and_extract_out_of_range(self):
+        rng = np.random.default_rng(7)
+        obj = rng.random((16, 16, 2, 2)).astype(np.float32)
+        pos = np.array([[-3, -2], [12, 13]])
+        pad = patch_ops.calculate_pad((16, 16), pos, (8, 8))
+        np.testing.assert_array_equal(pad, [[3, 4], [2, 5]])
+        padded = patch_ops.pad_object(jnp.asarray(obj), pad)
+        shifted = jnp.asarray(pos + pad[:, 0])
+        out = patch_ops.extract_patches(padded, shifted, (8, 8))
+        # First patch: rows 0..2, cols 0..1 are zero padding.
+        np.testing.assert_allclose(np.asarray(out[0][:3]), 0.0)
+        np.testing.assert_allclose(np.asarray(out[0][3:, 2:]), obj[:5, :6])
+
+    def test_real_imag_padding_values(self):
+        obj = np.ones((4, 4, 1, 2), np.float32)
+        pad = np.array([[1, 1], [0, 0]])
+        padded = np.asarray(patch_ops.pad_object(jnp.asarray(obj), pad, 'real_imag'))
+        assert padded[0, 0, 0, 0] == 1.0  # vacuum transmission real part
+        assert padded[0, 0, 0, 1] == 0.0
+
+    def test_extract_vjp_is_scatter_add(self):
+        """AD through extract_patches scatter-adds overlapping patch
+        cotangents — the semantics of sync_subblocks (adorym/util.py:1006)."""
+        obj = jnp.zeros((10, 10, 1, 1))
+        pos = jnp.asarray([[0, 0], [2, 2]])
+
+        def f(o):
+            return jnp.sum(patch_ops.extract_patches(o, pos, (4, 4)))
+
+        g = np.asarray(jax.grad(f)(obj))[..., 0, 0]
+        # Overlap region [2:4, 2:4] gets contributions from both patches.
+        assert g[3, 3] == 2.0
+        assert g[0, 0] == 1.0
+        assert g[9, 9] == 0.0
+
+    def test_scatter_patches_add(self):
+        obj = jnp.zeros((8, 8, 1, 1))
+        patches = jnp.ones((2, 4, 4, 1, 1))
+        pos = jnp.asarray([[0, 0], [2, 2]])
+        out = np.asarray(patch_ops.scatter_patches_add(obj, patches, pos))[..., 0, 0]
+        assert out[3, 3] == 2.0
+        assert out[0, 0] == 1.0
+        assert out.sum() == 32.0

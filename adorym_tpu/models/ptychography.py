@@ -81,10 +81,10 @@ def shifted_probes(probe, params: Dict, batch: Dict, cfg: ReconConfig):
     if not cfg.refine.optimize_all_probe_pos:
         return probe  # [n_modes, py, px] — shared across the batch
     shifts = params['probe_pos_correction'][batch['i_theta'], batch['ind_batch']]
+    from ..ops.fourier import ifft2, shift_phase_ramp
     f = jnp.fft.fft2(probe)                                  # [n_modes, py, px]
-    from ..ops.fourier import shift_phase_ramp
     ramp = shift_phase_ramp(probe.shape[-2:], shifts)        # [N, py, px]
-    return jnp.fft.ifft2(f[None] * ramp[:, None])            # [N, n_modes, py, px]
+    return ifft2(f[None] * ramp[:, None])                    # [N, n_modes, py, px]
 
 
 def predict(params: Dict, batch: Dict, cfg: ReconConfig,

@@ -23,12 +23,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _batched_2d(fft_fn, x, norm, axes):
+    """Run a 2D FFT with leading batch dims flattened.
+
+    The flatten-reshape forces the operand to a default (row-major) layout
+    before the FFT custom-call.  On TPU it is a no-op for already-canonical
+    layouts; on the XLA:CPU backend it works around fft_thunk's
+    ``IsMonotonicWithDim0Major`` requirement, which GSPMD-partitioned
+    gather/transpose chains otherwise violate (RET_CHECK crash).
+    """
+    if axes != (-2, -1) or x.ndim <= 3:
+        return fft_fn(x, axes=axes, norm=norm)
+    s = x.shape
+    out = fft_fn(x.reshape((-1,) + s[-2:]), axes=(-2, -1), norm=norm)
+    return out.reshape(s)
+
+
 def fft2(x, norm=None, axes=(-2, -1)):
-    return jnp.fft.fft2(x, axes=axes, norm=norm)
+    return _batched_2d(jnp.fft.fft2, x, norm, axes)
 
 
 def ifft2(x, norm=None, axes=(-2, -1)):
-    return jnp.fft.ifft2(x, axes=axes, norm=norm)
+    return _batched_2d(jnp.fft.ifft2, x, norm, axes)
 
 
 def fftshift2(x, axes=(-2, -1)):
@@ -42,17 +58,17 @@ def ifftshift2(x, axes=(-2, -1)):
 def fft2_and_shift(x, norm=None, axes=(-2, -1)):
     """fftshifted 2D FFT — the Fraunhofer far-field operator
     (``adorym/wrappers.py:726-742``)."""
-    return jnp.fft.fftshift(jnp.fft.fft2(x, axes=axes, norm=norm), axes=axes)
+    return jnp.fft.fftshift(fft2(x, norm=norm, axes=axes), axes=axes)
 
 
 def ifft2_and_shift(x, norm=None, axes=(-2, -1)):
     """fftshifted 2D inverse FFT (``adorym/wrappers.py:745-757``)."""
-    return jnp.fft.fftshift(jnp.fft.ifft2(x, axes=axes, norm=norm), axes=axes)
+    return jnp.fft.fftshift(ifft2(x, norm=norm, axes=axes), axes=axes)
 
 
 def ishift_and_ifft2(x, norm=None, axes=(-2, -1)):
     """Inverse of :func:`fft2_and_shift` (``adorym/wrappers.py:760-772``)."""
-    return jnp.fft.ifft2(jnp.fft.ifftshift(x, axes=axes), axes=axes, norm=norm)
+    return ifft2(jnp.fft.ifftshift(x, axes=axes), norm=norm, axes=axes)
 
 
 @functools.lru_cache(maxsize=64)
@@ -91,10 +107,10 @@ def fourier_shift(img, shift, axes=(-2, -1)):
     can be used via ``axes`` but the ramp broadcast assumes trailing (y, x).
     ``shift``: float array ``[..., 2]`` broadcastable against img's batch dims.
     """
-    f = jnp.fft.fft2(img, axes=axes)
+    f = fft2(img, axes=axes)
     shape = (img.shape[axes[0]], img.shape[axes[1]])
     ramp = shift_phase_ramp(shape, shift, dtype=f.dtype)
-    return jnp.fft.ifft2(f * ramp, axes=axes)
+    return ifft2(f * ramp, axes=axes)
 
 
 def dft_matrix(n: int, inverse: bool = False, dtype=np.complex64) -> np.ndarray:

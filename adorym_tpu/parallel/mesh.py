@@ -1,0 +1,80 @@
+"""Device mesh and sharding layout.
+
+The reference has three hand-written distribution modes — MPI data
+parallelism, z(y)-slab "distributed object" with alltoall chunk exchange,
+and out-of-core parallel-HDF5 shared files (SURVEY §2.2).  Here all of them
+collapse into ONE sharded implementation parameterized by a 2D mesh:
+
+  axis 'dp' — shards the minibatch of scan positions (the reference's MPI
+              rank dimension; gradient psum replaces ``comm.allreduce``,
+              ``adorym/ptychography.py:1113-1114``);
+  axis 'op' — shards the object's leading (y) axis (the reference's
+              ``distributed_object`` slab decomposition,
+              ``adorym/array_ops.py:59-60``); patch gather/scatter across
+              slab boundaries lowers to XLA collectives instead of the
+              hand-rolled MPI alltoall (``adorym/util.py:889-1102``).
+
+The out-of-core 'shared_file' mode is subsumed: sharding over enough chips
+keeps slabs in HBM, and checkpoint streaming handles persistence.
+
+Everything below works identically on a real TPU slice and on a virtual
+CPU mesh (``--xla_force_host_platform_device_count``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ParallelConfig
+
+
+def make_mesh(pcfg: ParallelConfig, devices=None) -> Mesh:
+    """Build the (dp, op) mesh.  Lays 'dp' along the outer device axis so
+    data-parallel gradient reductions ride the faster contiguous links."""
+    n = pcfg.data_axis * pcfg.object_axis
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n, f'need {n} devices, have {len(devices)}'
+    arr = np.asarray(devices[:n]).reshape(pcfg.data_axis, pcfg.object_axis)
+    return Mesh(arr, pcfg.axis_names)
+
+
+def param_specs(params: Dict[str, Any], pcfg: ParallelConfig) -> Dict[str, P]:
+    """PartitionSpec per parameter leaf: the object shards its y axis over
+    'op'; everything else (probe, aux refinables) is replicated — they are
+    tiny and read by every device every step."""
+    specs: Dict[str, P] = {}
+    for k, v in params.items():
+        if k == 'obj' and pcfg.object_axis > 1:
+            specs[k] = P(pcfg.axis_names[1])
+        else:
+            specs[k] = P()
+    return specs
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh,
+                 pcfg: ParallelConfig) -> Dict[str, Any]:
+    specs = param_specs(params, pcfg)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in params.items()}
+
+
+def batch_specs(pcfg: ParallelConfig):
+    """The minibatch (positions, indices, measured patterns) shards its
+    leading axis over 'dp'; per-angle scalars are replicated."""
+    dp = pcfg.axis_names[0]
+    return ({'i_theta': P(), 'theta': P(), 'pos_batch': P(dp),
+             'ind_batch': P(dp)}, P(dp))
+
+
+def shard_batch(batch: Dict[str, Any], measured, mesh: Mesh,
+                pcfg: ParallelConfig):
+    bspecs, mspec = batch_specs(pcfg)
+    batch = {k: jax.device_put(v, NamedSharding(mesh, bspecs[k]))
+             for k, v in batch.items()}
+    measured = jax.device_put(measured, NamedSharding(mesh, mspec))
+    return batch, measured

@@ -69,7 +69,7 @@ class Reconstructor:
                  beamstop: Optional[np.ndarray] = None,
                  finite_support_mask: Optional[np.ndarray] = None,
                  aux_init: Optional[Dict[str, Any]] = None,
-                 predict_fn=None):
+                 predict_fn=None, mesh=None):
         self.cfg = cfg
         geo = cfg.geometry
         self.data = np.abs(np.asarray(data)).astype(np.float32)
@@ -104,6 +104,17 @@ class Reconstructor:
                           if not isinstance(geo.free_prop_cm, str) else None),
             **(aux_init or {})))
         self.params = params
+
+        # -- sharding ------------------------------------------------------
+        # With a mesh, params/optimizer state carry NamedShardings and jit
+        # propagates them; XLA inserts the psum/collectives that replace
+        # the reference's MPI allreduce/alltoall (SURVEY §2.3).
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import shard_params
+            self.params = params = shard_params(params, mesh, cfg.parallel)
+            assert cfg.train.minibatch_size % cfg.parallel.data_axis == 0, (
+                'minibatch_size must divide evenly over the data axis')
 
         self.specs = param_lib.build_opt_specs(cfg)
         self.opt_state = opt_lib.tree_init(self.specs, params)
@@ -184,9 +195,14 @@ class Reconstructor:
         update_interval = max(1, len(batches) // 10)
         for i_batch, (i_theta, inds) in enumerate(batches):
             if self._needs_weight_l1 and i_batch % update_interval == 0:
-                # Reweighted-L1 weight refresh
-                # (``adorym/ptychography.py:994-1000``).
-                self.weight_l1 = 1.0 / (jnp.abs(self.params['obj']) + 1e-10)
+                # Reweighted-L1 weight refresh:
+                # ``max(obj) / (|obj| + 1e-4 mean(obj))``
+                # (``adorym/ptychography.py:997-999``); ones until the object
+                # first becomes nonzero.
+                o = self.params['obj']
+                denom = jnp.abs(o) + 1e-4 * jnp.mean(o)
+                w = jnp.where(denom > 0, jnp.max(o) / denom, 1.0)
+                self.weight_l1 = jnp.nan_to_num(w, nan=1.0, posinf=1.0)
             batch = {
                 'i_theta': jnp.asarray(i_theta, jnp.int32),
                 'theta': jnp.asarray(self.theta_ls[i_theta], jnp.float32),
@@ -194,6 +210,10 @@ class Reconstructor:
                 'ind_batch': jnp.asarray(inds, jnp.int32),
             }
             measured = jnp.asarray(self.data[i_theta][inds])
+            if self.mesh is not None:
+                from .parallel.mesh import shard_batch
+                batch, measured = shard_batch(batch, measured, self.mesh,
+                                              self.cfg.parallel)
             self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, batch, measured, self.weight_l1,
                 jnp.asarray(self.i_opt_batch, jnp.int32),

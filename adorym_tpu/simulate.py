@@ -35,6 +35,12 @@ def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
 
     Returns ``[n_theta, n_pos, py, px]`` float magnitudes (or complex waves).
     """
+    # Simulation runs the bare forward model: disable parameter-refinement
+    # branches that would read auxiliary params not present here.
+    import dataclasses
+    from .config import RefineConfig
+    cfg = dataclasses.replace(cfg, refine=RefineConfig())
+
     if theta_ls is None:
         theta_ls = np.zeros(1)
     probe_pos = np.asarray(probe_pos, dtype=np.float64)

@@ -50,6 +50,11 @@ def build_aux_params(cfg: ReconConfig, n_theta: int, n_pos: int,
         if probe_pos_correction_init is not None:
             params['probe_pos_correction'] = jnp.asarray(
                 probe_pos_correction_init, jnp.float32)
+        elif geo.n_dists > 1:
+            # Multi-distance holography: one registration shift per distance
+            # (``adorym/ptychography.py:709``).
+            params['probe_pos_correction'] = jnp.zeros((geo.n_dists, 2),
+                                                       jnp.float32)
         else:
             params['probe_pos_correction'] = jnp.zeros((n_theta, n_pos, 2),
                                                        jnp.float32)

@@ -69,7 +69,7 @@ class Reconstructor:
                  beamstop: Optional[np.ndarray] = None,
                  finite_support_mask: Optional[np.ndarray] = None,
                  aux_init: Optional[Dict[str, Any]] = None,
-                 predict_fn=None, mesh=None):
+                 predict_fn=None, model=None, mesh=None):
         self.cfg = cfg
         geo = cfg.geometry
         self.data = np.abs(np.asarray(data)).astype(np.float32)
@@ -79,7 +79,15 @@ class Reconstructor:
         if theta_ls is None:
             theta_ls = np.zeros(self.n_theta)
         self.theta_ls = np.asarray(theta_ls, dtype=np.float32)
-        self.predict_fn = predict_fn or ptycho_model.predict
+        # A "model" is any namespace with a ``predict(params, batch, cfg,
+        # pad_arr)`` plus optional hooks: ``transform_measured(params,
+        # batch, measured, cfg)`` (multi-dist registration refinements
+        # applied to the data) and ``expand_indices(inds, n_pos, cfg)``
+        # (batch index -> measurement rows, e.g. one block -> all dists).
+        self.model = model or ptycho_model
+        self.predict_fn = predict_fn or self.model.predict
+        self.transform_measured = getattr(self.model, 'transform_measured', None)
+        self.expand_indices = getattr(self.model, 'expand_indices', None)
 
         # -- parameters ----------------------------------------------------
         from .utils.initialize import initialize_object, initialize_probe
@@ -120,8 +128,12 @@ class Reconstructor:
         self.opt_state = opt_lib.tree_init(self.specs, params)
 
         # -- statics -------------------------------------------------------
-        self.pad_arr = patch_ops.calculate_pad(geo.obj_size[:2],
-                                               self.probe_pos, geo.probe_size)
+        compute_pad = getattr(self.model, 'compute_pad', None)
+        if compute_pad is not None:
+            self.pad_arr = compute_pad(cfg, geo.obj_size[:2], self.probe_pos)
+        else:
+            self.pad_arr = patch_ops.calculate_pad(
+                geo.obj_size[:2], self.probe_pos, geo.probe_size)
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
@@ -140,6 +152,8 @@ class Reconstructor:
     def loss_fn(self, params, batch, measured, weight_l1):
         cfg = self.cfg
         pred = self.predict_fn(params, batch, cfg, self.pad_arr)
+        if self.transform_measured is not None:
+            measured = self.transform_measured(params, batch, measured, cfg)
         loss = model_base.mismatch_loss(
             pred, measured, cfg.loss.loss_function_type,
             cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
@@ -175,13 +189,14 @@ class Reconstructor:
         """Same-angle minibatches, angles shuffled, positions shuffled and
         padded to a full final batch (``adorym/ptychography.py:791-847``)."""
         mb = self.cfg.train.minibatch_size
+        n_spots = len(self.probe_pos)  # blocks for multi-dist, spots otherwise
         batches = []
         for i_theta in rng.permutation(self.n_theta):
-            spots = rng.permutation(self.n_pos)
-            n_batches = -(-self.n_pos // mb)
-            pad = n_batches * mb - self.n_pos
+            spots = rng.permutation(n_spots)
+            n_batches = -(-n_spots // mb)
+            pad = n_batches * mb - n_spots
             if pad:
-                spots = np.concatenate([spots, rng.choice(self.n_pos, pad)])
+                spots = np.concatenate([spots, rng.choice(n_spots, pad)])
             for b in range(n_batches):
                 batches.append((int(i_theta), spots[b * mb:(b + 1) * mb]))
         return batches
@@ -209,7 +224,9 @@ class Reconstructor:
                 'pos_batch': jnp.asarray(self.probe_pos[inds], jnp.float32),
                 'ind_batch': jnp.asarray(inds, jnp.int32),
             }
-            measured = jnp.asarray(self.data[i_theta][inds])
+            data_inds = (inds if self.expand_indices is None
+                         else self.expand_indices(inds, self.n_pos, self.cfg))
+            measured = jnp.asarray(self.data[i_theta][data_inds])
             if self.mesh is not None:
                 from .parallel.mesh import shard_batch
                 batch, measured = shard_batch(batch, measured, self.mesh,

@@ -21,7 +21,8 @@ from .ops import patches as patch_ops
 
 def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
              probe_pos: np.ndarray, theta_ls: Optional[np.ndarray] = None,
-             return_wave: bool = False, minibatch_size: int = 0) -> np.ndarray:
+             return_wave: bool = False, minibatch_size: int = 0,
+             model=None) -> np.ndarray:
     """Simulate diffraction data for every (angle, scan position).
 
     Args:
@@ -45,8 +46,13 @@ def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
         theta_ls = np.zeros(1)
     probe_pos = np.asarray(probe_pos, dtype=np.float64)
     n_pos = len(probe_pos)
-    pad_arr = patch_ops.calculate_pad(cfg.geometry.obj_size[:2], probe_pos,
-                                      cfg.geometry.probe_size)
+    model = model or ptycho_model
+    compute_pad = getattr(model, 'compute_pad', None)
+    if compute_pad is not None:
+        pad_arr = compute_pad(cfg, cfg.geometry.obj_size[:2], probe_pos)
+    else:
+        pad_arr = patch_ops.calculate_pad(cfg.geometry.obj_size[:2], probe_pos,
+                                          cfg.geometry.probe_size)
     params = {'obj': jnp.asarray(obj, jnp.float32),
               'probe': jnp.asarray(probe, jnp.float32)}
 
@@ -56,8 +62,8 @@ def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
     def fwd(theta, i_theta, pos, inds):
         batch = {'i_theta': i_theta, 'theta': theta, 'pos_batch': pos,
                  'ind_batch': inds}
-        return ptycho_model.predict(params, batch, cfg, pad_arr,
-                                    return_wave=return_wave)
+        return model.predict(params, batch, cfg, pad_arr,
+                             return_wave=return_wave)
 
     out = []
     for i_theta, theta in enumerate(theta_ls):

@@ -11,3 +11,6 @@ __version__ = '0.1.0'
 
 from .config import (Geometry, IOConfig, LossConfig, ParallelConfig,
                      ReconConfig, RefineConfig, TrainConfig)  # noqa: F401
+from .api import reconstruct_ptychography  # noqa: F401
+from .recon import Reconstructor  # noqa: F401
+from .simulate import simulate, simulate_to_file  # noqa: F401

@@ -1,0 +1,318 @@
+"""Drop-in reference-compatible API.
+
+``reconstruct_ptychography(**params)`` accepts the reference's kwarg surface
+(``adorym/ptychography.py:54-174``) and maps it onto the typed config +
+:class:`~adorym_tpu.recon.Reconstructor`.  A user of the reference can point
+their demo script's params dict at this function.
+
+Intentionally not supported (no TPU equivalent needed / superseded):
+  * ``backend``/``cpu_only``/``gpu_index``/``xpu`` — single JAX backend;
+  * ``distribution_mode``/``n_split_mpi_ata`` — use ``ParallelConfig`` mesh
+    axes instead (``parallel_data_axis``/``parallel_object_axis`` kwargs);
+  * ``core_parallelization``, ``precalculate_rotation_coords``,
+    ``cache_dtype``, ``dynamic_dropping`` — reference-internal knobs.
+Unknown kwargs warn and are ignored.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .config import (Geometry, IOConfig, LossConfig, ParallelConfig,
+                     ReconConfig, RefineConfig, TrainConfig)
+from .constants import PI, wavelength_nm
+from .recon import Reconstructor
+
+
+_IGNORED = {
+    'backend', 'cpu_only', 'gpu_index', 'xpu', 'core_parallelization',
+    'precalculate_rotation_coords', 'cache_dtype', 'n_split_mpi_ata',
+    'distribution_mode', 'dist_mode_n_batch_per_update', 'interpolation',
+    'dynamic_dropping', 'dropping_threshold', 'probe_circ_mask',
+    'fourier_disparity', 'debug', 'save_stdout', 'save_history',
+    'update_using_external_algorithm', 'optimizer_batch_number_increment',
+    'n_dp_batch', 'run_float64', 'common_probe_pos',
+    'shared_probe_among_angles', 'save_intermediate_level',
+    'n_epoch_final_pass', 'randomize_probe_pos', 'dynamic_rate',
+    'other_params_update_delay', 'initial_tilt', 'fix_object',
+}
+_IGNORED_PREFIXES = ('optimizer_',)  # per-param optimizer *objects*
+
+#: kwargs consumed by probe initialization (``adorym/util.py:198-283``)
+_PROBE_KWARGS = {'probe_mag_sigma', 'probe_phase_sigma', 'probe_phase_max',
+                 'probe_mag_max', 'aperture_radius', 'beamstop_radius',
+                 'probe_defocus_cm'}
+
+
+def reconstruct_ptychography(
+        fname, obj_size, probe_pos=None, theta_st=0.0, theta_end=PI,
+        n_theta=None, theta_downsample=None, energy_ev=None, psize_cm=None,
+        free_prop_cm=None, raw_data_type='magnitude', is_minus_logged=False,
+        slice_pos_cm_ls=None,
+        n_epochs='auto', crit_conv_rate=0.03, max_nepochs=200,
+        regularizers=None, alpha_d=None, alpha_b=None, gamma=1e-6,
+        minibatch_size=None, multiscale_level=1, initial_guess=None,
+        random_guess_means_sigmas=(8.7e-7, 5.1e-8, 1e-7, 1e-8),
+        n_batch_per_update=1, reweighted_l1=False,
+        update_scheme='immediate', unknown_type='delta_beta',
+        optimize_object=True, optimizer='adam', learning_rate=1e-5,
+        finite_support_mask_path=None, shrink_cycle=None,
+        shrink_threshold=1e-9, object_type='normal', non_negativity=False,
+        forward_model='auto', forward_algorithm='fresnel', ctf_lg_kappa=1.7,
+        binning=1, fresnel_approx=True, pure_projection=False,
+        two_d_mode=False, probe_type='gaussian', probe_initial=None,
+        probe_extra_defocus_cm=None, n_probe_modes=1,
+        rescale_probe_intensity=False, loss_function_type='lsq',
+        poisson_multiplier=1.0, beamstop=None, normalize_fft=False,
+        safe_zone_width=0, scale_ri_by_k=True, sign_convention=1,
+        save_path='.', output_folder=None, save_intermediate=False,
+        store_checkpoint=True, use_checkpoint=True,
+        force_to_use_checkpoint=False, n_batch_per_checkpoint=10,
+        rotate_out_of_loop=False,
+        optimize_probe=False, probe_learning_rate=1e-5,
+        probe_update_delay=0, probe_update_limit=None,
+        optimize_probe_defocusing=False, probe_defocusing_learning_rate=1e-5,
+        optimize_probe_pos_offset=False, probe_pos_offset_learning_rate=1e-2,
+        optimize_prj_pos_offset=False, prj_pos_offset_learning_rate=1e-2,
+        optimize_all_probe_pos=False, all_probe_pos_learning_rate=1e-2,
+        optimize_slice_pos=False, slice_pos_learning_rate=1e-4,
+        optimize_free_prop=False, free_prop_learning_rate=1e-2,
+        optimize_prj_affine=False, prj_affine_learning_rate=1e-3,
+        optimize_tilt=False, tilt_learning_rate=1e-3,
+        optimize_ctf_lg_kappa=False, ctf_lg_kappa_learning_rate=1e-3,
+        use_epie=False, epie_alpha=0.8, pupil_function=None,
+        t_max_min=None, run_bfloat16=False,
+        parallel_data_axis=1, parallel_object_axis=1,
+        **kwargs) -> Dict[str, Any]:
+    """Run a reconstruction from an Adorym-layout HDF5 file.  Returns the
+    results dict (object, probe, refined params, loss history)."""
+    for k in kwargs:
+        if (k in _IGNORED or k in _PROBE_KWARGS
+                or k.startswith(_IGNORED_PREFIXES)):
+            continue
+        warnings.warn(f'reconstruct_ptychography: ignoring unsupported '
+                      f'kwarg {k!r}')
+
+    from .io.data import RawDataset
+    ds = RawDataset(os.path.join(save_path, fname))
+    data = ds.all_magnitudes()
+    energy_ev = ds.energy_ev(energy_ev)
+    psize_cm = ds.psize_cm(psize_cm)
+    if free_prop_cm is None:
+        free_prop_cm = ds.free_prop_cm(None)
+    theta_ls = ds.theta_ls(theta_st, theta_end)
+    if obj_size[-1] == 1:
+        two_d_mode = True
+    if two_d_mode:
+        theta_ls = theta_ls[:1]
+        data = data[:1]
+    if theta_downsample:
+        theta_ls = theta_ls[::theta_downsample]
+        data = data[::theta_downsample]
+    if n_theta is not None and not two_d_mode:
+        theta_ls = theta_ls[:n_theta]
+        data = data[:n_theta]
+
+    if probe_pos is None:
+        probe_pos = ds.probe_pos()
+    if probe_pos is None:
+        probe_pos = np.array([[0.0, 0.0]])
+    probe_pos = np.asarray(probe_pos, dtype=np.float64)
+
+    fp = free_prop_cm
+    is_multi_dist = (fp is not None and not isinstance(fp, str)
+                     and np.size(fp) > 1)
+    n_dists = int(np.size(fp)) if is_multi_dist else 1
+    if fp is None:
+        fp_cfg = None
+    elif isinstance(fp, str):
+        fp_cfg = fp
+    elif np.size(fp) == 1:
+        fp_cfg = float(np.ravel(fp)[0])
+    else:
+        fp_cfg = tuple(float(x) for x in np.ravel(fp))
+
+    if is_multi_dist:
+        probe_size = tuple(obj_size[:2])
+    else:
+        probe_size = tuple(data.shape[-2:])
+
+    if regularizers is not None:
+        warnings.warn('pass regularizer weights via alpha_d/alpha_b/gamma; '
+                      'regularizer objects from the reference are not '
+                      'accepted')
+
+    geometry = Geometry(
+        obj_size=tuple(obj_size), probe_size=probe_size,
+        energy_ev=energy_ev, psize_cm=psize_cm, free_prop_cm=fp_cfg,
+        binning=binning, fresnel_approx=fresnel_approx,
+        sign_convention=sign_convention, two_d_mode=two_d_mode,
+        pure_projection=pure_projection, is_minus_logged=is_minus_logged,
+        scale_ri_by_k=scale_ri_by_k,
+        slice_pos_cm_ls=(tuple(slice_pos_cm_ls)
+                         if slice_pos_cm_ls is not None
+                         and np.size(slice_pos_cm_ls) > 1 else None),
+        n_dists=n_dists,
+        safe_zone_width=safe_zone_width if safe_zone_width else (
+            None if is_multi_dist else 0))
+    loss_cfg = LossConfig(
+        loss_function_type=loss_function_type, raw_data_type=raw_data_type,
+        poisson_multiplier=poisson_multiplier, normalize_fft=normalize_fft,
+        alpha_d=alpha_d or 0.0, alpha_b=alpha_b or 0.0, gamma=gamma or 0.0,
+        reweighted_l1=reweighted_l1)
+    refine = RefineConfig(
+        optimize_probe=optimize_probe, probe_learning_rate=probe_learning_rate,
+        probe_update_delay=probe_update_delay,
+        probe_update_limit=probe_update_limit,
+        optimize_probe_defocusing=optimize_probe_defocusing,
+        probe_defocusing_learning_rate=probe_defocusing_learning_rate,
+        optimize_probe_pos_offset=optimize_probe_pos_offset,
+        probe_pos_offset_learning_rate=probe_pos_offset_learning_rate,
+        optimize_prj_pos_offset=optimize_prj_pos_offset,
+        prj_pos_offset_learning_rate=prj_pos_offset_learning_rate,
+        optimize_all_probe_pos=optimize_all_probe_pos,
+        all_probe_pos_learning_rate=all_probe_pos_learning_rate,
+        optimize_slice_pos=optimize_slice_pos,
+        slice_pos_learning_rate=slice_pos_learning_rate,
+        optimize_free_prop=optimize_free_prop,
+        free_prop_learning_rate=free_prop_learning_rate,
+        optimize_tilt=optimize_tilt, tilt_learning_rate=tilt_learning_rate,
+        optimize_prj_affine=optimize_prj_affine,
+        prj_affine_learning_rate=prj_affine_learning_rate,
+        optimize_ctf_lg_kappa=optimize_ctf_lg_kappa,
+        ctf_lg_kappa_learning_rate=ctf_lg_kappa_learning_rate)
+    train = TrainConfig(
+        n_epochs=n_epochs, crit_conv_rate=crit_conv_rate,
+        max_nepochs=max_nepochs,
+        minibatch_size=minibatch_size or len(probe_pos),
+        learning_rate=learning_rate, optimizer=optimizer,
+        optimize_object=optimize_object, update_scheme=update_scheme,
+        unknown_type=unknown_type, object_type=object_type,
+        non_negativity=non_negativity, shrink_cycle=shrink_cycle,
+        shrink_threshold=shrink_threshold,
+        multiscale_level=multiscale_level,
+        theta_downsample=theta_downsample,
+        n_batch_per_update=n_batch_per_update,
+        rotate_out_of_loop=rotate_out_of_loop,
+        n_probe_modes=n_probe_modes,
+        forward_algorithm=forward_algorithm,
+        ctf_kappa=10.0 ** ctf_lg_kappa, run_bfloat16=run_bfloat16)
+    io_cfg = IOConfig(
+        fname=fname, save_path=save_path,
+        output_folder=output_folder or 'recon',
+        finite_support_mask_path=finite_support_mask_path,
+        save_intermediate=save_intermediate,
+        store_checkpoint=store_checkpoint, use_checkpoint=use_checkpoint,
+        force_to_use_checkpoint=force_to_use_checkpoint,
+        n_batch_per_checkpoint=n_batch_per_checkpoint, t_max_min=t_max_min)
+    parallel = ParallelConfig(data_axis=parallel_data_axis,
+                              object_axis=parallel_object_axis)
+    cfg = ReconConfig(geometry=geometry, loss=loss_cfg, refine=refine,
+                      train=train, parallel=parallel, io=io_cfg)
+
+    # -- model selection (``adorym/ptychography.py:533-547``) --------------
+    if forward_model == 'auto':
+        from .models import multidist as md_model
+        from .models import ptychography as pt_model
+        model = md_model if is_multi_dist else pt_model
+    else:
+        model = forward_model
+
+    # -- initial object / probe -------------------------------------------
+    from .utils.initialize import initialize_object, initialize_probe
+    obj_init = initialize_object(
+        tuple(obj_size), unknown_type=unknown_type, object_type=object_type,
+        initial_guess=initial_guess,
+        random_guess_means_sigmas=random_guess_means_sigmas,
+        non_negativity=non_negativity, seed=0)
+    probe_kwargs = dict(kwargs)
+    probe_init = initialize_probe(
+        probe_size, probe_type, probe_initial=probe_initial,
+        pupil_function=pupil_function, n_probe_modes=n_probe_modes,
+        energy_ev=energy_ev, psize_cm=psize_cm,
+        sign_convention=sign_convention,
+        extra_defocus_cm=probe_extra_defocus_cm,
+        data_for_ifft=data[0] if probe_type == 'ifft' else None,
+        data_for_rescale=data[0:1] if rescale_probe_intensity else None,
+        raw_data_type=raw_data_type, normalize_fft=normalize_fft,
+        rescale_intensity=rescale_probe_intensity, seed=0, **probe_kwargs)
+
+    mask = None
+    if finite_support_mask_path is not None:
+        from .io.output import read_tiff
+        mask = read_tiff(finite_support_mask_path)
+        if mask.ndim == 2 and len(obj_size) == 3 and obj_size[2] > 1:
+            mask = np.repeat(mask[:, :, None], obj_size[2], axis=2)
+        elif mask.ndim == 3 and mask.shape[0] == obj_size[2]:
+            mask = np.moveaxis(mask, 0, -1)
+
+    out_folder = os.path.join(save_path, output_folder) if output_folder \
+        else None
+
+    if use_epie:
+        from .conventional import epie_reconstruct
+        probe_c = probe_init[0, ..., 0] + 1j * probe_init[0, ..., 1]
+        obj_c = obj_init[..., 0, 0] + 1j * obj_init[..., 0, 1] \
+            if unknown_type == 'real_imag' else \
+            np.ones(obj_size[:2], np.complex64)
+        pad = np.maximum(-probe_pos.min(axis=0), 0).astype(int)
+        obj_rec, probe_rec = epie_reconstruct(
+            data[0], probe_c, probe_pos.astype(int) + pad, obj_c,
+            energy_ev=energy_ev, psize_cm=psize_cm, alpha=epie_alpha,
+            n_epochs=max_nepochs if n_epochs == 'auto' else int(n_epochs),
+            raw_data_type=raw_data_type)
+        return {'obj': np.asarray(obj_rec), 'probe': np.asarray(probe_rec)}
+
+    mesh = None
+    if parallel_data_axis * parallel_object_axis > 1:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(parallel)
+
+    # -- multiscale schedule (``adorym/ptychography.py:354``) --------------
+    results = None
+    prev_pass = None
+    for level in range(multiscale_level - 1, -1, -1):
+        ds_level = 2 ** level
+        if ds_level > 1:
+            import dataclasses as dc
+            small = tuple(max(1, s // ds_level) for s in obj_size[:2]) + \
+                (max(1, obj_size[2] // ds_level) if obj_size[2] > 1 else 1,)
+            g = dc.replace(geometry, obj_size=small,
+                           probe_size=tuple(max(1, p // ds_level)
+                                            for p in probe_size),
+                           psize_cm=psize_cm * ds_level)
+            cfg_l = dc.replace(cfg, geometry=g)
+            data_l = data[:, :, ::ds_level, ::ds_level]
+            pos_l = probe_pos / ds_level
+            obj_l = initialize_object(small, unknown_type=unknown_type,
+                                      object_type=object_type,
+                                      random_guess_means_sigmas=random_guess_means_sigmas,
+                                      non_negativity=non_negativity,
+                                      previous_pass=prev_pass, seed=0)
+            probe_l = probe_init[:, ::ds_level, ::ds_level]
+        else:
+            cfg_l = cfg
+            data_l = data
+            pos_l = probe_pos
+            obj_l = obj_init if prev_pass is None else initialize_object(
+                tuple(obj_size), unknown_type=unknown_type,
+                object_type=object_type,
+                random_guess_means_sigmas=random_guess_means_sigmas,
+                non_negativity=non_negativity, previous_pass=prev_pass,
+                seed=0)
+            probe_l = probe_init
+        rec = Reconstructor(cfg_l, data=data_l, probe_pos=pos_l,
+                            theta_ls=theta_ls, obj_init=obj_l,
+                            probe_init=probe_l, beamstop=beamstop,
+                            finite_support_mask=(mask if ds_level == 1 else None),
+                            model=model, mesh=mesh,
+                            output_folder=(out_folder if ds_level == 1 else None))
+        results = rec.run()
+        obj = results['obj']
+        prev_pass = (obj[..., 0], obj[..., 1])
+    ds.close()
+    return results

@@ -69,7 +69,8 @@ class Reconstructor:
                  beamstop: Optional[np.ndarray] = None,
                  finite_support_mask: Optional[np.ndarray] = None,
                  aux_init: Optional[Dict[str, Any]] = None,
-                 predict_fn=None, model=None, mesh=None):
+                 predict_fn=None, model=None, mesh=None,
+                 output_folder: Optional[str] = None):
         self.cfg = cfg
         geo = cfg.geometry
         self.data = np.abs(np.asarray(data)).astype(np.float32)
@@ -125,7 +126,19 @@ class Reconstructor:
                 'minibatch_size must divide evenly over the data axis')
 
         self.specs = param_lib.build_opt_specs(cfg)
+        # Second-order object optimizers keep their own state; auxiliary
+        # leaves still use first-order specs (reference behavior:
+        # CG/Curveball drive the object, Adam drives the rest).
+        self.second_order = cfg.train.optimizer in ('cg', 'curveball')
+        if self.second_order:
+            self.specs.pop('obj', None)
         self.opt_state = opt_lib.tree_init(self.specs, params)
+        if self.second_order and cfg.train.optimize_object:
+            from .optim import second_order as so
+            if cfg.train.optimizer == 'cg':
+                self.opt_state['obj'] = so.cg_init(params['obj'])
+            else:
+                self.opt_state['obj'] = so.curveball_init(params['obj'])
 
         # -- statics -------------------------------------------------------
         compute_pad = getattr(self.model, 'compute_pad', None)
@@ -146,7 +159,47 @@ class Reconstructor:
         self.i_opt_batch = 0      # optimizer step counter (i_full_angle)
         self.global_batch = 0     # epoch*n_batch + i_batch, for update gates
         self.loss_history: List[float] = []
+        self.stop_requested = False
+        self._t_start = time.time()
+
+        # -- outputs / checkpointing (reference output tree; only active
+        #    when an output folder is given) ------------------------------
+        self.output_folder = output_folder
+        self._logger = None
+        self._start_epoch = 0
+        if output_folder is not None:
+            from .io import checkpoint as ckpt_lib
+            from .io import output as out_lib
+            os.makedirs(output_folder, exist_ok=True)
+            out_lib.write_summary(cfg, output_folder)
+            if cfg.io.use_checkpoint:
+                restored = ckpt_lib.restore_checkpoint(
+                    os.path.join(output_folder, 'checkpoint'))
+                if restored is not None:
+                    r_params, r_state, i_epoch, i_batch, extra = restored
+                    self.params = {k: jnp.asarray(v)
+                                   for k, v in r_params.items()}
+                    self.opt_state = jax.tree.map(jnp.asarray, r_state)
+                    self._start_epoch = i_epoch
+                    self.i_opt_batch = int(extra.get('i_opt_batch', 0))
+                    self.global_batch = int(extra.get('global_batch', 0))
+                elif cfg.io.force_to_use_checkpoint:
+                    raise FileNotFoundError(
+                        'force_to_use_checkpoint set but no checkpoint found')
+            self._logger = out_lib.LossLogger(output_folder,
+                                              append=self._start_epoch > 0)
+
         self._step = self._build_step()
+
+    def save_checkpoint(self, i_epoch: int, i_batch: int):
+        from .io import checkpoint as ckpt_lib
+        host_params = {k: np.asarray(v) for k, v in self.params.items()}
+        host_state = jax.tree.map(np.asarray, self.opt_state)
+        return ckpt_lib.save_checkpoint(
+            os.path.join(self.output_folder, 'checkpoint'),
+            host_params, host_state, i_epoch, i_batch,
+            extra={'i_opt_batch': np.asarray(self.i_opt_batch),
+                   'global_batch': np.asarray(self.global_batch)})
 
     # ------------------------------------------------------------------
     def loss_fn(self, params, batch, measured, weight_l1):
@@ -176,6 +229,41 @@ class Reconstructor:
             upd_params, opt_state = opt_lib.tree_apply(
                 self.specs, params, grads, opt_state, i_opt_batch,
                 update_mask=mask)
+
+            if self.second_order and cfg.train.optimize_object:
+                from .optim import second_order as so
+
+                def loss_obj_fn(o):
+                    return self.loss_fn({**params, 'obj': o}, batch,
+                                        measured, weight_l1)
+
+                if cfg.train.optimizer == 'cg':
+                    obj_new, obj_state, _ = so.cg_step(
+                        loss_obj_fn, params['obj'], grads['obj'], loss,
+                        opt_state['obj'])
+                else:
+                    def pred_fn(o):
+                        return self.predict_fn({**params, 'obj': o}, batch,
+                                               cfg, self.pad_arr)
+
+                    meas = measured
+                    if self.transform_measured is not None:
+                        meas = self.transform_measured(params, batch,
+                                                       measured, cfg)
+
+                    def loss_pred_fn(pred):
+                        return model_base.mismatch_loss(
+                            pred, meas, cfg.loss.loss_function_type,
+                            cfg.loss.raw_data_type,
+                            cfg.loss.poisson_multiplier,
+                            self.beamstop_mask)
+
+                    obj_new, obj_state, _ = so.curveball_step(
+                        pred_fn, loss_pred_fn, loss_obj_fn, params['obj'],
+                        opt_state['obj'])
+                upd_params['obj'] = obj_new
+                opt_state = {**opt_state, 'obj': obj_state}
+
             # Leaves without specs (fixed probe etc.) pass through untouched.
             upd_params = param_lib.apply_param_constraints(upd_params, cfg)
             upd_params['obj'] = param_lib.apply_object_constraints(
@@ -240,6 +328,20 @@ class Reconstructor:
             losses.append(float(loss))
             if callback is not None:
                 callback(i_epoch, i_batch, losses[-1])
+            if self._logger is not None:
+                self._logger.log(i_epoch, i_batch, losses[-1])
+            if (self.output_folder is not None
+                    and self.cfg.io.store_checkpoint
+                    and (i_batch + 1) % self.cfg.io.n_batch_per_checkpoint == 0):
+                self.save_checkpoint(i_epoch, i_batch)
+            # HPC walltime guard (``adorym/ptychography.py:864-868``):
+            # checkpoint and stop cleanly before the scheduler kills us.
+            t_max = self.cfg.io.t_max_min
+            if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
+                if self.output_folder is not None:
+                    self.save_checkpoint(i_epoch, i_batch)
+                self.stop_requested = True
+                break
         mean_loss = float(np.mean(losses))
         self.loss_history.append(mean_loss)
         return mean_loss
@@ -250,14 +352,31 @@ class Reconstructor:
             n_epochs = t.max_nepochs if t.n_epochs == 'auto' else int(t.n_epochs)
         auto = t.n_epochs == 'auto'
         rng = np.random.default_rng(t.seed)
-        for i_epoch in range(n_epochs):
+        for i_epoch in range(self._start_epoch, n_epochs):
             t0 = time.time()
             loss = self.run_epoch(i_epoch, rng, callback=callback)
             dt = time.time() - t0
+            if self.output_folder is not None and self.cfg.io.save_intermediate:
+                from .io import output as out_lib
+                inter = os.path.join(self.output_folder, 'intermediate',
+                                     f'epoch_{i_epoch}')
+                out_lib.output_object(self.obj, inter,
+                                      self.cfg.train.unknown_type)
+                out_lib.output_probe(np.asarray(self.params['probe']), inter)
+            if self.stop_requested:
+                break
             if auto and len(self.loss_history) >= 2:
                 prev = self.loss_history[-2]
                 if prev > 0 and (prev - loss) / abs(prev) < t.crit_conv_rate:
                     break
+        if self.output_folder is not None:
+            from .io import output as out_lib
+            out_lib.output_object(self.obj, self.output_folder,
+                                  self.cfg.train.unknown_type)
+            out_lib.output_probe(np.asarray(self.params['probe']),
+                                 self.output_folder)
+            if self.cfg.io.store_checkpoint:
+                self.save_checkpoint(len(self.loss_history), 0)
         return self.results()
 
     # ------------------------------------------------------------------

@@ -121,6 +121,8 @@ class TrainConfig:
     # Precision: compute multislice in bf16 where safe (reference
     # ``run_bfloat16``, adorym/ptychography.py:166).
     run_bfloat16: bool = False
+    # Fused Pallas multislice kernel: 'auto' (TPU only) | 'on' | 'off'.
+    fused_multislice: str = 'auto'
     seed: int = 0
 
 

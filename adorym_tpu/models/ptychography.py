@@ -152,13 +152,15 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
             sign_convention=geo.sign_convention,
             scale_ri_by_k=geo.scale_ri_by_k)
     else:
+        fused = {'auto': 'auto', 'on': True, 'off': False}[
+            cfg.train.fused_multislice]
         exit_wave = prop.multislice_propagate(
             delta, beta, wave, geo.energy_ev, geo.psize_cm,
             slice_spacing_cm=geo.slice_spacing_cm, binning=geo.binning,
             unknown_type=cfg.train.unknown_type,
             fresnel_approx=geo.fresnel_approx,
             sign_convention=geo.sign_convention,
-            scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa)
+            scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa, fused=fused)
 
     if cfg.refine.optimize_prj_pos_offset:
         exit_wave = fourier_shift(exit_wave,

@@ -1,0 +1,276 @@
+"""Fused multislice propagation as a Pallas TPU kernel.
+
+The multislice hot loop is, per z-step, an elementwise complex modulation
+followed by a tiny 2D FFT-convolve on ``[N, ny, nx]`` patches
+(``adorym/propagate.py:207-258``).  XLA lowers the small mixed-radix FFTs
+poorly on TPU; here each step's two transforms run as dense DFT *matmuls on
+the MXU* (for patch sizes up to ~256 the O(n^3) matmul beats the FFT on a
+systolic array), and the wavefield never leaves VMEM across the z scan —
+the per-step slice modulators stream in from HBM through Pallas's
+double-buffered block pipeline.
+
+Complex math is carried as separate real/imag float32 planes (Mosaic has no
+native complex).  The backward pass is the physics adjoint: conjugate
+transfer function, reversed step order, with forward intermediates streamed
+back from HBM (they are a natural per-step kernel output).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fourier import dft_matrix
+
+
+def _cmatmul_right(ar, ai, br, bi):
+    """(a @ b) for complex operands given as real/imag, contracting a's last
+    axis.  a: [..., k], b: [k, n]."""
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    rr = dot(ar, br) - dot(ai, bi)
+    ri = dot(ar, bi) + dot(ai, br)
+    return rr, ri
+
+
+def _fft2_matmul(wr, wi, fy_r, fy_i, fx_r, fx_i):
+    """2D transform of w[..., ny, nx] via dense DFT matmuls.
+
+    x-axis: [(B ny), nx] @ Fx^T; y-axis: transpose, [(B nx), ny] @ Fy^T.
+    """
+    batch = wr.shape[:-2]
+    ny, nx = wr.shape[-2:]
+    B = int(np.prod(batch)) if batch else 1
+    # x axis: out[b,y,x] = sum_k w[b,y,k] Fx[x,k] -> (B*ny, nx) @ Fx^T
+    ar = wr.reshape(B * ny, nx)
+    ai = wi.reshape(B * ny, nx)
+    xr, xi = _cmatmul_right(ar, ai, fx_r.T, fx_i.T)
+    xr = xr.reshape(B, ny, nx)
+    xi = xi.reshape(B, ny, nx)
+    # y axis: out[b,y,x] = sum_k Fy[y,k] t[b,k,x] -> transpose to [B, nx, ny]
+    tr = jnp.transpose(xr, (0, 2, 1)).reshape(B * nx, ny)
+    ti = jnp.transpose(xi, (0, 2, 1)).reshape(B * nx, ny)
+    yr, yi = _cmatmul_right(tr, ti, fy_r.T, fy_i.T)
+    yr = jnp.transpose(yr.reshape(B, nx, ny), (0, 2, 1)).reshape(*batch, ny, nx)
+    yi = jnp.transpose(yi.reshape(B, nx, ny), (0, 2, 1)).reshape(*batch, ny, nx)
+    return yr, yi
+
+
+def _propagate_block(wr, wi, h_r, h_i, mats):
+    """One Fresnel step: FFT2 -> *H -> IFFT2, all in VMEM."""
+    fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i = mats
+    fr, fi = _fft2_matmul(wr, wi, fy_r, fy_i, fx_r, fx_i)
+    pr = fr * h_r - fi * h_i
+    pi = fr * h_i + fi * h_r
+    return _fft2_matmul(pr, pi, gy_r, gy_i, gx_r, gx_i)
+
+
+def _fwd_kernel(t_r_ref, t_i_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
+                fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                out_r_ref, out_i_ref, inter_r_ref, inter_i_ref,
+                w_r, w_i):
+    """Grid over z-steps; wave lives in VMEM scratch across steps."""
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        w_r[:] = w0_r_ref[:]
+        w_i[:] = w0_i_ref[:]
+
+    # Record the wavefield entering this step (the backward pass residual).
+    inter_r_ref[0] = w_r[:]
+    inter_i_ref[0] = w_i[:]
+
+    # Modulate by this step's slice transmission.
+    tr = t_r_ref[0]
+    ti = t_i_ref[0]
+    mr = w_r[:] * tr - w_i[:] * ti
+    mi = w_r[:] * ti + w_i[:] * tr
+
+    @pl.when(step < n_steps - 1)
+    def _():
+        mats = (fy_r[:], fy_i[:], fx_r[:], fx_i[:],
+                gy_r[:], gy_i[:], gx_r[:], gx_i[:])
+        pr, pi = _propagate_block(mr, mi, h_r_ref[:], h_i_ref[:], mats)
+        w_r[:] = pr
+        w_i[:] = pi
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        out_r_ref[:] = mr
+        out_i_ref[:] = mi
+
+
+def _bwd_kernel(t_r_ref, t_i_ref, inter_r_ref, inter_i_ref,
+                g_r_ref, g_i_ref, hc_r_ref, hc_i_ref,
+                fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                gt_r_ref, gt_i_ref, gw_r_ref, gw_i_ref,
+                a_r, a_i):
+    """Reverse sweep: grid step s visits z-step (n_steps-1-s).
+
+    JAX's complex-cotangent convention is the UNconjugated transpose (vjp of
+    ``w*t`` w.r.t. ``w`` is ``t*g``; vjp of ``fft2`` is ``fft2``), so the
+    transpose of the Fresnel step ``P = G H F`` is ``P^T = F H G`` — same
+    kernel H, transform order swapped — and the modulation transposes to a
+    plain complex multiply (no conjugates).
+    """
+    s = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        a_r[:] = g_r_ref[:]
+        a_i[:] = g_i_ref[:]
+
+    @pl.when(s > 0)
+    def _():
+        # Entering any step but the last, the cotangent first flows through
+        # the transpose of the propagation that followed the modulation:
+        # P^T = F H G (inverse transform first, then forward).
+        mats = (gy_r[:], gy_i[:], gx_r[:], gx_i[:],
+                fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+        pr, pi = _propagate_block(a_r[:], a_i[:], hc_r_ref[:], hc_i_ref[:],
+                                  mats)
+        a_r[:] = pr
+        a_i[:] = pi
+
+    # Cotangent w.r.t. this step's t: a * w_in; then through the
+    # modulation: a *= t (plain transposes in JAX's convention).
+    wr = inter_r_ref[0]
+    wi = inter_i_ref[0]
+    tr = t_r_ref[0]
+    ti = t_i_ref[0]
+    # Sum the slice-transmission cotangent over the probe-mode axis (t
+    # broadcasts over modes in the forward pass).
+    gt_r_ref[0] = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
+    gt_i_ref[0] = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
+    new_r = a_r[:] * tr - a_i[:] * ti
+    new_i = a_r[:] * ti + a_i[:] * tr
+    a_r[:] = new_r
+    a_i[:] = new_i
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        gw_r_ref[:] = a_r[:]
+        gw_i_ref[:] = a_i[:]
+
+
+def _dft_mats(ny, nx):
+    fy = dft_matrix(ny)
+    fx = dft_matrix(nx)
+    gy = dft_matrix(ny, inverse=True)
+    gx = dft_matrix(nx, inverse=True)
+    return tuple(jnp.asarray(m) for pair in
+                 [(fy.real, fy.imag), (fx.real, fx.imag),
+                  (gy.real, gy.imag), (gx.real, gx.imag)]
+                 for m in pair)
+
+
+def _call_fwd(t_r, t_i, w_r, w_i, h_r, h_i, interpret=False):
+    """t: [S, N, ny, nx]; wave: [M, N, ny, nx] (M = probe modes)."""
+    n_steps, N, ny, nx = t_r.shape
+    M = w_r.shape[0]
+    mats = _dft_mats(ny, nx)
+    vmem = pltpu.VMEM
+    t_spec = pl.BlockSpec((1, N, ny, nx), lambda s: (s, 0, 0, 0),
+                          memory_space=vmem)
+    inter_spec = pl.BlockSpec((1, M, N, ny, nx), lambda s: (s, 0, 0, 0, 0),
+                              memory_space=vmem)
+    full = pl.BlockSpec(memory_space=vmem)
+    out_shapes = (
+        jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
+    )
+    out_specs = (full, full, inter_spec, inter_spec)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_steps,),
+        in_specs=[t_spec, t_spec] + [full] * 12,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((M, N, ny, nx), jnp.float32)] * 2,
+        interpret=interpret,
+    )(t_r, t_i, w_r, w_i, h_r, h_i, *mats)
+
+
+def _call_bwd(t_r, t_i, inter_r, inter_i, g_r, g_i, h_r, h_i,
+              interpret=False):
+    n_steps, N, ny, nx = t_r.shape
+    M = g_r.shape[0]
+    mats = _dft_mats(ny, nx)
+    vmem = pltpu.VMEM
+    # Reverse order: grid step s maps to z-step n_steps-1-s.
+    t_rev = pl.BlockSpec((1, N, ny, nx),
+                         lambda s: (n_steps - 1 - s, 0, 0, 0),
+                         memory_space=vmem)
+    inter_rev = pl.BlockSpec((1, M, N, ny, nx),
+                             lambda s: (n_steps - 1 - s, 0, 0, 0, 0),
+                             memory_space=vmem)
+    full = pl.BlockSpec(memory_space=vmem)
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+        jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+    )
+    out_specs = (t_rev, t_rev, full, full)
+    # Plain transpose: H itself, not conj(H).
+    hc_r, hc_i = h_r, h_i
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(n_steps,),
+        in_specs=[t_rev, t_rev, inter_rev, inter_rev] + [full] * 12,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((M, N, ny, nx), jnp.float32)] * 2,
+        interpret=interpret,
+    )(t_r, t_i, inter_r, inter_i, g_r, g_i, hc_r, hc_i, *mats)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def multislice_fused(t, wave, kernel, interpret=False):
+    """Fused multislice scan: ``w <- IFFT(FFT(w * t_s) H)`` for all but the
+    last step, then the final modulation.
+
+    Args:
+      t: complex ``[n_steps, N, ny, nx]`` per-step slice transmissions
+        (pre-binned).
+      wave: complex ``[M, N, ny, nx]`` incident wave stack (M probe modes;
+        t broadcasts over M).
+      kernel: complex ``[ny, nx]`` per-step transfer function.
+
+    Differentiable in ``t`` and ``wave`` (NOT in ``kernel`` — it is
+    geometry).  Returns the exit wave ``[M, N, ny, nx]``.
+    """
+    out, _ = _multislice_fused_fwd(t, wave, kernel, interpret)
+    return out
+
+
+def _multislice_fused_fwd(t, wave, kernel, interpret):
+    o_r, o_i, inter_r, inter_i = _call_fwd(
+        jnp.real(t), jnp.imag(t), jnp.real(wave), jnp.imag(wave),
+        jnp.real(kernel), jnp.imag(kernel), interpret=interpret)
+    out = (o_r + 1j * o_i).astype(jnp.complex64)
+    return out, (t, inter_r, inter_i, kernel)
+
+
+def _multislice_fused_bwd(interpret, res, g):
+    t, inter_r, inter_i, kernel = res
+    gt_r, gt_i, gw_r, gw_i = _call_bwd(
+        jnp.real(t), jnp.imag(t), inter_r, inter_i,
+        jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
+        interpret=interpret)
+    gt = (gt_r + 1j * gt_i).astype(jnp.complex64)
+    gw = (gw_r + 1j * gw_i).astype(jnp.complex64)
+    return gt, gw, None
+
+
+multislice_fused.defvjp(_multislice_fused_fwd, _multislice_fused_bwd)

@@ -181,7 +181,8 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                          unknown_type='delta_beta', kernel=None,
                          fresnel_approx=True, sign_convention=1,
                          scale_ri_by_k=True, kappa=None, repeats=None,
-                         backprop=False, return_intermediate=False):
+                         backprop=False, return_intermediate=False,
+                         fused='auto'):
     """Multislice (Fresnel beam) propagation through an object batch.
 
     TPU-native equivalent of ``multislice_propagate_batch``
@@ -208,6 +209,9 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         conjugate-phase modulation (``adorym/propagate.py:364,414``).
       return_intermediate: also return the wavefield entering every step,
         ``[n_steps, ..., y, x]`` (``adorym/propagate.py:209-211``).
+      fused: 'auto' | True | False — use the fused Pallas MXU kernel
+        (DFT-by-matmul, wave resident in VMEM) for the z scan.  'auto'
+        enables it on TPU for 4D ``[modes, N, y, x]`` waves.
 
     Returns:
       Exit wave ``[..., y, x]`` (and the intermediate stack if requested).
@@ -274,6 +278,16 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         if return_intermediate:
             return out, wave[None]
         return out
+
+    if fused == 'auto':
+        fused = (jax.default_backend() == 'tpu' and not return_intermediate
+                 and wave.ndim == 4 and t_all.ndim == 4)
+    if fused and not return_intermediate and wave.ndim == 4 and t_all.ndim == 4:
+        from .pallas_multislice import multislice_fused
+        interpret = jax.default_backend() != 'tpu'
+        return multislice_fused(t_all.astype(jnp.complex64),
+                                wave.astype(jnp.complex64),
+                                kernel.astype(jnp.complex64), interpret)
 
     def step(wv, t):
         wv_in = wv

@@ -219,8 +219,36 @@ class Reconstructor:
     def _build_step(self):
         cfg = self.cfg
 
+        def grad_step(params, batch, measured, weight_l1):
+            return jax.value_and_grad(self.loss_fn)(params, batch, measured,
+                                                    weight_l1)
+
+        def apply_step(params, opt_state, grads, i_opt_batch, global_batch,
+                       support_mask):
+            mask = {}
+            if 'probe' in self.specs:
+                mask['probe'] = param_lib.probe_update_gate(cfg, global_batch)
+            upd_params, opt_state = opt_lib.tree_apply(
+                self.specs, params, grads, opt_state, i_opt_batch,
+                update_mask=mask)
+            upd_params = param_lib.apply_param_constraints(upd_params, cfg)
+            upd_params['obj'] = param_lib.apply_object_constraints(
+                upd_params['obj'], cfg, support_mask)
+            return upd_params, opt_state
+
+        # Exposed pieces for the accumulate-then-update schemes
+        # ('per angle' updates, rotate_out_of_loop; see run_epoch).
+        self._grad_step = jax.jit(grad_step)
+        self._apply_only = jax.jit(apply_step, donate_argnums=(0, 1))
+        self._accum_grads = jax.jit(
+            lambda a, b: jax.tree.map(jnp.add, a, b))
+        if not cfg.geometry.two_d_mode:
+            from .ops.rotate import rotate, rotate_adjoint
+            self._rotate_fwd = jax.jit(lambda o, th: rotate(o, th))
+            self._rotate_adj = jax.jit(lambda g, th: rotate_adjoint(g, th))
+
         def step(params, opt_state, batch, measured, weight_l1, i_opt_batch,
-                 global_batch):
+                 global_batch, support_mask):
             loss, grads = jax.value_and_grad(self.loss_fn)(
                 params, batch, measured, weight_l1)
             mask = {}
@@ -267,7 +295,7 @@ class Reconstructor:
             # Leaves without specs (fixed probe etc.) pass through untouched.
             upd_params = param_lib.apply_param_constraints(upd_params, cfg)
             upd_params['obj'] = param_lib.apply_object_constraints(
-                upd_params['obj'], cfg, self.finite_support_mask)
+                upd_params['obj'], cfg, support_mask)
             return upd_params, opt_state, loss
 
         return jax.jit(step, donate_argnums=(0, 1))
@@ -296,6 +324,25 @@ class Reconstructor:
         losses = []
         batches = self.make_batches(rng)
         update_interval = max(1, len(batches) // 10)
+
+        # Accumulate-then-update schemes: 'per angle' gating
+        # (``adorym/ptychography.py:1095-1099``) and rotate-out-of-loop
+        # (``:937-940,1069-1078``): the object is rotated ONCE per angle
+        # outside AD, per-batch gradients (w.r.t. the rotated object)
+        # accumulate on device, and at the angle boundary the summed
+        # gradient is rotated back by the adjoint and applied.  For the
+        # flagship 256^3 run this replaces 2 rotations/batch with
+        # 2 rotations/angle.
+        t = self.cfg.train
+        rol = t.rotate_out_of_loop and not self.cfg.geometry.two_d_mode
+        use_accum = ((t.update_scheme == 'per angle' or rol
+                      or t.n_batch_per_update > 1)
+                     and not self.second_order)
+        accum = None
+        n_acc = 0
+        obj_rot = None
+        cur_angle = None
+
         for i_batch, (i_theta, inds) in enumerate(batches):
             if self._needs_weight_l1 and i_batch % update_interval == 0:
                 # Reweighted-L1 weight refresh:
@@ -319,12 +366,57 @@ class Reconstructor:
                 from .parallel.mesh import shard_batch
                 batch, measured = shard_batch(batch, measured, self.mesh,
                                               self.cfg.parallel)
-            self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, batch, measured, self.weight_l1,
-                jnp.asarray(self.i_opt_batch, jnp.int32),
-                jnp.asarray(self.global_batch, jnp.int32))
-            self.i_opt_batch += 1
+            if not use_accum:
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state, batch, measured,
+                    self.weight_l1,
+                    jnp.asarray(self.i_opt_batch, jnp.int32),
+                    jnp.asarray(self.global_batch, jnp.int32),
+                    self.finite_support_mask)
+                self.i_opt_batch += 1
+            else:
+                if rol and (obj_rot is None or cur_angle != i_theta):
+                    obj_rot = self._rotate_fwd(self.params['obj'],
+                                               batch['theta'])
+                    cur_angle = i_theta
+                p_grad = ({**self.params, 'obj': obj_rot} if rol
+                          else self.params)
+                loss, grads = self._grad_step(p_grad, batch, measured,
+                                              self.weight_l1)
+                accum = grads if accum is None else self._accum_grads(accum,
+                                                                      grads)
+                n_acc += 1
+                last_of_angle = (i_batch == len(batches) - 1
+                                 or batches[i_batch + 1][0] != i_theta)
+                if t.update_scheme == 'per angle' or rol:
+                    gate = last_of_angle
+                else:
+                    gate = last_of_angle or n_acc >= t.n_batch_per_update
+                if gate:
+                    if rol:
+                        accum = {**accum,
+                                 'obj': self._rotate_adj(accum['obj'],
+                                                         batch['theta'])}
+                    self.params, self.opt_state = self._apply_only(
+                        self.params, self.opt_state, accum,
+                        jnp.asarray(self.i_opt_batch, jnp.int32),
+                        jnp.asarray(self.global_batch, jnp.int32),
+                        self.finite_support_mask)
+                    self.i_opt_batch += 1
+                    accum = None
+                    n_acc = 0
+                    obj_rot = None
             self.global_batch += 1
+            # Shrink-wrap: every shrink_cycle batches, zero the support
+            # mask where delta dropped below threshold
+            # (``adorym/ptychography.py:1220-1225``,
+            # ``adorym/array_ops.py:331-335``).
+            if (self.finite_support_mask is not None
+                    and t.shrink_cycle is not None and i_batch > 0
+                    and i_batch % t.shrink_cycle == 0):
+                self.finite_support_mask = jax.jit(
+                    lambda m, o: m * (o[..., 0] >= t.shrink_threshold))(
+                        self.finite_support_mask, self.params['obj'])
             losses.append(float(loss))
             if callback is not None:
                 callback(i_epoch, i_batch, losses[-1])

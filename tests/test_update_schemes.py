@@ -1,0 +1,74 @@
+"""Update-scheme semantics: per-angle accumulation and rotate_out_of_loop.
+
+Since rotation is linear, accumulating per-batch gradients through in-loop
+rotation must equal adjoint-rotating the accumulated gradient of the
+rotated object — so 'per angle' with and without ``rotate_out_of_loop``
+must produce identical parameter trajectories (the reference's two DP
+variants, ``adorym/ptychography.py:937-940,1069-1078``).
+"""
+
+import numpy as np
+import pytest
+
+from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+from adorym_tpu.recon import Reconstructor
+from adorym_tpu.simulate import simulate
+from adorym_tpu.utils.initialize import initialize_probe
+
+
+def _setup(seed=0):
+    n, pn = 24, 12
+    cfg_kw = dict(obj_size=(n, n, n), probe_size=(pn, pn),
+                  energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf')
+    rng = np.random.default_rng(seed)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=3,
+                             probe_phase_sigma=3, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 6)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 3, endpoint=False)
+    cfg0 = ReconConfig(geometry=Geometry(**cfg_kw),
+                       train=TrainConfig(minibatch_size=3))
+    data = simulate(cfg0, obj_true, probe, pos, theta_ls)
+    return cfg_kw, obj_true, probe, pos, theta_ls, data
+
+
+def _run(cfg_kw, obj_true, probe, pos, theta_ls, data, **train_kw):
+    cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                      train=TrainConfig(minibatch_size=3, learning_rate=1e-5,
+                                        seed=7, **train_kw))
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                        theta_ls=theta_ls, obj_init=np.zeros_like(obj_true))
+    for ep in range(3):
+        loss = rec.run_epoch(ep)
+    return rec, loss
+
+
+def test_rotate_out_of_loop_matches_in_loop():
+    args = _setup()
+    rec_in, loss_in = _run(*args, update_scheme='per angle',
+                           rotate_out_of_loop=False)
+    rec_out, loss_out = _run(*args, update_scheme='per angle',
+                             rotate_out_of_loop=True)
+    np.testing.assert_allclose(loss_in, loss_out, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec_in.params['obj']),
+                               np.asarray(rec_out.params['obj']),
+                               atol=1e-6)
+
+
+def test_per_angle_converges():
+    args = _setup(seed=1)
+    rec, loss = _run(*args, update_scheme='per angle')
+    assert np.isfinite(loss)
+    assert loss < rec.loss_history[0]
+
+
+def test_n_batch_per_update():
+    args = _setup(seed=2)
+    rec, loss = _run(*args, n_batch_per_update=2)
+    # 9 positions / mb 3 = 3 batches per angle -> 2 updates per angle
+    assert rec.i_opt_batch == 3 * 2 * 3  # angles * updates/angle * epochs
+    assert np.isfinite(loss)

@@ -84,6 +84,32 @@ def generate_disk(shape, radius, anti_aliasing=5):
     return res
 
 
+def generate_sphere(shape, radius, anti_aliasing=5):
+    """Antialiased solid sphere mask (``adorym/util.py:1458``)."""
+    shape = np.asarray(shape)
+    aa = anti_aliasing
+    grids = np.meshgrid(*[np.linspace(-s / 2, s / 2, s * aa) for s in shape],
+                        indexing='ij')
+    vol = (sum(g ** 2 for g in grids) <= radius ** 2).astype(np.float64)
+    view = vol.reshape(*[d for s in shape for d in (s, aa)])
+    return view.mean(axis=tuple(range(1, 2 * len(shape), 2)))
+
+
+def generate_shell(shape, radius, thickness=1, anti_aliasing=2):
+    """Spherical shell mask — the FSC integration element
+    (``adorym/util.py`` near :1480)."""
+    outer = generate_sphere(shape, radius + thickness / 2, anti_aliasing)
+    inner = generate_sphere(shape, radius - thickness / 2, anti_aliasing)
+    return outer - inner
+
+
+def generate_ring(shape, radius, thickness=1, anti_aliasing=2):
+    """Annulus mask — the FRC integration element."""
+    outer = generate_disk(shape, radius + thickness / 2, anti_aliasing)
+    inner = generate_disk(shape, radius - thickness / 2, anti_aliasing)
+    return outer - inner
+
+
 def upsample_2x(arr):
     """Nearest-neighbor 2x upsampling along the first three axes, used by the
     multiscale schedule (``adorym/util.py:1578``)."""

@@ -148,24 +148,30 @@ def slice_modulator(delta, beta, k1, unknown_type='delta_beta',
     raise ValueError("unknown_type must be 'delta_beta' or 'real_imag'")
 
 
-def _bin_slices(arr, binning, unknown_type):
-    """Reduce the leading z axis in bins of ``binning``.
-
-    ``arr``: [nz, ...].  Pads nz up to a multiple of ``binning`` with the
-    reduction identity (0 for sums, 1 for products), which reproduces the
-    reference's short-tail-bin semantics exactly: the tail bin is always the
-    last step and is never followed by an in-object propagation
-    (``adorym/propagate.py:207-257``), so padding the reduction is lossless.
-    """
-    if binning == 1:
-        return arr
+def _pad_z_to_multiple(arr, binning, unknown_type):
+    """Pad the leading z axis (at the far end) up to a multiple of
+    ``binning`` with the reduction identity (0 for sums, 1 for products)."""
     nz = arr.shape[0]
-    n_steps = -(-nz // binning)
-    pad = n_steps * binning - nz
+    pad = -nz % binning
     if pad:
         pad_width = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
         cval = 0.0 if unknown_type == 'delta_beta' else 1.0
         arr = jnp.pad(arr, pad_width, constant_values=cval)
+    return arr
+
+
+def _bin_slices(arr, binning, unknown_type):
+    """Reduce the leading z axis in bins of ``binning``.
+
+    ``arr``: [nz, ...], pre-padded to a multiple of ``binning`` (the padded
+    identities join the short tail bin, which in both propagation
+    directions is the FAR-side bin and is never followed by an extra
+    in-object propagation — reproducing the reference's short-bin
+    semantics, ``adorym/propagate.py:207-257`` fwd / ``:381-383`` bwd).
+    """
+    if binning == 1:
+        return arr
+    n_steps = arr.shape[0] // binning
     arr = arr.reshape(n_steps, binning, *arr.shape[1:])
     if unknown_type == 'delta_beta':
         return jnp.sum(arr, axis=1)
@@ -250,15 +256,16 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         wave = jax.lax.fori_loop(0, n_steps, body, wave)
         return wave
 
-    # Move z in front: [nz, ..., y, x]
-    delta_z = jnp.moveaxis(delta, -1, 0)
-    beta_z = jnp.moveaxis(beta, -1, 0)
+    # Move z in front: [nz, ..., y, x].  Pad the far (z-max) end to a
+    # multiple of ``binning`` BEFORE any reversal, so the identity padding
+    # always joins the far-side bin — the short bin in both directions
+    # (forward: last step, ``adorym/propagate.py:207-257``; backward: first
+    # step, ``:381-383``).
+    delta_z = _pad_z_to_multiple(jnp.moveaxis(delta, -1, 0), binning,
+                                 unknown_type)
+    beta_z = _pad_z_to_multiple(jnp.moveaxis(beta, -1, 0), binning,
+                                unknown_type)
     if backprop:
-        # Consume slices from the far side first.  The reference makes the
-        # *first* step the short one when nz % binning != 0
-        # (``adorym/propagate.py:381-383``); reversing before identity-padded
-        # binning reproduces that, since padding joins the last (= nearest,
-        # first-consumed) bin.
         delta_z = delta_z[::-1]
         beta_z = beta_z[::-1]
     delta_z = _bin_slices(delta_z, binning, unknown_type)

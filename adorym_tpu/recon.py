@@ -161,6 +161,9 @@ class Reconstructor:
         self.loss_history: List[float] = []
         self.stop_requested = False
         self._t_start = time.time()
+        from .utils.profiling import Timers
+        self.timers = Timers()
+        self.verbose = False
 
         # -- outputs / checkpointing (reference output tree; only active
         #    when an output folder is given) ------------------------------
@@ -361,12 +364,14 @@ class Reconstructor:
             }
             data_inds = (inds if self.expand_indices is None
                          else self.expand_indices(inds, self.n_pos, self.cfg))
-            measured = jnp.asarray(self.data[i_theta][data_inds])
+            with self.timers.time('data_staging'):
+                measured = jnp.asarray(self.data[i_theta][data_inds])
             if self.mesh is not None:
                 from .parallel.mesh import shard_batch
                 batch, measured = shard_batch(batch, measured, self.mesh,
                                               self.cfg.parallel)
             if not use_accum:
+              with self.timers.time('train_step'):
                 self.params, self.opt_state, loss = self._step(
                     self.params, self.opt_state, batch, measured,
                     self.weight_l1,
@@ -436,6 +441,17 @@ class Reconstructor:
                 break
         mean_loss = float(np.mean(losses))
         self.loss_history.append(mean_loss)
+        if self.verbose:
+            from .utils.profiling import device_memory_stats
+            n_patterns = len(batches) * self.cfg.train.minibatch_size
+            dt = self.timers.total.get('train_step', 0.0) or 1e-9
+            mem = device_memory_stats()
+            mem_s = (f"; hbm {mem['bytes_in_use_mb']:.0f}/"
+                     f"{mem['peak_bytes_mb']:.0f}MB peak" if mem else '')
+            print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
+                  f'{n_patterns / max(dt, 1e-9):.1f} patterns/s; '
+                  f'{self.timers.summary()}{mem_s}', flush=True)
+            self.timers.reset()
         return mean_loss
 
     def run(self, n_epochs: Optional[int] = None, callback=None) -> Dict[str, Any]:

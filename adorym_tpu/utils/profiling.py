@@ -1,0 +1,80 @@
+"""Observability: structured per-phase timers, throughput, device memory.
+
+Replaces the reference's ad-hoc wall-clock prints (SURVEY §5: per-phase
+timers at ``adorym/ptychography.py:943,988,1041,1052,1198``, throughput
+"angles/sec" :1255, GPU memory probes ``adorym/wrappers.py:383-403``) with
+a structured recorder plus first-class ``jax.profiler`` trace capture for
+xprof.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+
+
+class Timers:
+    """Accumulating named wall-clock timers.
+
+    NOTE: under async dispatch a phase timer measures enqueue time unless
+    the phase ends with a host sync; the per-batch loss fetch in the driver
+    provides that sync, so epoch-level numbers are accurate.
+    """
+
+    def __init__(self):
+        self.total: Dict[str, float] = defaultdict(float)
+        self.count: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def time(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.total[name] += time.perf_counter() - t0
+            self.count[name] += 1
+
+    def summary(self) -> str:
+        parts = []
+        for name in sorted(self.total):
+            n = self.count[name]
+            tot = self.total[name]
+            parts.append(f'{name}: {tot:.3f}s ({n}x, {tot / n * 1e3:.1f}ms avg)')
+        return '; '.join(parts)
+
+    def reset(self):
+        self.total.clear()
+        self.count.clear()
+
+
+def device_memory_stats() -> Optional[Dict[str, float]]:
+    """Per-device HBM usage in MB (the reference's GPU memory probe
+    analog).  Returns None when the backend doesn't expose stats."""
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        if not stats:
+            return None
+        return {'bytes_in_use_mb': stats.get('bytes_in_use', 0) / 2 ** 20,
+                'peak_bytes_mb': stats.get('peak_bytes_in_use', 0) / 2 ** 20,
+                'bytes_limit_mb': stats.get('bytes_limit', 0) / 2 ** 20}
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: Optional[str]):
+    """Capture a jax.profiler trace viewable in xprof/TensorBoard.
+
+    The reference has no profiler integration (SURVEY §5); on TPU this is
+    the difference between guessing and knowing.
+    """
+    if log_dir is None:
+        yield
+        return
+    with jax.profiler.trace(log_dir):
+        yield

@@ -73,9 +73,19 @@ class Reconstructor:
                  output_folder: Optional[str] = None):
         self.cfg = cfg
         geo = cfg.geometry
-        self.data = np.abs(np.asarray(data)).astype(np.float32)
-        self.n_theta = self.data.shape[0]
-        self.n_pos = self.data.shape[1]
+        # ``data`` may be an in-memory array or a native FastLoader
+        # (mmap-backed, threaded prefetch — see io/fastloader.py); with a
+        # loader, batch staging overlaps the previous device step.
+        from .io import fastloader as fl_mod
+        if isinstance(data, fl_mod.FastLoader):
+            self.loader = data
+            self.data = None
+            self.n_theta, self.n_pos = data.shape[:2]
+        else:
+            self.loader = None
+            self.data = np.abs(np.asarray(data)).astype(np.float32)
+            self.n_theta = self.data.shape[0]
+            self.n_pos = self.data.shape[1]
         self.probe_pos = np.asarray(probe_pos, dtype=np.float64)
         if theta_ls is None:
             theta_ls = np.zeros(self.n_theta)
@@ -365,7 +375,20 @@ class Reconstructor:
             data_inds = (inds if self.expand_indices is None
                          else self.expand_indices(inds, self.n_pos, self.cfg))
             with self.timers.time('data_staging'):
-                measured = jnp.asarray(self.data[i_theta][data_inds])
+                if self.loader is not None:
+                    # Double-buffered native prefetch: batch i was enqueued
+                    # while step i-1 ran; enqueue batch i+1 now.
+                    if i_batch == 0:
+                        self.loader.prefetch(0, i_theta, data_inds)
+                    if i_batch + 1 < len(batches):
+                        nt, ni = batches[i_batch + 1]
+                        ndi = (ni if self.expand_indices is None else
+                               self.expand_indices(ni, self.n_pos, self.cfg))
+                        self.loader.prefetch((i_batch + 1) % 2, nt, ndi)
+                    measured = jnp.asarray(
+                        self.loader.get(i_batch % 2, len(data_inds)))
+                else:
+                    measured = jnp.asarray(self.data[i_theta][data_inds])
             if self.mesh is not None:
                 from .parallel.mesh import shard_batch
                 batch, measured = shard_batch(batch, measured, self.mesh,

@@ -1,0 +1,210 @@
+"""Numerical parity against the actual reference implementation.
+
+Runs the reference (PyTorch-CPU backend, mounted read-only at
+/root/reference) and this framework on the SAME dataset with the SAME
+initialization and optimizer settings, and compares loss trajectories —
+the BASELINE.md target is agreement to ~1e-5.
+
+Skipped when the reference mount is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = '/root/reference'
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason='reference not mounted')
+
+
+def _import_reference():
+    if 'dxchange' not in sys.modules:
+        stub = types.ModuleType('dxchange')
+        stub.read_tiff = lambda *a, **k: np.zeros((1, 1), np.float32)
+        stub.write_tiff = lambda *a, **k: None
+        sys.modules['dxchange'] = stub
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from adorym.ptychography import reconstruct_ptychography as ref_recon
+    return ref_recon
+
+
+@pytest.fixture(scope='module')
+def parity_setup(tmp_path_factory):
+    """Shared dataset + inits: 2D ptychography, 3x3 positions, one batch
+    per epoch (no shuffle sensitivity), supplied probe, supplied object."""
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.simulate import simulate_to_file
+
+    root = tmp_path_factory.mktemp('parity')
+    n, pn = 32, 16
+    rng = np.random.default_rng(42)
+    from scipy.ndimage import gaussian_filter
+    sm = gaussian_filter(rng.random((n, n, 1)), (3, 3, 0))
+    sm = (sm - sm.min()) / max(np.ptp(sm), 1e-12)
+    obj_true = np.stack([sm * 2e-3, sm * 5e-5], -1).astype(np.float32)
+
+    probe_mag, probe_phase = np.ones((pn, pn)), np.zeros((pn, pn))
+    y, x = np.mgrid[:pn, :pn] - (pn - 1) / 2
+    probe_mag = np.exp(-(x ** 2 + y ** 2) / (2 * 4.0 ** 2))
+    probe_phase = 0.3 * np.exp(-(x ** 2 + y ** 2) / (2 * 4.0 ** 2))
+    probe = np.stack([probe_mag * np.cos(probe_phase),
+                      probe_mag * np.sin(probe_phase)], -1
+                     ).astype(np.float32)[None]
+
+    xs = np.arange(0, n - pn + 1, 8)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', two_d_mode=True),
+        train=TrainConfig(minibatch_size=len(pos)))
+    simulate_to_file(str(root / 'data.h5'), cfg, obj_true, probe, pos)
+
+    obj0_delta = (rng.random((n, n, 1)) * 1e-4).astype(np.float64)
+    obj0_beta = (rng.random((n, n, 1)) * 1e-6).astype(np.float64)
+    return (root, n, pn, pos, probe_mag, probe_phase, obj0_delta, obj0_beta)
+
+
+def run_reference(setup, n_epochs, lr, optimizer):
+    root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = setup
+    ref_recon = _import_reference()
+    out = f'ref_out_{optimizer}'
+    ref_recon(
+        fname='data.h5', save_path=str(root), output_folder=out,
+        obj_size=(n, n, 1), two_d_mode=True,
+        probe_pos=pos, energy_ev=5000.0, psize_cm=1e-7,
+        free_prop_cm='inf', n_epochs=n_epochs,
+        minibatch_size=len(pos), n_dp_batch=len(pos),
+        optimizer=optimizer, learning_rate=lr,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied', probe_initial=[probe_mag, probe_phase],
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        dynamic_rate=False,
+    )
+    csv = os.path.join(str(root), out, 'convergence', 'loss_rank_0.txt')
+    rows = np.genfromtxt(csv, delimiter=',', names=True)
+    return np.atleast_1d(rows['loss'])
+
+
+def run_ours(setup, n_epochs, lr, optimizer):
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = setup
+    ds = RawDataset(str(root / 'data.h5'))
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', two_d_mode=True),
+        train=TrainConfig(minibatch_size=len(pos), learning_rate=lr,
+                          optimizer=optimizer))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    probe0 = np.stack([probe_mag * np.cos(probe_phase),
+                       probe_mag * np.sin(probe_phase)], -1
+                      ).astype(np.float32)[None]
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe0, obj_init=obj0)
+    losses = []
+    for ep in range(n_epochs):
+        # Reproduce a reference quirk for the comparison: the reference
+        # resets its optimizer step counter at the top of EVERY epoch
+        # (``adorym/ptychography.py:848`` uses starting_epoch, which never
+        # advances), so Adam's bias correction restarts each epoch.  Our
+        # default keeps the counter monotone (correct Adam); the reset is
+        # emulated here only to validate numerical parity.
+        rec.i_opt_batch = 0
+        losses.append(rec.run_epoch(ep))
+    return np.asarray(losses)
+
+
+@pytest.mark.parametrize('optimizer,lr', [('gd', 1e-3), ('adam', 1e-4)])
+def test_loss_curve_matches_reference(parity_setup, optimizer, lr):
+    n_epochs = 5
+    ours = run_ours(parity_setup, n_epochs, lr, optimizer)
+    ref = run_reference(parity_setup, n_epochs, lr, optimizer)
+    assert len(ref) == n_epochs, ref
+    # float32 forward + different FFT implementations bound agreement
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_3d_multislice_rotation_parity(tmp_path, monkeypatch):
+    """Full 3D path — rotation + multislice + Fraunhofer — against the
+    reference, multiple angles, one batch per angle.
+
+    The reference's rotation reads float16 coordinate lookup tables from
+    disk (``adorym/util.py:492-533``; its non-precalculated torch path
+    crashes upstream), which bounds attainable agreement to ~1e-4."""
+    monkeypatch.chdir(tmp_path)  # reference writes lookup tables to CWD
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate_to_file
+
+    n, pn, n_theta = 16, 16, 3
+    rng = np.random.default_rng(7)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = np.stack([np.ones((pn, pn)), np.zeros((pn, pn))], -1
+                     ).astype(np.float32)[None]
+    pos = np.array([[0.0, 0.0]])
+    theta_ls = np.linspace(0, np.pi, n_theta, endpoint=False)
+
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
+                          energy_ev=800.0, psize_cm=0.67e-7,
+                          free_prop_cm='inf'),
+        train=TrainConfig(minibatch_size=1, learning_rate=1e-6,
+                          optimizer='gd'))
+    simulate_to_file(str(tmp_path / 'd3.h5'), cfg, obj_true, probe, pos,
+                     theta_ls=theta_ls)
+
+    obj0_d = (rng.random((n, n, n)) * 1e-4).astype(np.float64)
+    obj0_b = (rng.random((n, n, n)) * 1e-6).astype(np.float64)
+
+    ref_recon = _import_reference()
+    ref_recon(
+        fname='d3.h5', save_path=str(tmp_path), output_folder='ref3d',
+        obj_size=(n, n, n), probe_pos=pos, theta_st=0, theta_end=np.pi,
+        energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm='inf',
+        n_epochs=3, minibatch_size=1, n_dp_batch=1,
+        optimizer='gd', learning_rate=1e-6, dynamic_rate=False,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied',
+        probe_initial=[np.ones((pn, pn)), np.zeros((pn, pn))],
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        precalculate_rotation_coords=True,
+    )
+    csv = os.path.join(str(tmp_path), 'ref3d', 'convergence',
+                       'loss_rank_0.txt')
+    rows = np.genfromtxt(csv, delimiter=',', names=True)
+    ref_losses = np.atleast_1d(rows['loss'])
+
+    ds = RawDataset(str(tmp_path / 'd3.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, theta_ls=theta_ls)
+    # Match the reference's angle ordering: it shuffles angles with
+    # np.random.seed(i_epoch) (``adorym/ptychography.py:791-795``).
+    def batches_like_reference(_):
+        order = np.arange(n_theta)
+        np.random.seed(rec._epoch_seed)
+        np.random.shuffle(order)
+        return [(int(t), np.array([0])) for t in order]
+
+    rec.make_batches = batches_like_reference
+    our_losses = []
+    for ep in range(3):
+        rec._epoch_seed = ep
+        rec.run_epoch(ep, callback=lambda e, b, l: our_losses.append(l))
+    np.testing.assert_allclose(np.asarray(our_losses), ref_losses,
+                               rtol=5e-4)

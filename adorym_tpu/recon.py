@@ -334,7 +334,11 @@ class Reconstructor:
                   callback=None) -> float:
         if rng is None:
             rng = np.random.default_rng(self.cfg.train.seed + i_epoch)
-        losses = []
+        # Per-batch losses stay on device until the epoch ends: a per-batch
+        # scalar fetch would serialize dispatch on the host<->TPU round-trip
+        # and halve sustained throughput.
+        losses_dev = []
+        batch_ids = []
         batches = self.make_batches(rng)
         update_interval = max(1, len(batches) // 10)
 
@@ -445,11 +449,8 @@ class Reconstructor:
                 self.finite_support_mask = jax.jit(
                     lambda m, o: m * (o[..., 0] >= t.shrink_threshold))(
                         self.finite_support_mask, self.params['obj'])
-            losses.append(float(loss))
-            if callback is not None:
-                callback(i_epoch, i_batch, losses[-1])
-            if self._logger is not None:
-                self._logger.log(i_epoch, i_batch, losses[-1])
+            losses_dev.append(loss)
+            batch_ids.append(i_batch)
             if (self.output_folder is not None
                     and self.cfg.io.store_checkpoint
                     and (i_batch + 1) % self.cfg.io.n_batch_per_checkpoint == 0):
@@ -462,6 +463,13 @@ class Reconstructor:
                     self.save_checkpoint(i_epoch, i_batch)
                 self.stop_requested = True
                 break
+        losses = [float(v) for v in np.asarray(jnp.stack(losses_dev))]
+        if callback is not None or self._logger is not None:
+            for b, l in zip(batch_ids, losses):
+                if callback is not None:
+                    callback(i_epoch, b, l)
+                if self._logger is not None:
+                    self._logger.log(i_epoch, b, l)
         mean_loss = float(np.mean(losses))
         self.loss_history.append(mean_loss)
         if self.verbose:

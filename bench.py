@@ -55,8 +55,13 @@ def measure_ours() -> float:
                           probe_size=(N_PROBE, N_PROBE),
                           energy_ev=ENERGY_EV, psize_cm=PSIZE_CM,
                           free_prop_cm='inf', binning=BINNING),
+        # Optimized flagship configuration: rotate once per angle with
+        # per-angle gradient accumulation (the reference's
+        # rotate_out_of_loop mode) + the fused Pallas multislice kernel.
         train=TrainConfig(minibatch_size=MINIBATCH, learning_rate=1e-7,
-                          optimizer='adam'),
+                          optimizer='adam', rotate_out_of_loop=True,
+                          update_scheme='per angle',
+                          fused_multislice='auto'),
     )
     pos = _positions()
     rng = np.random.default_rng(0)
@@ -67,38 +72,17 @@ def measure_ours() -> float:
     rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
                         obj_init=obj0)
 
-    batches = rec.make_batches(np.random.default_rng(0))[:N_STEPS_MEASURE + 3]
-
-    def run_one(i_theta, inds):
-        batch = {
-            'i_theta': jnp.asarray(i_theta, jnp.int32),
-            'theta': jnp.asarray(rec.theta_ls[i_theta], jnp.float32),
-            'pos_batch': jnp.asarray(rec.probe_pos[inds], jnp.float32),
-            'ind_batch': jnp.asarray(inds, jnp.int32),
-        }
-        measured = jnp.asarray(rec.data[i_theta][inds])
-        rec.params, rec.opt_state, loss = rec._step(
-            rec.params, rec.opt_state, batch, measured, rec.weight_l1,
-            jnp.asarray(rec.i_opt_batch, jnp.int32),
-            jnp.asarray(rec.global_batch, jnp.int32))
-        return loss
-
-    # Warmup (compile + first execution).  NOTE: under the axon tunnel
-    # ``block_until_ready`` is a no-op; only a device->host fetch
-    # (``float``) actually synchronizes, so every timing fence below is a
-    # scalar fetch.
-    for i_theta, inds in batches[:3]:
-        float(run_one(i_theta, inds))
-    # Sustained throughput: enqueue the measured steps back-to-back and
-    # fence once on the final loss — the params chain makes it depend on
-    # every prior step, so the fetch waits for the whole pipeline.
-    t0 = time.time()
-    loss = None
-    for i_theta, inds in batches[3:3 + N_STEPS_MEASURE]:
-        loss = run_one(i_theta, inds)
-    float(loss)
-    dt = time.time() - t0
-    return MINIBATCH * N_STEPS_MEASURE / dt
+    # Warmup epoch compiles everything; each timed epoch fences once on the
+    # stacked losses (per-batch scalar fetches would serialize dispatch on
+    # the tunnel round-trip — and axon's block_until_ready is a no-op).
+    rec.run_epoch(0)
+    n_batches = len(rec.make_batches(np.random.default_rng(0)))
+    best = 0.0
+    for r in range(3):
+        t0 = time.time()
+        rec.run_epoch(1 + r)
+        best = max(best, n_batches * MINIBATCH / (time.time() - t0))
+    return best
 
 
 def measure_reference_baseline() -> float:

@@ -35,8 +35,7 @@ _IGNORED = {
     'dynamic_dropping', 'dropping_threshold', 'probe_circ_mask',
     'fourier_disparity', 'debug', 'save_stdout', 'save_history',
     'update_using_external_algorithm', 'optimizer_batch_number_increment',
-    'n_dp_batch', 'run_float64', 'common_probe_pos',
-    'shared_probe_among_angles', 'save_intermediate_level',
+    'n_dp_batch', 'run_float64', 'save_intermediate_level',
     'n_epoch_final_pass', 'randomize_probe_pos', 'dynamic_rate',
     'other_params_update_delay', 'initial_tilt', 'fix_object',
 }
@@ -84,6 +83,7 @@ def reconstruct_ptychography(
         optimize_prj_affine=False, prj_affine_learning_rate=1e-3,
         optimize_tilt=False, tilt_learning_rate=1e-3,
         optimize_ctf_lg_kappa=False, ctf_lg_kappa_learning_rate=1e-3,
+        common_probe_pos=True, shared_probe_among_angles=True,
         use_epie=False, epie_alpha=0.8, pupil_function=None,
         t_max_min=None, run_bfloat16=False,
         parallel_data_axis=1, parallel_object_axis=1,
@@ -117,7 +117,17 @@ def reconstruct_ptychography(
         theta_ls = theta_ls[:n_theta]
         data = data[:n_theta]
 
-    if probe_pos is None:
+    if not common_probe_pos:
+        # Per-angle scan grids (``adorym/ptychography.py:265-273``): read
+        # metadata/probe_pos_px_i, pad ragged counts to the max by
+        # repeating the last position (duplicates only re-weight those
+        # spots' gradients slightly).
+        per_angle = [ds.probe_pos_per_angle(i) for i in range(len(theta_ls))]
+        n_max = max(len(p) for p in per_angle)
+        probe_pos = np.stack([
+            np.concatenate([p, np.repeat(p[-1:], n_max - len(p), axis=0)])
+            for p in per_angle])
+    elif probe_pos is None:
         probe_pos = ds.probe_pos()
     if probe_pos is None:
         probe_pos = np.array([[0.0, 0.0]])
@@ -240,6 +250,10 @@ def reconstruct_ptychography(
         data_for_rescale=data[0:1] if rescale_probe_intensity else None,
         raw_data_type=raw_data_type, normalize_fft=normalize_fft,
         rescale_intensity=rescale_probe_intensity, seed=0, **probe_kwargs)
+
+    if not shared_probe_among_angles:
+        # Independent probe per angle (``adorym/ptychography.py:658-660``).
+        probe_init = np.tile(probe_init[None], (len(theta_ls), 1, 1, 1, 1))
 
     mask = None
     if finite_support_mask_path is not None:

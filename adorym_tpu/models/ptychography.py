@@ -31,11 +31,21 @@ def complex_probe(probe):
     return (probe[..., 0] + 1j * probe[..., 1]).astype(jnp.complex64)
 
 
+def select_probe(params, batch):
+    """Per-angle probes (``shared_probe_among_angles=False``,
+    ``adorym/ptychography.py:658-660``): a 5D probe ``[n_theta, n_modes,
+    py, px, 2]`` is indexed by the current angle."""
+    probe = params['probe']
+    if probe.ndim == 5:
+        probe = probe[batch['i_theta']]
+    return probe
+
+
 def prepare_probe(params: Dict, batch: Dict, cfg: ReconConfig):
     """Apply global probe refinements: defocus and per-angle position offset
     (``adorym/forward_model.py:249-262``)."""
     geo = cfg.geometry
-    probe = complex_probe(params['probe'])
+    probe = complex_probe(select_probe(params, batch))
     if cfg.refine.optimize_probe_defocusing:
         lmbda_nm = wavelength_nm(geo.energy_ev)
         voxel_nm = (geo.psize_cm * 1e7,) * 3

@@ -86,6 +86,10 @@ class Reconstructor:
             self.data = np.abs(np.asarray(data)).astype(np.float32)
             self.n_theta = self.data.shape[0]
             self.n_pos = self.data.shape[1]
+        # probe_pos: [n_pos, 2] shared across angles, or [n_theta, n_pos, 2]
+        # for per-angle scan grids (``common_probe_pos=False``; ragged
+        # per-angle counts are padded to the max by the caller, as the
+        # reference does at ``adorym/ptychography.py:688-691``).
         self.probe_pos = np.asarray(probe_pos, dtype=np.float64)
         if theta_ls is None:
             theta_ls = np.zeros(self.n_theta)
@@ -156,7 +160,8 @@ class Reconstructor:
             self.pad_arr = compute_pad(cfg, geo.obj_size[:2], self.probe_pos)
         else:
             self.pad_arr = patch_ops.calculate_pad(
-                geo.obj_size[:2], self.probe_pos, geo.probe_size)
+                geo.obj_size[:2], self.probe_pos.reshape(-1, 2),
+                geo.probe_size)
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
@@ -260,6 +265,41 @@ class Reconstructor:
             self._rotate_fwd = jax.jit(lambda o, th: rotate(o, th))
             self._rotate_adj = jax.jit(lambda g, th: rotate_adjoint(g, th))
 
+        def angle_step(params, opt_state, theta, i_theta, pos_all, inds_all,
+                       measured_all, weight_l1, i_opt_batch, global_batch,
+                       support_mask):
+            """One whole angle in a single compiled program: rotate once,
+            scan over the angle's minibatches accumulating gradients,
+            adjoint-rotate the object gradient, apply the update.  Replaces
+            n_batches host dispatches with one — under remote-dispatch
+            latency this is the difference between being latency-bound and
+            compute-bound."""
+            from .ops.rotate import rotate, rotate_adjoint
+            if cfg.geometry.two_d_mode:
+                p_rot = params
+            else:
+                p_rot = {**params, 'obj': rotate(params['obj'], theta)}
+
+            def body(acc, xs):
+                pos_b, inds_b, meas_b = xs
+                batch = {'i_theta': i_theta, 'theta': theta,
+                         'pos_batch': pos_b, 'ind_batch': inds_b}
+                loss, grads = jax.value_and_grad(self.loss_fn)(
+                    p_rot, batch, meas_b, weight_l1)
+                return jax.tree.map(jnp.add, acc, grads), loss
+
+            zero = jax.tree.map(jnp.zeros_like, p_rot)
+            acc, losses = jax.lax.scan(body, zero,
+                                       (pos_all, inds_all, measured_all))
+            if not cfg.geometry.two_d_mode:
+                acc = {**acc, 'obj': rotate_adjoint(acc['obj'], theta)}
+            params, opt_state = apply_step(params, opt_state, acc,
+                                           i_opt_batch, global_batch,
+                                           support_mask)
+            return params, opt_state, losses
+
+        self._angle_step = jax.jit(angle_step, donate_argnums=(0, 1))
+
         def step(params, opt_state, batch, measured, weight_l1, i_opt_batch,
                  global_batch, support_mask):
             loss, grads = jax.value_and_grad(self.loss_fn)(
@@ -318,7 +358,7 @@ class Reconstructor:
         """Same-angle minibatches, angles shuffled, positions shuffled and
         padded to a full final batch (``adorym/ptychography.py:791-847``)."""
         mb = self.cfg.train.minibatch_size
-        n_spots = len(self.probe_pos)  # blocks for multi-dist, spots otherwise
+        n_spots = self.probe_pos.shape[-2]  # blocks (multi-dist) or spots
         batches = []
         for i_theta in rng.permutation(self.n_theta):
             spots = rng.permutation(n_spots)
@@ -329,6 +369,72 @@ class Reconstructor:
             for b in range(n_batches):
                 batches.append((int(i_theta), spots[b * mb:(b + 1) * mb]))
         return batches
+
+    def _run_epoch_angles(self, i_epoch: int, batches, callback) -> float:
+        """Angle-granular epoch: every angle's minibatches run inside one
+        jitted ``angle_step`` (see _build_step)."""
+        t = self.cfg.train
+        # Group the (contiguous, same-angle) batches by angle.
+        groups = []
+        for i_theta, inds in batches:
+            if groups and groups[-1][0] == i_theta:
+                groups[-1][1].append(inds)
+            else:
+                groups.append((i_theta, [inds]))
+
+        losses_dev = []
+        for i_theta, inds_list in groups:
+            if self._needs_weight_l1:
+                o = self.params['obj']
+                denom = jnp.abs(o) + 1e-4 * jnp.mean(o)
+                w = jnp.where(denom > 0, jnp.max(o) / denom, 1.0)
+                self.weight_l1 = jnp.nan_to_num(w, nan=1.0, posinf=1.0)
+            inds_arr = np.stack(inds_list)                    # [n_b, mb]
+            pos_table = (self.probe_pos if self.probe_pos.ndim == 2
+                         else self.probe_pos[i_theta])
+            pos_all = jnp.asarray(pos_table[inds_arr], jnp.float32)
+            inds_all = jnp.asarray(inds_arr, jnp.int32)
+            with self.timers.time('data_staging'):
+                measured = jnp.asarray(self.data[i_theta][inds_arr])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                dp = self.cfg.parallel.axis_names[0]
+                pos_all = jax.device_put(
+                    pos_all, NamedSharding(self.mesh, P(None, dp)))
+                inds_all = jax.device_put(
+                    inds_all, NamedSharding(self.mesh, P(None, dp)))
+                measured = jax.device_put(
+                    measured, NamedSharding(self.mesh, P(None, dp)))
+            with self.timers.time('angle_step'):
+                self.params, self.opt_state, losses = self._angle_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(self.theta_ls[i_theta], jnp.float32),
+                    jnp.asarray(i_theta, jnp.int32),
+                    pos_all, inds_all, measured, self.weight_l1,
+                    jnp.asarray(self.i_opt_batch, jnp.int32),
+                    jnp.asarray(self.global_batch, jnp.int32),
+                    self.finite_support_mask)
+            self.i_opt_batch += 1
+            self.global_batch += len(inds_list)
+            losses_dev.append(losses)
+
+        losses = list(np.concatenate([np.asarray(v) for v in losses_dev]))
+        if callback is not None or self._logger is not None:
+            for b, l in enumerate(losses):
+                if callback is not None:
+                    callback(i_epoch, b, float(l))
+                if self._logger is not None:
+                    self._logger.log(i_epoch, b, float(l))
+        mean_loss = float(np.mean(losses))
+        self.loss_history.append(mean_loss)
+        if self.verbose:
+            n_patterns = len(losses) * self.cfg.train.minibatch_size
+            dt = self.timers.total.get('angle_step', 0.0) or 1e-9
+            print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
+                  f'{n_patterns / dt:.1f} patterns/s; '
+                  f'{self.timers.summary()}', flush=True)
+            self.timers.reset()
+        return mean_loss
 
     def run_epoch(self, i_epoch: int, rng: Optional[np.random.Generator] = None,
                   callback=None) -> float:
@@ -355,6 +461,14 @@ class Reconstructor:
         use_accum = ((t.update_scheme == 'per angle' or rol
                       or t.n_batch_per_update > 1)
                      and not self.second_order)
+        # Fastest path: one compiled program per ANGLE (rotate + scan over
+        # minibatches + adjoint + update) — one host dispatch per angle.
+        # Requires rotate-out-of-loop semantics (the in-jit pre-rotation IS
+        # that mode) or 2D mode where there is no rotation at all.
+        if (use_accum and t.n_batch_per_update <= 1
+                and (rol or self.cfg.geometry.two_d_mode)
+                and self.expand_indices is None and self.loader is None):
+            return self._run_epoch_angles(i_epoch, batches, callback)
         accum = None
         n_acc = 0
         obj_rot = None
@@ -370,10 +484,12 @@ class Reconstructor:
                 denom = jnp.abs(o) + 1e-4 * jnp.mean(o)
                 w = jnp.where(denom > 0, jnp.max(o) / denom, 1.0)
                 self.weight_l1 = jnp.nan_to_num(w, nan=1.0, posinf=1.0)
+            pos_table = (self.probe_pos if self.probe_pos.ndim == 2
+                         else self.probe_pos[i_theta])
             batch = {
                 'i_theta': jnp.asarray(i_theta, jnp.int32),
                 'theta': jnp.asarray(self.theta_ls[i_theta], jnp.float32),
-                'pos_batch': jnp.asarray(self.probe_pos[inds], jnp.float32),
+                'pos_batch': jnp.asarray(pos_table[inds], jnp.float32),
                 'ind_batch': jnp.asarray(inds, jnp.int32),
             }
             data_inds = (inds if self.expand_indices is None

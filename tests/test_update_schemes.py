@@ -56,7 +56,7 @@ def test_rotate_out_of_loop_matches_in_loop():
     np.testing.assert_allclose(loss_in, loss_out, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rec_in.params['obj']),
                                np.asarray(rec_out.params['obj']),
-                               atol=1e-6)
+                               atol=1e-5)
 
 
 def test_per_angle_converges():

@@ -12,5 +12,8 @@ __version__ = '0.1.0'
 from .config import (Geometry, IOConfig, LossConfig, ParallelConfig,
                      ReconConfig, RefineConfig, TrainConfig)  # noqa: F401
 from .api import reconstruct_ptychography  # noqa: F401
+from .models.regularizers import (CorrRegularizer, GradCorrRegularizer,  # noqa: F401
+                                  L1Regularizer, ReweightedL1Regularizer,
+                                  TVRegularizer)
 from .recon import Reconstructor  # noqa: F401
 from .simulate import simulate, simulate_to_file  # noqa: F401

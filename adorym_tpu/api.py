@@ -151,10 +151,28 @@ def reconstruct_ptychography(
     else:
         probe_size = tuple(data.shape[-2:])
 
+    reg_list = None
     if regularizers is not None:
-        warnings.warn('pass regularizer weights via alpha_d/alpha_b/gamma; '
-                      'regularizer objects from the reference are not '
-                      'accepted')
+        # Accept this package's regularizer dataclasses directly, and map
+        # reference-style objects (same class names + alpha_d/alpha_b/gamma
+        # attributes) onto them.
+        from .models import regularizers as regs_mod
+        reg_list = []
+        for r in regularizers:
+            if isinstance(r, regs_mod.Regularizer):
+                reg_list.append(r)
+                continue
+            name = type(r).__name__
+            ours = getattr(regs_mod, name, None)
+            if ours is None:
+                warnings.warn(f'unknown regularizer {name!r} ignored')
+                continue
+            kw = {}
+            for field in ('alpha_d', 'alpha_b', 'gamma'):
+                if hasattr(r, field):
+                    kw[field] = getattr(r, field)
+            ut = getattr(r, 'unknown_type', unknown_type)
+            reg_list.append(ours(ut, **kw))
 
     geometry = Geometry(
         obj_size=tuple(obj_size), probe_size=probe_size,
@@ -323,7 +341,7 @@ def reconstruct_ptychography(
                             theta_ls=theta_ls, obj_init=obj_l,
                             probe_init=probe_l, beamstop=beamstop,
                             finite_support_mask=(mask if ds_level == 1 else None),
-                            model=model, mesh=mesh,
+                            model=model, mesh=mesh, reg_list=reg_list,
                             output_folder=(out_folder if ds_level == 1 else None))
         results = rec.run()
         obj = results['obj']

@@ -70,7 +70,7 @@ class Reconstructor:
                  finite_support_mask: Optional[np.ndarray] = None,
                  aux_init: Optional[Dict[str, Any]] = None,
                  predict_fn=None, model=None, mesh=None,
-                 output_folder: Optional[str] = None):
+                 output_folder: Optional[str] = None, reg_list=None):
         self.cfg = cfg
         geo = cfg.geometry
         # ``data`` may be an in-memory array or a native FastLoader
@@ -165,7 +165,8 @@ class Reconstructor:
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
-        self.reg_list = build_regularizers(cfg)
+        self.reg_list = (list(reg_list) if reg_list is not None
+                         else build_regularizers(cfg))
         self._needs_weight_l1 = any(
             isinstance(r, regs.ReweightedL1Regularizer) for r in self.reg_list)
         self.weight_l1 = (jnp.ones_like(params['obj'])

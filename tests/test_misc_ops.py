@@ -183,3 +183,39 @@ def test_profiling_timers():
     assert t.count['a'] == 2
     assert 'a:' in t.summary()
     device_memory_stats()  # must not raise
+
+
+def test_probe_init_types():
+    from adorym_tpu.utils.initialize import initialize_probe
+    # aperture_defocus: disk aperture Fresnel-defocused
+    p = initialize_probe((32, 32), 'aperture_defocus', energy_ev=5000.0,
+                         psize_cm=1e-7, aperture_radius=8,
+                         probe_defocus_cm=1e-4, beamstop_radius=2)
+    assert p.shape == (1, 32, 32, 2) and np.isfinite(p).all()
+    mag = np.sqrt(p[0, ..., 0] ** 2 + p[0, ..., 1] ** 2)
+    assert mag.max() > 0.1  # light got through
+
+    # ifft: back-estimate from measured magnitudes
+    rng = np.random.default_rng(0)
+    data = rng.random((5, 32, 32)).astype(np.float32)
+    p2 = initialize_probe((32, 32), 'ifft', energy_ev=5000.0, psize_cm=1e-7,
+                          data_for_ifft=data)
+    assert p2.shape == (1, 32, 32, 2) and np.isfinite(p2).all()
+
+    # supplied + pupil + rescale-to-data-intensity
+    mag0 = np.ones((32, 32))
+    pupil = np.zeros((32, 32)); pupil[8:24, 8:24] = 1
+    p3 = initialize_probe((32, 32), 'supplied',
+                          probe_initial=(mag0, np.zeros((32, 32))),
+                          pupil_function=pupil, energy_ev=5000.0,
+                          psize_cm=1e-7, rescale_intensity=True,
+                          data_for_rescale=data[None],
+                          raw_data_type='magnitude')
+    assert np.isfinite(p3).all()
+    assert p3[0, 0, 0, 0] == 0.0       # pupil-masked corner
+    assert np.abs(p3[0, 16, 16, 0]) > 0
+
+    # multi-mode expansion adds mode-breaking noise
+    p4 = initialize_probe((16, 16), 'plane', n_probe_modes=3, seed=0)
+    assert p4.shape == (3, 16, 16, 2)
+    assert not np.allclose(p4[0], p4[1])

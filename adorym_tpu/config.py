@@ -123,6 +123,9 @@ class TrainConfig:
     run_bfloat16: bool = False
     # Fused Pallas multislice kernel: 'auto' (TPU only) | 'on' | 'off'.
     fused_multislice: str = 'auto'
+    # Patch-granular gradient accumulation in the angle-fused step
+    # (experimental: measured slower than XLA's scatter on v5e).
+    patch_grad: bool = False
     seed: int = 0
 
 

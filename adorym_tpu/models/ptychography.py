@@ -109,7 +109,6 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
     detection instead (simulation mode, ``adorym/forward_model.py:487-490``).
     """
     geo = cfg.geometry
-    probe = prepare_probe(params, batch, cfg)
     obj_rot = rotated_object(params, batch, cfg)
 
     if pad_arr is None:
@@ -119,6 +118,20 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
     pos = jnp.round(batch['pos_batch']).astype(jnp.int32)
     pos = pos + jnp.asarray([pad_arr[0, 0], pad_arr[1, 0]], dtype=jnp.int32)
     subobj = patch_ops.extract_patches(obj_rot, pos, geo.probe_size)
+    return predict_from_patches(params, batch, subobj, cfg,
+                                return_wave=return_wave)
+
+
+def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
+                         return_wave: bool = False):
+    """Forward model from pre-extracted object patches ``[N, py, px, z, 2]``.
+
+    Split out of :func:`predict` so the driver's angle-fused step can
+    differentiate at PATCH granularity and scatter-add into its gradient
+    accumulator directly (XLA's generic scatter in the extract_patches VJP
+    runs well off the HBM roofline)."""
+    geo = cfg.geometry
+    probe = prepare_probe(params, batch, cfg)
     # [N, py, px, z, 2]
     delta = subobj[..., 0]
     beta = subobj[..., 1]

@@ -120,12 +120,32 @@ class Reconstructor:
             'obj': jnp.asarray(obj_init, jnp.float32),
             'probe': jnp.asarray(probe_init, jnp.float32),
         }
-        params.update(param_lib.build_aux_params(
-            cfg, self.n_theta, self.n_pos,
+        aux_kw = dict(
             slice_pos_cm_ls=geo.slice_pos_cm_ls,
             free_prop_cm=(geo.free_prop_cm
-                          if not isinstance(geo.free_prop_cm, str) else None),
-            **(aux_init or {})))
+                          if not isinstance(geo.free_prop_cm, str) else None))
+        if cfg.refine.optimize_tilt:
+            # The axis-0 tilt component IS the view angle, refined around
+            # its nominal value (``adorym/ptychography.py:681-682``).
+            aux_kw['tilt_init'] = np.stack([
+                self.theta_ls,
+                np.zeros_like(self.theta_ls),
+                np.zeros_like(self.theta_ls)])
+        for k, v in (aux_init or {}).items():
+            # aux_init entries override geometry-derived defaults; bare
+            # names map onto the *_init kwargs of build_aux_params.
+            if k == 'slice_pos_cm_ls' or k == 'free_prop_cm':
+                aux_kw[k] = v
+            elif k == 'probe_pos_correction':
+                aux_kw['probe_pos_correction_init'] = v
+            elif k == 'tilt_ls':
+                aux_kw['tilt_init'] = v
+            elif k == 'prj_affine_ls':
+                aux_kw['prj_affine_init'] = v
+            else:
+                aux_kw[k] = v
+        params.update(param_lib.build_aux_params(
+            cfg, self.n_theta, self.n_pos, **aux_kw))
         self.params = params
 
         # -- sharding ------------------------------------------------------

@@ -137,6 +137,10 @@ class ParallelConfig:
     data_axis: int = 1      # number of devices sharding the scan-position batch
     object_axis: int = 1    # number of devices sharding the object's y extent
     axis_names: Tuple[str, str] = ('dp', 'op')
+    # Explicit halo-exchange patch gather (parallel/halo.py) instead of
+    # GSPMD auto-partitioning; requires the padded object's y extent to
+    # divide object_axis and the probe to fit one shard slab.
+    use_halo_gather: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -98,7 +98,8 @@ def shifted_probes(probe, params: Dict, batch: Dict, cfg: ReconConfig):
 
 
 def predict(params: Dict, batch: Dict, cfg: ReconConfig,
-            pad_arr: Optional[np.ndarray] = None, return_wave: bool = False):
+            pad_arr: Optional[np.ndarray] = None, return_wave: bool = False,
+            gather_fn=None):
     """Predicted detected magnitudes ``[N, py, px]`` for one minibatch.
 
     ``params``: pytree of optimizables (SURVEY §2.4).  ``batch``: traced
@@ -107,6 +108,9 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
     ``pad_arr``: static padding from :func:`..ops.patches.calculate_pad`.
     ``return_wave``: return complex exit waves ``[n_modes, N, y, x]`` before
     detection instead (simulation mode, ``adorym/forward_model.py:487-490``).
+    ``gather_fn(obj, pos, probe_size)``: optional patch gather override —
+    the driver passes the explicit halo-exchange gather when the object is
+    sharded over the mesh's 'op' axis.
     """
     geo = cfg.geometry
     obj_rot = rotated_object(params, batch, cfg)
@@ -117,7 +121,8 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
 
     pos = jnp.round(batch['pos_batch']).astype(jnp.int32)
     pos = pos + jnp.asarray([pad_arr[0, 0], pad_arr[1, 0]], dtype=jnp.int32)
-    subobj = patch_ops.extract_patches(obj_rot, pos, geo.probe_size)
+    gather = gather_fn or patch_ops.extract_patches
+    subobj = gather(obj_rot, pos, geo.probe_size)
     return predict_from_patches(params, batch, subobj, cfg,
                                 return_wave=return_wave)
 

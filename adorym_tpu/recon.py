@@ -182,6 +182,23 @@ class Reconstructor:
             self.pad_arr = patch_ops.calculate_pad(
                 geo.obj_size[:2], self.probe_pos.reshape(-1, 2),
                 geo.probe_size)
+        # Explicit halo-exchange gather for the object-sharded axis
+        # (opt-in; see parallel/halo.py).
+        self._gather_fn = None
+        if (mesh is not None and cfg.parallel.object_axis > 1
+                and cfg.parallel.use_halo_gather
+                and self.model is ptycho_model):
+            y_pad = geo.obj_size[0] + int(self.pad_arr[0][0] + self.pad_arr[0][1])
+            n_op = cfg.parallel.object_axis
+            if y_pad % n_op == 0 and geo.probe_size[0] <= y_pad // n_op:
+                from .parallel.halo import sharded_patch_gather
+                self._gather_fn = (lambda o, p, ps:
+                                   sharded_patch_gather(o, p, ps, mesh))
+            else:
+                import warnings
+                warnings.warn('use_halo_gather requested but geometry does '
+                              'not satisfy its constraints; falling back to '
+                              'GSPMD partitioning')
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
@@ -243,7 +260,11 @@ class Reconstructor:
     # ------------------------------------------------------------------
     def loss_fn(self, params, batch, measured, weight_l1):
         cfg = self.cfg
-        pred = self.predict_fn(params, batch, cfg, self.pad_arr)
+        if self._gather_fn is not None:
+            pred = self.predict_fn(params, batch, cfg, self.pad_arr,
+                                   gather_fn=self._gather_fn)
+        else:
+            pred = self.predict_fn(params, batch, cfg, self.pad_arr)
         if self.transform_measured is not None:
             measured = self.transform_measured(params, batch, measured, cfg)
         loss = model_base.mismatch_loss(

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .constants import PI, wavelength_nm
-from .ops.fourier import fft2, ifft2, fft2_and_shift, ishift_and_ifft2
+from .ops.fourier import (fft2, ifft2, fft2_and_shift, fourier_shift,
+                          ishift_and_ifft2)
 from .ops.propagate import gen_freq_mesh
 from .ops.warp import affine_transform_2d
 
@@ -25,7 +26,7 @@ from .ops.warp import affine_transform_2d
 def epie_reconstruct(data, probe, probe_pos, obj_init,
                      energy_ev=None, psize_cm=None, alpha=1.0,
                      n_epochs=100, raw_data_type='magnitude',
-                     update_probe=True):
+                     update_probe=True, probe_pos_correction=None):
     """Classic extended ptychographic iterative engine.
 
     Args:
@@ -35,6 +36,8 @@ def epie_reconstruct(data, probe, probe_pos, obj_init,
       probe_pos: int ``[n_pos, 2]`` scan positions (non-negative; pre-pad
         the object, cf. ``adorym/conventional.py:28``).
       obj_init: complex ``[Y, X]`` initial transmission.
+      probe_pos_correction: optional float ``[n_pos, 2]`` sub-pixel probe
+        shifts applied per position (``adorym/conventional.py:42-49``).
 
     Returns (object, probe) after ``n_epochs`` sweeps.
 
@@ -51,19 +54,22 @@ def epie_reconstruct(data, probe, probe_pos, obj_init,
     probe = jnp.asarray(probe, jnp.complex64)
     obj = jnp.asarray(obj_init, jnp.complex64)
     pos = jnp.asarray(probe_pos, jnp.int32)
+    corr = (None if probe_pos_correction is None
+            else jnp.asarray(probe_pos_correction, jnp.float32))
     py, px = probe.shape
 
     def one_position(carry, j):
         obj, probe = carry
         p = pos[j]
         subobj = jax.lax.dynamic_slice(obj, (p[0], p[1]), (py, px))
-        ex = probe * subobj
+        probe_j = probe if corr is None else fourier_shift(probe, corr[j])
+        ex = probe_j * subobj
         dp = fft2_and_shift(ex)
         mag = jnp.maximum(jnp.abs(dp), 1e-12)
         dp = dp * (data[j] / mag)
         phi = ishift_and_ifft2(dp)
         d = phi - ex
-        o_new = subobj + alpha * jnp.conj(probe) * d / jnp.max(jnp.abs(probe) ** 2)
+        o_new = subobj + alpha * jnp.conj(probe_j) * d / jnp.max(jnp.abs(probe_j) ** 2)
         obj = jax.lax.dynamic_update_slice(obj, o_new, (p[0], p[1]))
         if update_probe:
             probe = probe + alpha * jnp.conj(subobj) * d / jnp.max(jnp.abs(subobj) ** 2)

@@ -93,3 +93,35 @@ def test_multidistance_ctf_phase_retrieval():
     sl = slice(6, 58)
     corr = np.corrcoef(phase[sl, sl].ravel(), ph[sl, sl, 0].ravel())[0, 1]
     assert abs(corr) > 0.85, corr
+
+
+def test_epie_with_position_corrections():
+    """ePIE with sub-pixel probe_pos_correction shifts
+    (adorym/conventional.py:42-49)."""
+    rng = np.random.default_rng(4)
+    n, pn = 32, 16
+    from scipy.ndimage import gaussian_filter
+    ph = gaussian_filter(rng.normal(size=(n, n)), 3)
+    obj_true = np.exp(1j * ph / np.abs(ph).max() * 0.5).astype(np.complex64)
+    probe = np.ones((pn, pn), np.complex64)
+    pos = np.array([[y, x] for y in range(0, 17, 4) for x in range(0, 17, 4)])
+    corr = rng.uniform(-0.4, 0.4, (len(pos), 2)).astype(np.float32)
+    # Simulate with the sub-pixel-shifted probes.
+    import jax.numpy as jnp
+    from adorym_tpu.ops.fourier import fourier_shift
+    data = []
+    for j, (y, x) in enumerate(pos):
+        pj = np.asarray(fourier_shift(jnp.asarray(probe), jnp.asarray(corr[j])))
+        data.append(np.abs(np.fft.fftshift(np.fft.fft2(
+            pj * obj_true[y:y + pn, x:x + pn]))))
+    data = np.stack(data)
+    from adorym_tpu.conventional import epie_reconstruct
+    obj_rec, _ = epie_reconstruct(data, probe, pos,
+                                  np.ones((n, n), np.complex64),
+                                  n_epochs=40, update_probe=False,
+                                  probe_pos_correction=corr)
+    sl = slice(6, 26)
+    corr_coef = np.corrcoef(np.angle(np.asarray(obj_rec))[sl, sl].ravel(),
+                            ph[sl, sl].ravel() / np.abs(ph).max() * 0.5)[0, 1]
+    # Sub-pixel shift approximation in the update rule bounds fidelity.
+    assert corr_coef > 0.75, corr_coef

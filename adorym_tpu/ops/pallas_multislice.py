@@ -74,9 +74,10 @@ def _fwd_kernel(t_r_ref, t_i_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
                 fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
                 out_r_ref, out_i_ref, inter_r_ref, inter_i_ref,
                 w_r, w_i):
-    """Grid over z-steps; wave lives in VMEM scratch across steps."""
-    step = pl.program_id(0)
-    n_steps = pl.num_programs(0)
+    """Grid (n_batch_blocks, n_steps); the wave block lives in VMEM
+    scratch across the z-steps of its batch block."""
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
 
     @pl.when(step == 0)
     def _():
@@ -120,8 +121,8 @@ def _bwd_kernel(t_r_ref, t_i_ref, inter_r_ref, inter_i_ref,
     kernel H, transform order swapped — and the modulation transposes to a
     plain complex multiply (no conjugates).
     """
-    s = pl.program_id(0)
-    n_steps = pl.num_programs(0)
+    s = pl.program_id(1)
+    n_steps = pl.num_programs(1)
 
     @pl.when(s == 0)
     def _():
@@ -172,65 +173,120 @@ def _dft_mats(ny, nx):
                  for m in pair)
 
 
+def _pick_nb(M, N, ny, nx):
+    """Batch-block size keeping the kernel's VMEM footprint — roughly 10
+    double-buffered wave-block-sized buffers plus the matmul stack
+    temporaries — comfortably inside the 16MB scoped budget.  Callers pad
+    N up to a multiple of the block."""
+    nb = N
+    while nb > 1 and 10 * M * nb * ny * nx * 4 > 4 * 2 ** 20:
+        nb = (nb + 1) // 2
+    return nb
+
+
+def _pad_batch(arrs, N, NB, fills):
+    """Pad each [.., N, ny, nx] array's batch dim up to a multiple of NB."""
+    pad = (-N) % NB
+    if pad == 0:
+        return arrs, N
+    out = []
+    for a, fill in zip(arrs, fills):
+        widths = [(0, 0)] * a.ndim
+        widths[-3] = (0, pad)
+        out.append(jnp.pad(a, widths, constant_values=fill))
+    return out, N + pad
+
+
 def _call_fwd(t_r, t_i, w_r, w_i, h_r, h_i, interpret=False):
     """t: [S, N, ny, nx]; wave: [M, N, ny, nx] (M = probe modes)."""
-    n_steps, N, ny, nx = t_r.shape
+    n_steps, N0, ny, nx = t_r.shape
     M = w_r.shape[0]
+    NB = _pick_nb(M, N0, ny, nx)
+    # Pad the batch so NB divides it (t pads with 1s = identity modulation,
+    # waves with 0s); callers crop.
+    (t_r, t_i, w_r, w_i), N = _pad_batch((t_r, t_i, w_r, w_i), N0, NB,
+                                         (1.0, 0.0, 0.0, 0.0))
+    n_blocks = N // NB
     mats = _dft_mats(ny, nx)
     vmem = pltpu.VMEM
-    t_spec = pl.BlockSpec((1, N, ny, nx), lambda s: (s, 0, 0, 0),
+    t_spec = pl.BlockSpec((1, NB, ny, nx), lambda b, s: (s, b, 0, 0),
                           memory_space=vmem)
-    inter_spec = pl.BlockSpec((1, M, N, ny, nx), lambda s: (s, 0, 0, 0, 0),
+    w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda b, s: (0, b, 0, 0),
+                           memory_space=vmem)
+    h_spec = pl.BlockSpec((ny, nx), lambda b, s: (0, 0), memory_space=vmem)
+
+    def m_spec(n):
+        return pl.BlockSpec((n, n), lambda b, s: (0, 0), memory_space=vmem)
+
+    inter_spec = pl.BlockSpec((1, M, NB, ny, nx),
+                              lambda b, s: (s, 0, b, 0, 0),
                               memory_space=vmem)
-    full = pl.BlockSpec(memory_space=vmem)
     out_shapes = (
         jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
     )
-    out_specs = (full, full, inter_spec, inter_spec)
+    out_specs = (w0_spec, w0_spec, inter_spec, inter_spec)
+    mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(n_steps,),
-        in_specs=[t_spec, t_spec] + [full] * 12,
+        grid=(n_blocks, n_steps),
+        in_specs=[t_spec, t_spec, w0_spec, w0_spec, h_spec, h_spec]
+                 + mat_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((M, N, ny, nx), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
         interpret=interpret,
     )(t_r, t_i, w_r, w_i, h_r, h_i, *mats)
 
 
 def _call_bwd(t_r, t_i, inter_r, inter_i, g_r, g_i, h_r, h_i,
               interpret=False):
-    n_steps, N, ny, nx = t_r.shape
+    n_steps, N0, ny, nx = t_r.shape
     M = g_r.shape[0]
+    NB = _pick_nb(M, N0, ny, nx)
+    (t_r, t_i, g_r, g_i), N = _pad_batch((t_r, t_i, g_r, g_i), N0, NB,
+                                         (1.0, 0.0, 0.0, 0.0))
+    # inter comes back from the forward already padded when N0 % NB != 0.
+    if inter_r.shape[-3] != N:
+        (inter_r, inter_i), _ = _pad_batch((inter_r, inter_i),
+                                           inter_r.shape[-3], NB, (0.0, 0.0))
+    n_blocks = N // NB
     mats = _dft_mats(ny, nx)
     vmem = pltpu.VMEM
-    # Reverse order: grid step s maps to z-step n_steps-1-s.
-    t_rev = pl.BlockSpec((1, N, ny, nx),
-                         lambda s: (n_steps - 1 - s, 0, 0, 0),
+    # Reverse z order: grid step s maps to z-step n_steps-1-s.
+    t_rev = pl.BlockSpec((1, NB, ny, nx),
+                         lambda b, s: (n_steps - 1 - s, b, 0, 0),
                          memory_space=vmem)
-    inter_rev = pl.BlockSpec((1, M, N, ny, nx),
-                             lambda s: (n_steps - 1 - s, 0, 0, 0, 0),
+    inter_rev = pl.BlockSpec((1, M, NB, ny, nx),
+                             lambda b, s: (n_steps - 1 - s, 0, b, 0, 0),
                              memory_space=vmem)
-    full = pl.BlockSpec(memory_space=vmem)
+    g_spec = pl.BlockSpec((M, NB, ny, nx), lambda b, s: (0, b, 0, 0),
+                          memory_space=vmem)
+    h_spec = pl.BlockSpec((ny, nx), lambda b, s: (0, 0), memory_space=vmem)
+
+    def m_spec(n):
+        return pl.BlockSpec((n, n), lambda b, s: (0, 0), memory_space=vmem)
+
     out_shapes = (
         jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
         jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
         jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
     )
-    out_specs = (t_rev, t_rev, full, full)
+    out_specs = (t_rev, t_rev, g_spec, g_spec)
     # Plain transpose: H itself, not conj(H).
     hc_r, hc_i = h_r, h_i
+    mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
     return pl.pallas_call(
         _bwd_kernel,
-        grid=(n_steps,),
-        in_specs=[t_rev, t_rev, inter_rev, inter_rev] + [full] * 12,
+        grid=(n_blocks, n_steps),
+        in_specs=[t_rev, t_rev, inter_rev, inter_rev, g_spec, g_spec,
+                  h_spec, h_spec] + mat_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((M, N, ny, nx), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
         interpret=interpret,
     )(t_r, t_i, inter_r, inter_i, g_r, g_i, hc_r, hc_i, *mats)
 
@@ -255,21 +311,23 @@ def multislice_fused(t, wave, kernel, interpret=False):
 
 
 def _multislice_fused_fwd(t, wave, kernel, interpret):
+    N = t.shape[1]
     o_r, o_i, inter_r, inter_i = _call_fwd(
         jnp.real(t), jnp.imag(t), jnp.real(wave), jnp.imag(wave),
         jnp.real(kernel), jnp.imag(kernel), interpret=interpret)
-    out = (o_r + 1j * o_i).astype(jnp.complex64)
+    out = (o_r[..., :N, :, :] + 1j * o_i[..., :N, :, :]).astype(jnp.complex64)
     return out, (t, inter_r, inter_i, kernel)
 
 
 def _multislice_fused_bwd(interpret, res, g):
     t, inter_r, inter_i, kernel = res
+    N = t.shape[1]
     gt_r, gt_i, gw_r, gw_i = _call_bwd(
         jnp.real(t), jnp.imag(t), inter_r, inter_i,
         jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
         interpret=interpret)
-    gt = (gt_r + 1j * gt_i).astype(jnp.complex64)
-    gw = (gw_r + 1j * gw_i).astype(jnp.complex64)
+    gt = (gt_r[:, :N] + 1j * gt_i[:, :N]).astype(jnp.complex64)
+    gw = (gw_r[:, :N] + 1j * gw_i[:, :N]).astype(jnp.complex64)
     return gt, gw, None
 
 

@@ -34,7 +34,7 @@ _IGNORED = {
     'distribution_mode', 'dist_mode_n_batch_per_update', 'interpolation',
     'dynamic_dropping', 'dropping_threshold', 'probe_circ_mask',
     'fourier_disparity', 'debug', 'save_stdout', 'save_history',
-    'update_using_external_algorithm', 'optimizer_batch_number_increment',
+    'optimizer_batch_number_increment',
     'n_dp_batch', 'run_float64', 'save_intermediate_level',
     'n_epoch_final_pass', 'randomize_probe_pos', 'dynamic_rate',
     'other_params_update_delay', 'initial_tilt', 'fix_object',
@@ -84,6 +84,7 @@ def reconstruct_ptychography(
         optimize_tilt=False, tilt_learning_rate=1e-3,
         optimize_ctf_lg_kappa=False, ctf_lg_kappa_learning_rate=1e-3,
         common_probe_pos=True, shared_probe_among_angles=True,
+        update_using_external_algorithm=None,
         use_epie=False, epie_alpha=0.8, pupil_function=None,
         t_max_min=None, run_bfloat16=False,
         parallel_data_axis=1, parallel_object_axis=1,
@@ -342,6 +343,7 @@ def reconstruct_ptychography(
                             probe_init=probe_l, beamstop=beamstop,
                             finite_support_mask=(mask if ds_level == 1 else None),
                             model=model, mesh=mesh, reg_list=reg_list,
+                            external_algorithm=update_using_external_algorithm,
                             output_folder=(out_folder if ds_level == 1 else None))
         results = rec.run()
         obj = results['obj']

@@ -70,7 +70,8 @@ class Reconstructor:
                  finite_support_mask: Optional[np.ndarray] = None,
                  aux_init: Optional[Dict[str, Any]] = None,
                  predict_fn=None, model=None, mesh=None,
-                 output_folder: Optional[str] = None, reg_list=None):
+                 output_folder: Optional[str] = None, reg_list=None,
+                 external_algorithm: Optional[str] = None):
         self.cfg = cfg
         geo = cfg.geometry
         # ``data`` may be an in-memory array or a native FastLoader
@@ -209,6 +210,12 @@ class Reconstructor:
         self.weight_l1 = (jnp.ones_like(params['obj'])
                           if self._needs_weight_l1 else None)
 
+        # Optional non-AD object update applied after each optimizer step
+        # (``update_using_external_algorithm``,
+        # ``adorym/array_ops.py:274-286``): 'ctf' replaces the delta channel
+        # with the multi-distance CTF retrieval of the measured data.
+        self.external_algorithm = external_algorithm
+
         self.i_opt_batch = 0      # optimizer step counter (i_full_angle)
         self.global_batch = 0     # epoch*n_batch + i_batch, for update gates
         self.loss_history: List[float] = []
@@ -246,6 +253,29 @@ class Reconstructor:
                                               append=self._start_epoch > 0)
 
         self._step = self._build_step()
+
+    def _apply_external_algorithm(self):
+        if self.external_algorithm is None:
+            return
+        if self.external_algorithm != 'ctf':
+            raise ValueError(self.external_algorithm)
+        from .conventional import multidistance_ctf
+        geo = self.cfg.geometry
+        n_dists = geo.n_dists
+        n_blocks = self.n_pos // n_dists
+        # Full-field layout: one hologram per distance
+        # (``adorym/array_ops.py:276``: prj[0]).
+        prj = self.data[0][::n_blocks] if n_blocks > 1 else self.data[0]
+        kappa = (10.0 ** float(np.asarray(self.params['ctf_lg_kappa'])[0])
+                 if 'ctf_lg_kappa' in self.params else self.cfg.train.ctf_kappa)
+        affine = (np.asarray(self.params['prj_affine_ls'])
+                  if 'prj_affine_ls' in self.params else None)
+        phase = multidistance_ctf(prj, np.asarray(geo.free_prop_cm),
+                                  geo.energy_ev, geo.psize_cm, kappa=kappa,
+                                  prj_affine_ls=affine)
+        obj = self.params['obj']
+        self.params = {**self.params,
+                       'obj': obj.at[..., 0].set(phase[..., None])}
 
     def save_checkpoint(self, i_epoch: int, i_batch: int):
         from .io import checkpoint as ckpt_lib
@@ -516,6 +546,7 @@ class Reconstructor:
                     self.finite_support_mask)
             self.i_opt_batch += 1
             self.global_batch += len(inds_list)
+            self._apply_external_algorithm()
             losses_dev.append(losses)
 
         losses = list(np.concatenate([np.asarray(v) for v in losses_dev]))
@@ -622,6 +653,7 @@ class Reconstructor:
                     jnp.asarray(self.global_batch, jnp.int32),
                     self.finite_support_mask)
                 self.i_opt_batch += 1
+                self._apply_external_algorithm()
             else:
                 if rol and (obj_rot is None or cur_angle != i_theta):
                     obj_rot = self._rotate_fwd(self.params['obj'],

@@ -171,3 +171,34 @@ def test_ctf_forward_branch(holo_sim):
     for ep in range(1, 3):
         l2 = rec.run_epoch(ep)
     assert np.isfinite(l2)
+
+
+def test_external_ctf_algorithm_hook():
+    """update_using_external_algorithm='ctf': after each optimizer step the
+    object's delta channel is replaced with the multi-distance CTF retrieval
+    (adorym/array_ops.py:274-286)."""
+    from scipy.ndimage import gaussian_filter
+    from adorym_tpu.recon import Reconstructor
+    rng = np.random.default_rng(7)
+    kappa = 200.0
+    ph = gaussian_filter(rng.normal(size=(N, N, 1)), (5, 5, 0))
+    ph = ph / np.abs(ph).max() * 0.05
+    mag = np.exp(ph[..., 0] / kappa)
+    obj_true = np.stack([mag[..., None] * np.cos(ph),
+                         mag[..., None] * np.sin(ph)], -1).astype(np.float32)
+    cfg_sim = base_cfg()
+    data = simulate(cfg_sim, obj_true, initialize_probe((N, N), 'plane'),
+                    np.array([[0.0, 0.0]]), model=multidist) ** 2
+    cfg = ReconConfig(
+        geometry=cfg_sim.geometry,
+        train=TrainConfig(minibatch_size=1, learning_rate=0.0,
+                          optimizer='gd', unknown_type='delta_beta',
+                          ctf_kappa=kappa))
+    rec = Reconstructor(cfg, data=data, probe_pos=np.array([[0.0, 0.0]]),
+                        probe_init=initialize_probe((N, N), 'plane'),
+                        obj_init=np.zeros((N, N, 1, 2), np.float32),
+                        model=multidist, external_algorithm='ctf')
+    rec.run_epoch(0)
+    corr = np.corrcoef(rec.obj[6:58, 6:58, 0, 0].ravel(),
+                       ph[6:58, 6:58, 0].ravel())[0, 1]
+    assert abs(corr) > 0.95, corr

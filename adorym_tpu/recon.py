@@ -548,6 +548,19 @@ class Reconstructor:
             self.global_batch += len(inds_list)
             self._apply_external_algorithm()
             losses_dev.append(losses)
+            if (self.output_folder is not None
+                    and self.cfg.io.store_checkpoint
+                    and self.i_opt_batch % max(
+                        1, self.cfg.io.n_batch_per_checkpoint // max(
+                            1, len(inds_list))) == 0):
+                self.save_checkpoint(i_epoch, self.i_opt_batch)
+            t_max = self.cfg.io.t_max_min
+            if (t_max is not None
+                    and (time.time() - self._t_start) / 60 > t_max):
+                if self.output_folder is not None:
+                    self.save_checkpoint(i_epoch, self.i_opt_batch)
+                self.stop_requested = True
+                break
 
         losses = list(np.concatenate([np.asarray(v) for v in losses_dev]))
         if callback is not None or self._logger is not None:

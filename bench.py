@@ -78,7 +78,7 @@ def measure_ours() -> float:
     rec.run_epoch(0)
     n_batches = len(rec.make_batches(np.random.default_rng(0)))
     best = 0.0
-    for r in range(3):
+    for r in range(5):
         t0 = time.time()
         rec.run_epoch(1 + r)
         best = max(best, n_batches * MINIBATCH / (time.time() - t0))

@@ -111,3 +111,32 @@ def test_bfloat16_multislice_runs():
     # loss floor; require descent and the same order of magnitude.
     assert l16 < rec16.loss_history[0] * 0.5
     assert l16 < l32 * 3
+
+
+def test_probe_update_window():
+    """probe_update_delay / probe_update_limit gate probe updates to a
+    global-batch window (adorym/optimizers.py:1023)."""
+    cfg0, obj_true, probe, pos, theta_ls = _base(seed=7)
+    data = simulate(cfg0, obj_true, probe, pos, theta_ls)
+
+    def run(delay, limit, n_ep=2):
+        cfg = ReconConfig(
+            geometry=cfg0.geometry, train=cfg0.train,
+            refine=RefineConfig(optimize_probe=True,
+                                probe_learning_rate=1e-3,
+                                probe_update_delay=delay,
+                                probe_update_limit=limit))
+        rec = Reconstructor(cfg, data=data, probe_pos=pos,
+                            probe_init=probe, theta_ls=theta_ls,
+                            obj_init=np.zeros_like(obj_true))
+        for ep in range(n_ep):
+            rec.run_epoch(ep)
+        return np.asarray(rec.params['probe'])
+
+    frozen = run(delay=10_000, limit=None)
+    np.testing.assert_array_equal(frozen, probe)      # never updated
+    live = run(delay=0, limit=None)
+    assert not np.allclose(live, probe)               # updated
+    # limit=0 also freezes (window is empty)
+    capped = run(delay=0, limit=0)
+    np.testing.assert_array_equal(capped, probe)

@@ -32,14 +32,30 @@ _IGNORED = {
     'backend', 'cpu_only', 'gpu_index', 'xpu', 'core_parallelization',
     'precalculate_rotation_coords', 'cache_dtype', 'n_split_mpi_ata',
     'distribution_mode', 'dist_mode_n_batch_per_update', 'interpolation',
-    'dynamic_dropping', 'dropping_threshold', 'probe_circ_mask',
-    'fourier_disparity', 'debug', 'save_stdout', 'save_history',
+    'dynamic_dropping', 'dropping_threshold',
+    'fourier_disparity', 'debug', 'save_stdout',
     'optimizer_batch_number_increment',
-    'n_dp_batch', 'run_float64', 'save_intermediate_level',
-    'n_epoch_final_pass', 'randomize_probe_pos', 'dynamic_rate',
-    'other_params_update_delay', 'initial_tilt', 'fix_object',
+    'n_dp_batch', 'run_float64',
+    'dynamic_rate', 'initial_tilt', 'fix_object',
+    # Dead in the reference itself (accepted but never read anywhere in
+    # adorym/ptychography.py's body): probe_circ_mask (signature-only,
+    # :161), n_epoch_final_pass (:68).
+    'probe_circ_mask', 'n_epoch_final_pass',
 }
-_IGNORED_PREFIXES = ('optimizer_',)  # per-param optimizer *objects*
+
+#: Map a reference per-parameter optimizer kwarg value (an Optimizer object
+#: or a kind string) onto an OptSpec kind.
+def _optimizer_kind(value, kwarg_name):
+    if value is None:
+        return 'adam'
+    if isinstance(value, str):
+        return value.lower()
+    name = type(value).__name__.lower().replace('optimizer', '')
+    if name in ('adam', 'gd', 'momentum'):
+        return name
+    warnings.warn(f'{kwarg_name}: cannot map {type(value).__name__} onto a '
+                  f'first-order kind; using adam')
+    return 'adam'
 
 #: kwargs consumed by probe initialization (``adorym/util.py:198-283``)
 _PROBE_KWARGS = {'probe_mag_sigma', 'probe_phase_sigma', 'probe_phase_max',
@@ -72,17 +88,28 @@ def reconstruct_ptychography(
         store_checkpoint=True, use_checkpoint=True,
         force_to_use_checkpoint=False, n_batch_per_checkpoint=10,
         rotate_out_of_loop=False,
-        optimize_probe=False, probe_learning_rate=1e-5,
+        optimize_probe=False, probe_learning_rate=1e-5, optimizer_probe=None,
         probe_update_delay=0, probe_update_limit=None,
         optimize_probe_defocusing=False, probe_defocusing_learning_rate=1e-5,
+        optimizer_probe_defocusing=None,
         optimize_probe_pos_offset=False, probe_pos_offset_learning_rate=1e-2,
+        optimizer_probe_pos_offset=None,
         optimize_prj_pos_offset=False, prj_pos_offset_learning_rate=1e-2,
+        optimizer_prj_pos_offset=None,
         optimize_all_probe_pos=False, all_probe_pos_learning_rate=1e-2,
+        optimizer_all_probe_pos=None,
         optimize_slice_pos=False, slice_pos_learning_rate=1e-4,
+        optimizer_slice_pos=None,
         optimize_free_prop=False, free_prop_learning_rate=1e-2,
+        optimizer_free_prop=None,
         optimize_prj_affine=False, prj_affine_learning_rate=1e-3,
-        optimize_tilt=False, tilt_learning_rate=1e-3,
+        optimizer_prj_affine=None,
+        optimize_tilt=False, tilt_learning_rate=1e-3, optimizer_tilt=None,
         optimize_ctf_lg_kappa=False, ctf_lg_kappa_learning_rate=1e-3,
+        optimizer_ctf_lg_kappa=None,
+        other_params_update_delay=0,
+        randomize_probe_pos=False,
+        save_intermediate_level='batch', save_history=False,
         common_probe_pos=True, shared_probe_among_angles=True,
         update_using_external_algorithm=None,
         use_epie=False, epie_alpha=0.8, pupil_function=None,
@@ -92,8 +119,7 @@ def reconstruct_ptychography(
     """Run a reconstruction from an Adorym-layout HDF5 file.  Returns the
     results dict (object, probe, refined params, loss history)."""
     for k in kwargs:
-        if (k in _IGNORED or k in _PROBE_KWARGS
-                or k.startswith(_IGNORED_PREFIXES)):
+        if k in _IGNORED or k in _PROBE_KWARGS:
             continue
         warnings.warn(f'reconstruct_ptychography: ignoring unsupported '
                       f'kwarg {k!r}')
@@ -108,22 +134,25 @@ def reconstruct_ptychography(
     theta_ls = ds.theta_ls(theta_st, theta_end)
     if obj_size[-1] == 1:
         two_d_mode = True
+    # Track which ORIGINAL angle indices survive selection, so per-angle
+    # metadata (probe_pos_px_i) is read for the right angles even after
+    # downsampling/truncation.
+    theta_idx = np.arange(len(theta_ls))
     if two_d_mode:
-        theta_ls = theta_ls[:1]
-        data = data[:1]
+        theta_idx = theta_idx[:1]
     if theta_downsample:
-        theta_ls = theta_ls[::theta_downsample]
-        data = data[::theta_downsample]
+        theta_idx = theta_idx[::theta_downsample]
     if n_theta is not None and not two_d_mode:
-        theta_ls = theta_ls[:n_theta]
-        data = data[:n_theta]
+        theta_idx = theta_idx[:n_theta]
+    theta_ls = theta_ls[theta_idx]
+    data = data[theta_idx]
 
     if not common_probe_pos:
         # Per-angle scan grids (``adorym/ptychography.py:265-273``): read
-        # metadata/probe_pos_px_i, pad ragged counts to the max by
-        # repeating the last position (duplicates only re-weight those
-        # spots' gradients slightly).
-        per_angle = [ds.probe_pos_per_angle(i) for i in range(len(theta_ls))]
+        # metadata/probe_pos_px_i for the selected original angles, pad
+        # ragged counts to the max by repeating the last position
+        # (duplicates only re-weight those spots' gradients slightly).
+        per_angle = [ds.probe_pos_per_angle(int(i)) for i in theta_idx]
         n_max = max(len(p) for p in per_angle)
         probe_pos = np.stack([
             np.concatenate([p, np.repeat(p[-1:], n_max - len(p), axis=0)])
@@ -195,25 +224,44 @@ def reconstruct_ptychography(
         reweighted_l1=reweighted_l1)
     refine = RefineConfig(
         optimize_probe=optimize_probe, probe_learning_rate=probe_learning_rate,
+        probe_optimizer=_optimizer_kind(optimizer_probe, 'optimizer_probe'),
         probe_update_delay=probe_update_delay,
         probe_update_limit=probe_update_limit,
         optimize_probe_defocusing=optimize_probe_defocusing,
         probe_defocusing_learning_rate=probe_defocusing_learning_rate,
+        probe_defocusing_optimizer=_optimizer_kind(
+            optimizer_probe_defocusing, 'optimizer_probe_defocusing'),
         optimize_probe_pos_offset=optimize_probe_pos_offset,
         probe_pos_offset_learning_rate=probe_pos_offset_learning_rate,
+        probe_pos_offset_optimizer=_optimizer_kind(
+            optimizer_probe_pos_offset, 'optimizer_probe_pos_offset'),
         optimize_prj_pos_offset=optimize_prj_pos_offset,
         prj_pos_offset_learning_rate=prj_pos_offset_learning_rate,
+        prj_pos_offset_optimizer=_optimizer_kind(
+            optimizer_prj_pos_offset, 'optimizer_prj_pos_offset'),
         optimize_all_probe_pos=optimize_all_probe_pos,
         all_probe_pos_learning_rate=all_probe_pos_learning_rate,
+        all_probe_pos_optimizer=_optimizer_kind(
+            optimizer_all_probe_pos, 'optimizer_all_probe_pos'),
         optimize_slice_pos=optimize_slice_pos,
         slice_pos_learning_rate=slice_pos_learning_rate,
+        slice_pos_optimizer=_optimizer_kind(optimizer_slice_pos,
+                                            'optimizer_slice_pos'),
         optimize_free_prop=optimize_free_prop,
         free_prop_learning_rate=free_prop_learning_rate,
+        free_prop_optimizer=_optimizer_kind(optimizer_free_prop,
+                                            'optimizer_free_prop'),
         optimize_tilt=optimize_tilt, tilt_learning_rate=tilt_learning_rate,
+        tilt_optimizer=_optimizer_kind(optimizer_tilt, 'optimizer_tilt'),
         optimize_prj_affine=optimize_prj_affine,
         prj_affine_learning_rate=prj_affine_learning_rate,
+        prj_affine_optimizer=_optimizer_kind(optimizer_prj_affine,
+                                             'optimizer_prj_affine'),
         optimize_ctf_lg_kappa=optimize_ctf_lg_kappa,
-        ctf_lg_kappa_learning_rate=ctf_lg_kappa_learning_rate)
+        ctf_lg_kappa_learning_rate=ctf_lg_kappa_learning_rate,
+        ctf_lg_kappa_optimizer=_optimizer_kind(optimizer_ctf_lg_kappa,
+                                               'optimizer_ctf_lg_kappa'),
+        other_params_update_delay=other_params_update_delay)
     train = TrainConfig(
         n_epochs=n_epochs, crit_conv_rate=crit_conv_rate,
         max_nepochs=max_nepochs,
@@ -223,6 +271,7 @@ def reconstruct_ptychography(
         unknown_type=unknown_type, object_type=object_type,
         non_negativity=non_negativity, shrink_cycle=shrink_cycle,
         shrink_threshold=shrink_threshold,
+        randomize_probe_pos=randomize_probe_pos,
         multiscale_level=multiscale_level,
         theta_downsample=theta_downsample,
         n_batch_per_update=n_batch_per_update,
@@ -235,6 +284,8 @@ def reconstruct_ptychography(
         output_folder=output_folder or 'recon',
         finite_support_mask_path=finite_support_mask_path,
         save_intermediate=save_intermediate,
+        save_intermediate_level=save_intermediate_level,
+        save_history=save_history,
         store_checkpoint=store_checkpoint, use_checkpoint=use_checkpoint,
         force_to_use_checkpoint=force_to_use_checkpoint,
         n_batch_per_checkpoint=n_batch_per_checkpoint, t_max_min=t_max_min)
@@ -305,6 +356,11 @@ def reconstruct_ptychography(
         from .parallel.mesh import make_mesh
         mesh = make_mesh(parallel)
 
+    # The refinable starts at the user's ctf_lg_kappa, like the reference
+    # (``adorym/ptychography.py:733``), not at build_aux_params' default.
+    aux_init = ({'ctf_lg_kappa': float(ctf_lg_kappa)}
+                if optimize_ctf_lg_kappa else None)
+
     # -- multiscale schedule (``adorym/ptychography.py:354``) --------------
     results = None
     prev_pass = None
@@ -326,7 +382,10 @@ def reconstruct_ptychography(
                                       random_guess_means_sigmas=random_guess_means_sigmas,
                                       non_negativity=non_negativity,
                                       previous_pass=prev_pass, seed=0)
-            probe_l = probe_init[:, ::ds_level, ::ds_level]
+            # Slice the trailing SPATIAL axes: probe_init is
+            # [n_modes, py, px, 2], or [n_theta, n_modes, py, px, 2] when
+            # shared_probe_among_angles=False.
+            probe_l = probe_init[..., ::ds_level, ::ds_level, :]
         else:
             cfg_l = cfg
             data_l = data
@@ -342,6 +401,7 @@ def reconstruct_ptychography(
                             theta_ls=theta_ls, obj_init=obj_l,
                             probe_init=probe_l, beamstop=beamstop,
                             finite_support_mask=(mask if ds_level == 1 else None),
+                            aux_init=aux_init,
                             model=model, mesh=mesh, reg_list=reg_list,
                             external_algorithm=update_using_external_algorithm,
                             output_folder=(out_folder if ds_level == 1 else None))

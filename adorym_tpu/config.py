@@ -70,26 +70,39 @@ class RefineConfig:
     """
     optimize_probe: bool = False
     probe_learning_rate: float = 1e-3
-    probe_update_delay: int = 0             # epochs/batches before updating
+    probe_optimizer: str = 'adam'
+    probe_update_delay: int = 0             # global batches before updating
     probe_update_limit: Optional[int] = None
     optimize_probe_defocusing: bool = False
     probe_defocusing_learning_rate: float = 1e-5
+    probe_defocusing_optimizer: str = 'adam'
     optimize_probe_pos_offset: bool = False
     probe_pos_offset_learning_rate: float = 1e-2
+    probe_pos_offset_optimizer: str = 'adam'
     optimize_prj_pos_offset: bool = False
     prj_pos_offset_learning_rate: float = 1e-2
+    prj_pos_offset_optimizer: str = 'adam'
     optimize_all_probe_pos: bool = False
     all_probe_pos_learning_rate: float = 1e-2
+    all_probe_pos_optimizer: str = 'adam'
     optimize_slice_pos: bool = False
     slice_pos_learning_rate: float = 1e-4
+    slice_pos_optimizer: str = 'adam'
     optimize_free_prop: bool = False
     free_prop_learning_rate: float = 1e-2
+    free_prop_optimizer: str = 'adam'
     optimize_tilt: bool = False
     tilt_learning_rate: float = 1e-3
+    tilt_optimizer: str = 'adam'
     optimize_prj_affine: bool = False
     prj_affine_learning_rate: float = 1e-3
+    prj_affine_optimizer: str = 'adam'
     optimize_ctf_lg_kappa: bool = False
     ctf_lg_kappa_learning_rate: float = 1e-3
+    ctf_lg_kappa_optimizer: str = 'adam'
+    # Gate ALL auxiliary updates (everything but obj/probe) until this many
+    # global batches have run (``adorym/optimizers.py:1037``).
+    other_params_update_delay: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +111,8 @@ class TrainConfig:
     crit_conv_rate: float = 0.03
     max_nepochs: int = 200
     minibatch_size: int = 23
+    # Shuffle scan positions within each angle (``adorym/ptychography.py:808``;
+    # the reference processes spots sequentially unless set).
     randomize_probe_pos: bool = False
     learning_rate: float = 1e-5
     optimizer: str = 'adam'                  # adam | gd | momentum | cg | curveball
@@ -109,7 +124,6 @@ class TrainConfig:
     shrink_cycle: Optional[int] = None
     shrink_threshold: float = 1e-9
     multiscale_level: int = 1
-    n_epoch_final_pass: Optional[int] = None
     theta_downsample: Optional[int] = None
     n_batch_per_update: int = 1
     rotate_out_of_loop: bool = False

@@ -82,6 +82,10 @@ def output_object(obj, output_folder, unknown_type='delta_beta',
 def output_probe(probe, output_folder, ds_level=1, name_suffix=''):
     """Probe magnitude/phase TIFFs per mode (``adorym/util.py:2009``)."""
     probe = np.asarray(probe)
+    if probe.ndim > 4:
+        # Per-angle probes [n_theta, n_modes, py, px, 2]: flatten leading
+        # axes into TIFF pages.
+        probe = probe.reshape((-1,) + probe.shape[-3:])
     pr, pi = probe[..., 0], probe[..., 1]
     mag = np.sqrt(pr ** 2 + pi ** 2)
     ph = np.arctan2(pi, pr)

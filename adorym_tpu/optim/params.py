@@ -78,10 +78,26 @@ def build_aux_params(cfg: ReconConfig, n_theta: int, n_pos: int,
     return params
 
 
+#: Optimizer kinds usable for auxiliary (non-object) leaves; second-order
+#: kinds drive only the object, as in the reference where CG/Curveball are
+#: created for ``obj`` and every aux optimizer is first-order
+#: (``adorym/optimizers.py:809-958``).
+_FIRST_ORDER_KINDS = ('adam', 'momentum', 'gd')
+
+
+def _aux_spec(name: str, kind: str, lr: float) -> OptSpec:
+    if kind not in _FIRST_ORDER_KINDS:
+        raise ValueError(
+            f'optimizer kind {kind!r} for {name!r}: auxiliary parameters '
+            f'support first-order kinds {_FIRST_ORDER_KINDS} only')
+    return OptSpec(kind=kind, step_size=lr)
+
+
 def build_opt_specs(cfg: ReconConfig) -> Dict[str, OptSpec]:
-    """Per-leaf optimizer specs, mirroring the reference's defaults: the
-    object uses the configured optimizer; every auxiliary parameter defaults
-    to Adam with its own learning rate
+    """Per-leaf optimizer specs: the object uses the configured optimizer;
+    auxiliary parameters use their per-parameter kind (reference
+    ``optimizer_probe`` etc. kwargs, ``adorym/ptychography.py:144-155``),
+    defaulting to Adam with their own learning rate
     (``adorym/optimizers.py:809-958``)."""
     r = cfg.refine
     t = cfg.train
@@ -89,21 +105,30 @@ def build_opt_specs(cfg: ReconConfig) -> Dict[str, OptSpec]:
     if t.optimize_object:
         specs['obj'] = OptSpec(kind=t.optimizer, step_size=t.learning_rate)
     if r.optimize_probe:
-        specs['probe'] = OptSpec(kind='adam', step_size=r.probe_learning_rate)
+        specs['probe'] = _aux_spec('probe', r.probe_optimizer,
+                                   r.probe_learning_rate)
     aux = [
-        ('probe_defocus_mm', r.optimize_probe_defocusing, r.probe_defocusing_learning_rate),
-        ('probe_pos_offset', r.optimize_probe_pos_offset, r.probe_pos_offset_learning_rate),
-        ('prj_pos_offset', r.optimize_prj_pos_offset, r.prj_pos_offset_learning_rate),
-        ('probe_pos_correction', r.optimize_all_probe_pos, r.all_probe_pos_learning_rate),
-        ('slice_pos_cm_ls', r.optimize_slice_pos, r.slice_pos_learning_rate),
-        ('free_prop_cm', r.optimize_free_prop, r.free_prop_learning_rate),
-        ('tilt_ls', r.optimize_tilt, r.tilt_learning_rate),
-        ('prj_affine_ls', r.optimize_prj_affine, r.prj_affine_learning_rate),
-        ('ctf_lg_kappa', r.optimize_ctf_lg_kappa, r.ctf_lg_kappa_learning_rate),
+        ('probe_defocus_mm', r.optimize_probe_defocusing,
+         r.probe_defocusing_optimizer, r.probe_defocusing_learning_rate),
+        ('probe_pos_offset', r.optimize_probe_pos_offset,
+         r.probe_pos_offset_optimizer, r.probe_pos_offset_learning_rate),
+        ('prj_pos_offset', r.optimize_prj_pos_offset,
+         r.prj_pos_offset_optimizer, r.prj_pos_offset_learning_rate),
+        ('probe_pos_correction', r.optimize_all_probe_pos,
+         r.all_probe_pos_optimizer, r.all_probe_pos_learning_rate),
+        ('slice_pos_cm_ls', r.optimize_slice_pos,
+         r.slice_pos_optimizer, r.slice_pos_learning_rate),
+        ('free_prop_cm', r.optimize_free_prop,
+         r.free_prop_optimizer, r.free_prop_learning_rate),
+        ('tilt_ls', r.optimize_tilt, r.tilt_optimizer, r.tilt_learning_rate),
+        ('prj_affine_ls', r.optimize_prj_affine,
+         r.prj_affine_optimizer, r.prj_affine_learning_rate),
+        ('ctf_lg_kappa', r.optimize_ctf_lg_kappa,
+         r.ctf_lg_kappa_optimizer, r.ctf_lg_kappa_learning_rate),
     ]
-    for name, on, lr in aux:
+    for name, on, kind, lr in aux:
         if on:
-            specs[name] = OptSpec(kind='adam', step_size=lr)
+            specs[name] = _aux_spec(name, kind, lr)
     return specs
 
 
@@ -175,3 +200,10 @@ def probe_update_gate(cfg: ReconConfig, global_batch_index) -> jnp.ndarray:
     hi = r.probe_update_limit if r.probe_update_limit is not None else np.inf
     i = global_batch_index
     return jnp.logical_and(i >= lo, i < hi)
+
+
+def aux_update_gate(cfg: ReconConfig, global_batch_index) -> jnp.ndarray:
+    """Auxiliary-parameter update delay (``adorym/optimizers.py:1037``):
+    every refinable except obj/probe is frozen until
+    ``other_params_update_delay`` global batches have run."""
+    return global_batch_index >= cfg.refine.other_params_update_delay

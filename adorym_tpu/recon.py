@@ -143,6 +143,8 @@ class Reconstructor:
                 aux_kw['tilt_init'] = v
             elif k == 'prj_affine_ls':
                 aux_kw['prj_affine_init'] = v
+            elif k == 'ctf_lg_kappa':
+                aux_kw['ctf_lg_kappa_init'] = float(np.ravel(v)[0])
             else:
                 aux_kw[k] = v
         params.update(param_lib.build_aux_params(
@@ -229,8 +231,16 @@ class Reconstructor:
         #    when an output folder is given) ------------------------------
         self.output_folder = output_folder
         self._logger = None
+        self._stdout_f = None
         self._start_epoch = 0
         if output_folder is not None:
+            if cfg.io.save_stdout:
+                # Tee progress lines to a timestamped file
+                # (``adorym/misc.py:249-257``).
+                os.makedirs(output_folder, exist_ok=True)
+                ts = time.strftime('%Y%m%d_%H%M%S')
+                self._stdout_f = open(
+                    os.path.join(output_folder, f'stdout_{ts}.txt'), 'a')
             from .io import checkpoint as ckpt_lib
             from .io import output as out_lib
             os.makedirs(output_folder, exist_ok=True)
@@ -254,6 +264,12 @@ class Reconstructor:
 
         self._step = self._build_step()
 
+    def _print(self, msg: str):
+        print(msg, flush=True)
+        if self._stdout_f is not None:
+            self._stdout_f.write(f'[{time.strftime("%H:%M:%S")}] {msg}\n')
+            self._stdout_f.flush()
+
     def _apply_external_algorithm(self):
         if self.external_algorithm is None:
             return
@@ -276,6 +292,23 @@ class Reconstructor:
         obj = self.params['obj']
         self.params = {**self.params,
                        'obj': obj.at[..., 0].set(phase[..., None])}
+
+    def _save_intermediate(self, i_epoch: int, i_batch: int):
+        """Intermediate object/probe TIFFs (``adorym/util.py:1958-2028``):
+        with ``save_history`` each dump keeps an ``_{epoch}_{batch}`` suffix,
+        otherwise the same files are overwritten."""
+        from .io import output as out_lib
+        inter = os.path.join(self.output_folder, 'intermediate')
+        if not self.cfg.io.save_history:
+            suffix = ''
+        elif i_batch < 0:   # epoch-level dump
+            suffix = f'_{i_epoch}'
+        else:
+            suffix = f'_{i_epoch}_{i_batch}'
+        out_lib.output_object(self.obj, inter, self.cfg.train.unknown_type,
+                              name_suffix=suffix)
+        out_lib.output_probe(np.asarray(self.params['probe']), inter,
+                             name_suffix=suffix)
 
     def save_checkpoint(self, i_epoch: int, i_batch: int):
         from .io import checkpoint as ckpt_lib
@@ -313,11 +346,22 @@ class Reconstructor:
             return jax.value_and_grad(self.loss_fn)(params, batch, measured,
                                                     weight_l1)
 
-        def apply_step(params, opt_state, grads, i_opt_batch, global_batch,
-                       support_mask):
+        def update_mask(global_batch):
+            """Traced per-leaf update gates: probe delay/limit window plus
+            the all-aux ``other_params_update_delay``."""
             mask = {}
             if 'probe' in self.specs:
                 mask['probe'] = param_lib.probe_update_gate(cfg, global_batch)
+            if cfg.refine.other_params_update_delay > 0:
+                gate = param_lib.aux_update_gate(cfg, global_batch)
+                for k in self.specs:
+                    if k not in ('obj', 'probe'):
+                        mask[k] = gate
+            return mask
+
+        def apply_step(params, opt_state, grads, i_opt_batch, global_batch,
+                       support_mask):
+            mask = update_mask(global_batch)
             upd_params, opt_state = opt_lib.tree_apply(
                 self.specs, params, grads, opt_state, i_opt_batch,
                 update_mask=mask)
@@ -332,6 +376,11 @@ class Reconstructor:
         self._apply_only = jax.jit(apply_step, donate_argnums=(0, 1))
         self._accum_grads = jax.jit(
             lambda a, b: jax.tree.map(jnp.add, a, b))
+        # Shrink-wrap mask update (``adorym/array_ops.py:331-335``): zero the
+        # support where delta dropped below threshold.  Jitted once — a fresh
+        # ``jax.jit(lambda ...)`` per call would retrace every time.
+        self._shrink_fn = jax.jit(
+            lambda m, o: m * (o[..., 0] >= cfg.train.shrink_threshold))
         if not cfg.geometry.two_d_mode:
             from .ops.rotate import rotate, rotate_adjoint
             self._rotate_fwd = jax.jit(lambda o, th: rotate(o, th))
@@ -434,9 +483,7 @@ class Reconstructor:
                  global_batch, support_mask):
             loss, grads = jax.value_and_grad(self.loss_fn)(
                 params, batch, measured, weight_l1)
-            mask = {}
-            if 'probe' in self.specs:
-                mask['probe'] = param_lib.probe_update_gate(cfg, global_batch)
+            mask = update_mask(global_batch)
             upd_params, opt_state = opt_lib.tree_apply(
                 self.specs, params, grads, opt_state, i_opt_batch,
                 update_mask=mask)
@@ -485,13 +532,17 @@ class Reconstructor:
 
     # ------------------------------------------------------------------
     def make_batches(self, rng: np.random.Generator):
-        """Same-angle minibatches, angles shuffled, positions shuffled and
-        padded to a full final batch (``adorym/ptychography.py:791-847``)."""
+        """Same-angle minibatches, angles shuffled, positions in scan order
+        (shuffled only under ``randomize_probe_pos``,
+        ``adorym/ptychography.py:808``) and padded to a full final batch
+        (``adorym/ptychography.py:791-847``)."""
         mb = self.cfg.train.minibatch_size
         n_spots = self.probe_pos.shape[-2]  # blocks (multi-dist) or spots
         batches = []
         for i_theta in rng.permutation(self.n_theta):
-            spots = rng.permutation(n_spots)
+            spots = (rng.permutation(n_spots)
+                     if self.cfg.train.randomize_probe_pos
+                     else np.arange(n_spots))
             n_batches = -(-n_spots // mb)
             pad = n_batches * mb - n_spots
             if pad:
@@ -513,6 +564,7 @@ class Reconstructor:
                 groups.append((i_theta, [inds]))
 
         losses_dev = []
+        i_batch_epoch = 0  # per-epoch batch counter for shrink-wrap cadence
         for i_theta, inds_list in groups:
             if self._needs_weight_l1:
                 o = self.params['obj']
@@ -547,6 +599,22 @@ class Reconstructor:
             self.i_opt_batch += 1
             self.global_batch += len(inds_list)
             self._apply_external_algorithm()
+            # Shrink-wrap at angle granularity: the slow path updates the
+            # mask every ``shrink_cycle`` batches
+            # (``adorym/ptychography.py:1220-1225``); here the check runs
+            # once per angle, applying when the epoch's batch counter has
+            # crossed a cycle boundary inside this angle.
+            prev_b, i_batch_epoch = i_batch_epoch, i_batch_epoch + len(inds_list)
+            if (self.finite_support_mask is not None
+                    and t.shrink_cycle is not None
+                    and i_batch_epoch // t.shrink_cycle > prev_b // t.shrink_cycle):
+                self.finite_support_mask = self._shrink_fn(
+                    self.finite_support_mask, self.params['obj'])
+            if (self.output_folder is not None
+                    and self.cfg.io.save_intermediate
+                    and self.cfg.io.save_intermediate_level == 'batch'):
+                # Angle granularity in the fused path (one host visit/angle).
+                self._save_intermediate(i_epoch, i_batch_epoch - 1)
             losses_dev.append(losses)
             if (self.output_folder is not None
                     and self.cfg.io.store_checkpoint
@@ -574,9 +642,9 @@ class Reconstructor:
         if self.verbose:
             n_patterns = len(losses) * self.cfg.train.minibatch_size
             dt = self.timers.total.get('angle_step', 0.0) or 1e-9
-            print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
-                  f'{n_patterns / dt:.1f} patterns/s; '
-                  f'{self.timers.summary()}', flush=True)
+            self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
+                        f'{n_patterns / dt:.1f} patterns/s; '
+                        f'{self.timers.summary()}')
             self.timers.reset()
         return mean_loss
 
@@ -608,8 +676,13 @@ class Reconstructor:
         # Fastest path: one compiled program per ANGLE (rotate + scan over
         # minibatches + adjoint + update) — one host dispatch per angle.
         # Requires rotate-out-of-loop semantics (the in-jit pre-rotation IS
-        # that mode) or 2D mode where there is no rotation at all.
-        if (use_accum and t.n_batch_per_update <= 1
+        # that mode) or 2D mode where there is no rotation at all, AND
+        # 'per angle' updates (the fused step applies ONE optimizer update
+        # per angle; with update_scheme='immediate' the reference updates
+        # per batch even under rotate_out_of_loop,
+        # ``adorym/ptychography.py:1095-1099``).
+        if (use_accum and t.update_scheme == 'per angle'
+                and t.n_batch_per_update <= 1
                 and (rol or self.cfg.geometry.two_d_mode)
                 and self.expand_indices is None and self.loader is None):
             return self._run_epoch_angles(i_epoch, batches, callback)
@@ -681,7 +754,12 @@ class Reconstructor:
                 n_acc += 1
                 last_of_angle = (i_batch == len(batches) - 1
                                  or batches[i_batch + 1][0] != i_theta)
-                if t.update_scheme == 'per angle' or rol:
+                # Only 'per angle' defers to the angle boundary; with
+                # 'immediate' the reference applies an optimizer step per
+                # batch even under rotate_out_of_loop (the gradient is
+                # rotated back each batch, ``adorym/ptychography.py:
+                # 1069-1078,1095-1099``).
+                if t.update_scheme == 'per angle':
                     gate = last_of_angle
                 else:
                     gate = last_of_angle or n_acc >= t.n_batch_per_update
@@ -698,7 +776,11 @@ class Reconstructor:
                     self.i_opt_batch += 1
                     accum = None
                     n_acc = 0
-                    obj_rot = None
+                    # obj_rot stays STALE until the angle changes: the
+                    # reference rotates only on angle boundaries
+                    # (``adorym/ptychography.py:918-943``), so with
+                    # 'immediate' updates the within-angle forward uses the
+                    # angle-start object while obj updates accumulate.
             self.global_batch += 1
             # Shrink-wrap: every shrink_cycle batches, zero the support
             # mask where delta dropped below threshold
@@ -707,9 +789,12 @@ class Reconstructor:
             if (self.finite_support_mask is not None
                     and t.shrink_cycle is not None and i_batch > 0
                     and i_batch % t.shrink_cycle == 0):
-                self.finite_support_mask = jax.jit(
-                    lambda m, o: m * (o[..., 0] >= t.shrink_threshold))(
-                        self.finite_support_mask, self.params['obj'])
+                self.finite_support_mask = self._shrink_fn(
+                    self.finite_support_mask, self.params['obj'])
+            if (self.output_folder is not None
+                    and self.cfg.io.save_intermediate
+                    and self.cfg.io.save_intermediate_level == 'batch'):
+                self._save_intermediate(i_epoch, i_batch)
             losses_dev.append(loss)
             batch_ids.append(i_batch)
             if (self.output_folder is not None
@@ -740,9 +825,9 @@ class Reconstructor:
             mem = device_memory_stats()
             mem_s = (f"; hbm {mem['bytes_in_use_mb']:.0f}/"
                      f"{mem['peak_bytes_mb']:.0f}MB peak" if mem else '')
-            print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
-                  f'{n_patterns / max(dt, 1e-9):.1f} patterns/s; '
-                  f'{self.timers.summary()}{mem_s}', flush=True)
+            self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
+                        f'{n_patterns / max(dt, 1e-9):.1f} patterns/s; '
+                        f'{self.timers.summary()}{mem_s}')
             self.timers.reset()
         return mean_loss
 
@@ -756,13 +841,10 @@ class Reconstructor:
             t0 = time.time()
             loss = self.run_epoch(i_epoch, rng, callback=callback)
             dt = time.time() - t0
-            if self.output_folder is not None and self.cfg.io.save_intermediate:
-                from .io import output as out_lib
-                inter = os.path.join(self.output_folder, 'intermediate',
-                                     f'epoch_{i_epoch}')
-                out_lib.output_object(self.obj, inter,
-                                      self.cfg.train.unknown_type)
-                out_lib.output_probe(np.asarray(self.params['probe']), inter)
+            if (self.output_folder is not None
+                    and self.cfg.io.save_intermediate
+                    and self.cfg.io.save_intermediate_level != 'batch'):
+                self._save_intermediate(i_epoch, -1)
             if self.stop_requested:
                 break
             if auto and len(self.loss_history) >= 2:

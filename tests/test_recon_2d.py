@@ -107,14 +107,15 @@ def test_poisson_loss_runs(sim_2d):
                         train=cfg.train)
     rec = Reconstructor(cfg_p, data=data + 1e-3, probe_pos=pos,
                         probe_init=probe, obj_init=np.zeros_like(obj_true))
-    first_batch_loss = []
-    rec.run_epoch(0, callback=lambda e, b, l: first_batch_loss.append(l))
+    l_first = rec.run_epoch(0)
     l_last = None
     for ep in range(1, 8):
         l_last = rec.run_epoch(ep)
     assert np.isfinite(l_last)
-    # Must have descended from the zero-object start.
-    assert l_last < first_batch_loss[0]
+    # Must have descended from the zero-object start (epoch-mean losses:
+    # per-batch Poisson losses are offset by batch-dependent constants and
+    # are not comparable across batch orderings).
+    assert l_last < l_first
     # And the object should have moved toward the phantom.
     sl = slice(12, 52)
     corr = np.corrcoef(rec.obj[sl, sl, 0, 0].ravel(),

@@ -160,3 +160,84 @@ def test_probe_defocus_refinement():
         rec.run_epoch(ep)
     df = float(np.asarray(rec.params['probe_defocus_mm'])[0])
     assert abs(df - true_defocus) < err0 * 0.5, df
+
+
+def _pos_refine_problem(**refine_kw):
+    n, pn = 32, 16
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', two_d_mode=True),
+        train=TrainConfig(minibatch_size=8, learning_rate=1e-4, seed=0),
+        refine=RefineConfig(optimize_all_probe_pos=True,
+                            all_probe_pos_learning_rate=1e-2, **refine_kw))
+    rng = np.random.default_rng(3)
+    obj_true = np.stack([rng.random((n, n, 1)) * 1e-3,
+                         rng.random((n, n, 1)) * 3e-5], -1).astype(np.float32)
+    probe = _probe(pn)
+    xs = np.arange(0, n - pn + 1, 4)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    data = simulate(cfg, obj_true, probe, pos)
+    return cfg, obj_true, probe, pos, data
+
+
+def test_other_params_update_delay():
+    """Aux params are frozen until other_params_update_delay global batches
+    have run (``adorym/optimizers.py:1037``)."""
+    cfg, obj_true, probe, pos, data = _pos_refine_problem(
+        other_params_update_delay=10_000)
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                        obj_init=np.zeros_like(obj_true))
+    rec.run_epoch(0)
+    ppc = np.asarray(rec.params['probe_pos_correction'])
+    assert np.all(ppc == 0), 'aux updated despite delay'
+
+    # Same problem without the delay: the correction must move.
+    cfg2, *_ = _pos_refine_problem(other_params_update_delay=0)
+    rec2 = Reconstructor(cfg2, data=data, probe_pos=pos, probe_init=probe,
+                         obj_init=np.zeros_like(obj_true))
+    rec2.run_epoch(0)
+    assert np.any(np.asarray(rec2.params['probe_pos_correction']) != 0)
+
+    # And the object keeps training either way.
+    assert not np.allclose(rec.obj, 0)
+
+
+def test_per_param_optimizer_kind():
+    """`optimizer_*` kwargs select per-parameter first-order kinds
+    (``adorym/ptychography.py:144-155``)."""
+    from adorym_tpu.optim.params import build_opt_specs
+    cfg, obj_true, probe, pos, data = _pos_refine_problem(
+        all_probe_pos_optimizer='gd')
+    specs = build_opt_specs(cfg)
+    assert specs['probe_pos_correction'].kind == 'gd'
+    # GD on the positions must run end-to-end and move the parameter.
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                        obj_init=np.zeros_like(obj_true))
+    rec.run_epoch(0)
+    assert np.any(np.asarray(rec.params['probe_pos_correction']) != 0)
+
+    with pytest.raises(ValueError, match='first-order'):
+        cfg_bad, *_ = _pos_refine_problem(all_probe_pos_optimizer='curveball')
+        build_opt_specs(cfg_bad)
+
+
+def test_ctf_lg_kappa_initialized_from_kwarg():
+    """The ctf_lg_kappa refinable starts at the user's value (reference
+    initializes the variable from the kwarg, ``adorym/ptychography.py:733``),
+    not at a hardcoded default."""
+    n = 16
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(n, n),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm=(1e-4, 2e-4), n_dists=2,
+                          two_d_mode=True),
+        train=TrainConfig(minibatch_size=1, forward_algorithm='ctf'),
+        refine=RefineConfig(optimize_ctf_lg_kappa=True))
+    from adorym_tpu.models import multidist as md_model
+    data = np.ones((1, 2, n, n), np.float32)
+    pos = np.array([[0.0, 0.0]])
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, model=md_model,
+                        aux_init={'ctf_lg_kappa': 1.7})
+    np.testing.assert_allclose(np.asarray(rec.params['ctf_lg_kappa']), 1.7)

@@ -72,3 +72,50 @@ def test_n_batch_per_update():
     # 9 positions / mb 3 = 3 batches per angle -> 2 updates per angle
     assert rec.i_opt_batch == 3 * 2 * 3  # angles * updates/angle * epochs
     assert np.isfinite(loss)
+
+
+def test_rol_immediate_updates_per_batch():
+    """With update_scheme='immediate', rotate_out_of_loop applies an
+    optimizer step per BATCH — only 'per angle' defers to the angle boundary
+    (``adorym/ptychography.py:1095-1099``).  Round 1 coerced rol+'immediate'
+    to per-angle accumulation, changing the Adam moment trajectory."""
+    args = _setup()
+    _, _, _, pos, theta_ls, _ = args
+    n_batches_per_angle = -(-len(pos) // 3)
+    rec_imm, loss_imm = _run(*args, update_scheme='immediate',
+                             rotate_out_of_loop=True)
+    rec_pa, _ = _run(*args, update_scheme='per angle',
+                     rotate_out_of_loop=True)
+    # 3 epochs: per-batch stepping gives n_angles*n_batches optimizer steps
+    # per epoch; per-angle gives n_angles.
+    assert rec_imm.i_opt_batch == 3 * len(theta_ls) * n_batches_per_angle
+    assert rec_pa.i_opt_batch == 3 * len(theta_ls)
+    assert np.isfinite(loss_imm)
+    # The trajectories must differ (bias correction sees different counters).
+    assert not np.allclose(np.asarray(rec_imm.params['obj']),
+                           np.asarray(rec_pa.params['obj']), atol=1e-6)
+
+
+def test_shrink_wrap_updates_in_fast_path():
+    """The angle-fused epoch path must shrink the finite-support mask on the
+    shrink_cycle cadence (``adorym/array_ops.py:331-335``) — round 1 applied
+    the mask but never shrank it there."""
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup()
+    mask = np.ones(cfg_kw['obj_size'], np.float32)
+    for scheme, rol in [('per angle', True), ('immediate', False)]:
+        cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                          train=TrainConfig(minibatch_size=3,
+                                            learning_rate=1e-6, seed=7,
+                                            update_scheme=scheme,
+                                            rotate_out_of_loop=rol,
+                                            shrink_cycle=2,
+                                            shrink_threshold=1e-5))
+        rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=np.zeros_like(obj_true),
+                            finite_support_mask=mask)
+        rec.run_epoch(0)
+        m = np.asarray(rec.finite_support_mask)
+        # A zero-initialized object sits below threshold almost everywhere:
+        # the mask must have shrunk in both epoch paths.
+        assert m.mean() < 0.9, (scheme, rol, m.mean())

@@ -121,8 +121,17 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
 
     pos = jnp.round(batch['pos_batch']).astype(jnp.int32)
     pos = pos + jnp.asarray([pad_arr[0, 0], pad_arr[1, 0]], dtype=jnp.int32)
-    gather = gather_fn or patch_ops.extract_patches
-    subobj = gather(obj_rot, pos, geo.probe_size)
+    if gather_fn is not None:
+        subobj = gather_fn(obj_rot, pos, geo.probe_size)
+    else:
+        # Vacuum-fill semantics for windows past the (padded) edge,
+        # matching the reference's off-edge chunk reads
+        # (``adorym/util.py:975-997``); with the static scan table the
+        # pre-padding already guarantees in-range windows, but traced or
+        # caller-supplied positions may not.
+        subobj = patch_ops.extract_patches_vacuum(
+            obj_rot, pos, geo.probe_size,
+            unknown_type=cfg.train.unknown_type)
     return predict_from_patches(params, batch, subobj, cfg,
                                 return_wave=return_wave)
 

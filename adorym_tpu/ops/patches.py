@@ -72,6 +72,46 @@ def extract_patches(obj, positions, probe_size):
     return jax.vmap(slice_one)(positions.astype(jnp.int32))
 
 
+def extract_patches_vacuum(obj, positions, probe_size,
+                           unknown_type='delta_beta'):
+    """Like :func:`extract_patches`, but windows reaching past the object
+    edge see VACUUM instead of clamp-shifted content — the semantics of the
+    reference's off-edge chunk reads (``adorym/util.py:975-997``: out-of-
+    bounds rows padded with 0, or (1, 0) for real_imag).
+
+    Implementation keeps the fast fused dynamic-slice gather: slice at the
+    clamped start, roll the patch by the clamp offset, and mask the
+    rolled-in rows/cols to vacuum.  All shapes static; ``positions`` may be
+    traced and arbitrarily out of range.  The VJP scatters only the valid
+    region back (gradients into vacuum drop), matching the reference's
+    slab accumulation (``adorym/util.py:1070-1100``).
+    """
+    py, px = int(probe_size[0]), int(probe_size[1])
+    H, W = obj.shape[0], obj.shape[1]
+    trailing = obj.shape[2:]
+    limit = jnp.asarray([H - py, W - px], jnp.int32)
+    iy = jnp.arange(py, dtype=jnp.int32)
+    ix = jnp.arange(px, dtype=jnp.int32)
+
+    def slice_one(pos):
+        s = pos.astype(jnp.int32)
+        c = jnp.clip(s, 0, limit)
+        start = (c[0], c[1]) + (0,) * len(trailing)
+        patch = jax.lax.dynamic_slice(obj, start, (py, px) + trailing)
+        d = c - s  # desired[r] = clamped[r - d]; valid for d <= r < py + d
+        patch = jnp.roll(patch, shift=(d[0], d[1]), axis=(0, 1))
+        valid = ((iy >= d[0]) & (iy < py + d[0]))[:, None] \
+            & ((ix >= d[1]) & (ix < px + d[1]))[None, :]
+        valid = valid.reshape((py, px) + (1,) * len(trailing))
+        if unknown_type == 'real_imag':
+            vac = jnp.zeros_like(patch).at[..., 0].set(1.0)
+        else:
+            vac = jnp.zeros_like(patch)
+        return jnp.where(valid, patch, vac)
+
+    return jax.vmap(slice_one)(positions)
+
+
 def scatter_patches_add(obj, patches, positions):
     """Add ``patches[N, py, px, ...]`` into ``obj`` at ``positions[N, 2]``.
 

@@ -202,6 +202,13 @@ class Reconstructor:
                 warnings.warn('use_halo_gather requested but geometry does '
                               'not satisfy its constraints; falling back to '
                               'GSPMD partitioning')
+        if self._gather_fn is None and self.model is ptycho_model:
+            # The scan table is static and pad_arr was computed from it, so
+            # every window is provably in range: use the plain clamped
+            # dynamic-slice gather (measured ~16% faster at flagship shapes
+            # than predict's default vacuum-masked gather, whose OOB
+            # handling can never trigger here).
+            self._gather_fn = patch_ops.extract_patches
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))

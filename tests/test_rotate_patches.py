@@ -142,3 +142,74 @@ class TestPatches:
         assert out[3, 3] == 2.0
         assert out[0, 0] == 1.0
         assert out.sum() == 32.0
+
+
+class TestExtractVacuum:
+    """Off-edge windows see vacuum, matching the reference's OOB chunk
+    reads (``adorym/util.py:975-997``)."""
+
+    def _dense_reference(self, obj, pos, p, fill):
+        """Numpy ground truth: read from an object embedded in an infinite
+        vacuum."""
+        H, W = obj.shape[:2]
+        m = 2 * p  # margin large enough for every test position
+        big = np.zeros((H + 2 * m, W + 2 * m) + obj.shape[2:], np.float32)
+        if fill == 'real_imag':
+            big[..., 0] = 1.0
+        big[m:m + H, m:m + W] = obj
+        return np.stack([big[m + y:m + y + p, m + x:m + x + p]
+                         for (y, x) in pos])
+
+    @pytest.mark.parametrize('unknown_type', ['delta_beta', 'real_imag'])
+    def test_forward_matches_dense(self, unknown_type):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        obj = rng.random((16, 16, 3, 2)).astype(np.float32)
+        p = 6
+        pos = np.array([[-3, -5], [0, 0], [14, 13], [-6, 18], [5, -2]],
+                       np.int32)
+        out = patch_ops.extract_patches_vacuum(
+            jnp.asarray(obj), jnp.asarray(pos), (p, p),
+            unknown_type=unknown_type)
+        want = self._dense_reference(
+            obj, pos, p, 'real_imag' if unknown_type == 'real_imag' else '0')
+        np.testing.assert_allclose(np.asarray(out), want, atol=0)
+
+    def test_boundary_gradients_match_dense(self):
+        """Gradients for windows past the edge equal the gradient computed
+        on a large vacuum-padded object (the reference's semantics: OOB
+        content is constant vacuum, so it carries no gradient)."""
+        import jax
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        obj = rng.random((12, 12, 2, 2)).astype(np.float32)
+        p = 5
+        pos = np.array([[-2, -4], [9, 10], [3, 3]], np.int32)
+        w = rng.random((len(pos), p, p, 2, 2)).astype(np.float32)
+
+        def loss_vac(o):
+            pt = patch_ops.extract_patches_vacuum(o, jnp.asarray(pos), (p, p))
+            return jnp.sum(pt * w)
+
+        def loss_dense(o):
+            big = jnp.zeros((12 + 2 * p, 12 + 2 * p, 2, 2), jnp.float32)
+            big = big.at[p:p + 12, p:p + 12].set(o)
+            pt = patch_ops.extract_patches(big, jnp.asarray(pos) + p, (p, p))
+            return jnp.sum(pt * w)
+
+        g_vac = jax.grad(loss_vac)(jnp.asarray(obj))
+        g_dense = jax.grad(loss_dense)(jnp.asarray(obj))
+        np.testing.assert_allclose(np.asarray(g_vac), np.asarray(g_dense),
+                                   atol=1e-6)
+        assert np.any(np.asarray(g_vac) != 0)
+
+    def test_in_range_equals_plain_extract(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(2)
+        obj = rng.random((20, 20, 1, 2)).astype(np.float32)
+        pos = np.array([[0, 0], [12, 12], [3, 9]], np.int32)
+        a = patch_ops.extract_patches_vacuum(jnp.asarray(obj),
+                                             jnp.asarray(pos), (8, 8))
+        b = patch_ops.extract_patches(jnp.asarray(obj), jnp.asarray(pos),
+                                      (8, 8))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

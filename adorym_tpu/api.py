@@ -5,12 +5,15 @@
 :class:`~adorym_tpu.recon.Reconstructor`.  A user of the reference can point
 their demo script's params dict at this function.
 
+``distribution_mode`` maps onto the TPU design: ``'shared_file'`` enables
+host-offloaded optimizer moments, ``'distributed_object'`` is object
+sharding over the mesh (pass ``parallel_object_axis``).
+
 Intentionally not supported (no TPU equivalent needed / superseded):
   * ``backend``/``cpu_only``/``gpu_index``/``xpu`` — single JAX backend;
-  * ``distribution_mode``/``n_split_mpi_ata`` — use ``ParallelConfig`` mesh
-    axes instead (``parallel_data_axis``/``parallel_object_axis`` kwargs);
-  * ``core_parallelization``, ``precalculate_rotation_coords``,
-    ``cache_dtype``, ``dynamic_dropping`` — reference-internal knobs.
+  * ``n_split_mpi_ata``, ``core_parallelization``,
+    ``precalculate_rotation_coords``, ``cache_dtype``,
+    ``dynamic_dropping`` — reference-internal knobs.
 Unknown kwargs warn and are ignored.
 """
 
@@ -31,7 +34,7 @@ from .recon import Reconstructor
 _IGNORED = {
     'backend', 'cpu_only', 'gpu_index', 'xpu', 'core_parallelization',
     'precalculate_rotation_coords', 'cache_dtype', 'n_split_mpi_ata',
-    'distribution_mode', 'dist_mode_n_batch_per_update', 'interpolation',
+    'dist_mode_n_batch_per_update', 'interpolation',
     'dynamic_dropping', 'dropping_threshold',
     'fourier_disparity', 'debug', 'save_stdout',
     'optimizer_batch_number_increment',
@@ -114,7 +117,8 @@ def reconstruct_ptychography(
         update_using_external_algorithm=None,
         use_epie=False, epie_alpha=0.8, pupil_function=None,
         t_max_min=None, run_bfloat16=False,
-        parallel_data_axis=1, parallel_object_axis=1,
+        distribution_mode=None,
+        parallel_data_axis=1, parallel_object_axis=1, use_orbax=False,
         **kwargs) -> Dict[str, Any]:
     """Run a reconstruction from an Adorym-layout HDF5 file.  Returns the
     results dict (object, probe, refined params, loss history)."""
@@ -287,10 +291,29 @@ def reconstruct_ptychography(
         save_intermediate_level=save_intermediate_level,
         save_history=save_history,
         store_checkpoint=store_checkpoint, use_checkpoint=use_checkpoint,
+        use_orbax=use_orbax,
         force_to_use_checkpoint=force_to_use_checkpoint,
         n_batch_per_checkpoint=n_batch_per_checkpoint, t_max_min=t_max_min)
+    # distribution_mode mapping: the reference's three storage/parallelism
+    # branches collapse onto the mesh + memory-kind config (SURVEY §2.2).
+    offload_state = False
+    if distribution_mode == 'shared_file':
+        # SF kept object/gradient/moments out of device memory via parallel
+        # HDF5; the TPU equivalent keeps the optimizer moments in host
+        # memory, streamed through HBM once per update.
+        offload_state = True
+    elif distribution_mode == 'distributed_object':
+        if parallel_object_axis <= 1:
+            warnings.warn(
+                "distribution_mode='distributed_object' maps onto object "
+                'sharding over the mesh: pass parallel_object_axis>1 '
+                '(z-slab analog) — running unsharded')
+    elif distribution_mode is not None:
+        warnings.warn(f'unknown distribution_mode {distribution_mode!r} '
+                      'ignored')
     parallel = ParallelConfig(data_axis=parallel_data_axis,
-                              object_axis=parallel_object_axis)
+                              object_axis=parallel_object_axis,
+                              offload_optimizer_state=offload_state)
     cfg = ReconConfig(geometry=geometry, loss=loss_cfg, refine=refine,
                       train=train, parallel=parallel, io=io_cfg)
 

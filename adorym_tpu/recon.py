@@ -59,6 +59,20 @@ def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
     return ls
 
 
+def _deslab_obj_state(state):
+    """Concatenate slab-dict object optimizer state (written by the
+    slab-streamed offload path) back into full arrays."""
+    if 'obj' not in state or not isinstance(state['obj'], dict):
+        return state
+    obj_st = {}
+    for name, v in state['obj'].items():
+        if isinstance(v, dict) and v and all(k.startswith('s') for k in v):
+            obj_st[name] = np.concatenate([v[k] for k in sorted(v)], axis=0)
+        else:
+            obj_st[name] = v
+    return {**state, 'obj': obj_st}
+
+
 class Reconstructor:
     """Owns params, optimizer state, and the compiled step for one run."""
 
@@ -259,6 +273,12 @@ class Reconstructor:
                     r_params, r_state, i_epoch, i_batch, extra = restored
                     self.params = {k: jnp.asarray(v)
                                    for k, v in r_params.items()}
+                    # Checkpoints written under slab-streamed offload store
+                    # the obj state as y-slab dicts; normalize to full
+                    # arrays (the offload block below re-splits per the
+                    # CURRENT config, so slab counts may differ across
+                    # runs).
+                    r_state = _deslab_obj_state(r_state)
                     self.opt_state = jax.tree.map(jnp.asarray, r_state)
                     self._start_epoch = i_epoch
                     self.i_opt_batch = int(extra.get('i_opt_batch', 0))
@@ -269,7 +289,60 @@ class Reconstructor:
             self._logger = out_lib.LossLogger(output_folder,
                                               append=self._start_epoch > 0)
 
+        # -- out-of-core optimizer state (reference 'shared_file' analog,
+        #    ``adorym/optimizers.py:96-113,339-363``): the object's moments
+        #    live in pinned host memory and stream through HBM once per
+        #    update inside the jitted step. ---------------------------------
+        self._off_state = (cfg.parallel.offload_optimizer_state
+                           and bool(jax.tree.leaves(
+                               self.opt_state.get('obj', {}))))
+        # XLA:CPU cannot emit host-memory-kind outputs from jit (the
+        # annotate_device_placement custom call is TPU-only), so there the
+        # state is re-homed eagerly after each step instead.
+        self._rehome_after_step = (self._off_state
+                                   and jax.default_backend() == 'cpu')
+        self._state_host_sh = self._state_dev_sh = None
+        self._off_slabbed = False
+        if self._off_state:
+            # Slab-stream first-order moments so the update's transient HBM
+            # is ~2 slabs, not the full m/v (reference analog: slice-strided
+            # file moment updates, ``adorym/optimizers.py:339-363``).  Each
+            # slab is a separate host array — slicing a host-resident array
+            # inside jit is not portably supported.
+            can_slab = ('obj' in self.specs
+                        and cfg.parallel.offload_slabs > 1
+                        and (mesh is None or cfg.parallel.object_axis == 1))
+            if can_slab:
+                ny = int(self.params['obj'].shape[0])
+                k = min(cfg.parallel.offload_slabs, ny)
+                bounds = np.linspace(0, ny, k + 1).astype(int)
+                self._slab_keys = [f's{i:02d}' for i in range(k)]
+                self._slab_ranges = [(int(bounds[i]),
+                                      int(bounds[i + 1] - bounds[i]))
+                                     for i in range(k)]
+                self.opt_state['obj'] = {
+                    name: {key: arr[st:st + sz]
+                           for key, (st, sz) in zip(self._slab_keys,
+                                                    self._slab_ranges)}
+                    for name, arr in self.opt_state['obj'].items()}
+                self._off_slabbed = True
+            self._state_dev_sh = jax.tree.map(
+                lambda x: x.sharding.with_memory_kind('device'),
+                self.opt_state['obj'])
+            self._state_host_sh = jax.tree.map(
+                lambda s: s.with_memory_kind('pinned_host'),
+                self._state_dev_sh)
+            self.opt_state['obj'] = jax.tree.map(
+                jax.device_put, self.opt_state['obj'], self._state_host_sh)
+
         self._step = self._build_step()
+
+    def _rehome_state(self):
+        """Move the object's optimizer state back to pinned host memory
+        (CPU backend only — see ``_rehome_after_step``)."""
+        if self._rehome_after_step:
+            self.opt_state['obj'] = jax.tree.map(
+                jax.device_put, self.opt_state['obj'], self._state_host_sh)
 
     def _print(self, msg: str):
         print(msg, flush=True)
@@ -319,13 +392,19 @@ class Reconstructor:
 
     def save_checkpoint(self, i_epoch: int, i_batch: int):
         from .io import checkpoint as ckpt_lib
-        host_params = {k: np.asarray(v) for k, v in self.params.items()}
-        host_state = jax.tree.map(np.asarray, self.opt_state)
+        if self.cfg.io.use_orbax:
+            # Pass jax.Arrays straight through: orbax writes per-device
+            # shards; no host gather of a large sharded object.
+            params, state = self.params, self.opt_state
+        else:
+            params = {k: np.asarray(v) for k, v in self.params.items()}
+            state = jax.tree.map(np.asarray, self.opt_state)
         return ckpt_lib.save_checkpoint(
             os.path.join(self.output_folder, 'checkpoint'),
-            host_params, host_state, i_epoch, i_batch,
+            params, state, i_epoch, i_batch,
             extra={'i_opt_batch': np.asarray(self.i_opt_batch),
-                   'global_batch': np.asarray(self.global_batch)})
+                   'global_batch': np.asarray(self.global_batch)},
+            use_orbax=self.cfg.io.use_orbax)
 
     # ------------------------------------------------------------------
     def loss_fn(self, params, batch, measured, weight_l1):
@@ -348,10 +427,30 @@ class Reconstructor:
 
     def _build_step(self):
         cfg = self.cfg
+        # XLA:CPU aborts when a donated input lives in pinned_host (the
+        # buffer-kind check trips during aliasing); TPU handles it.  Skip
+        # opt_state donation there — it only costs a transient host copy.
+        donate = ((0, 1) if not (self._off_state
+                                 and jax.default_backend() == 'cpu')
+                  else (0,))
 
         def grad_step(params, batch, measured, weight_l1):
             return jax.value_and_grad(self.loss_fn)(params, batch, measured,
                                                     weight_l1)
+
+        def obj_state_in(obj_state):
+            """Offloaded (whole-array) object moments: host -> HBM."""
+            if not self._off_state or self._off_slabbed:
+                return obj_state
+            return jax.tree.map(jax.device_put, obj_state,
+                                self._state_dev_sh)
+
+        def obj_state_out(obj_state):
+            """Offloaded (whole-array) object moments: HBM -> host."""
+            if not self._off_state or self._off_slabbed:
+                return obj_state
+            return jax.tree.map(jax.device_put, obj_state,
+                                self._state_host_sh)
 
         def update_mask(global_batch):
             """Traced per-leaf update gates: probe delay/limit window plus
@@ -366,12 +465,52 @@ class Reconstructor:
                         mask[k] = gate
             return mask
 
+        def apply_updates(params, grads, opt_state, i_opt_batch, mask):
+            """First-order updates for every spec'd leaf, with the object's
+            offloaded state streamed whole (or slab-by-slab) through HBM."""
+            if not self._off_slabbed:
+                if 'obj' in opt_state:
+                    opt_state = {**opt_state,
+                                 'obj': obj_state_in(opt_state['obj'])}
+                upd_params, opt_state = opt_lib.tree_apply(
+                    self.specs, params, grads, opt_state, i_opt_batch,
+                    update_mask=mask)
+                if 'obj' in opt_state:
+                    opt_state = {**opt_state,
+                                 'obj': obj_state_out(opt_state['obj'])}
+                return upd_params, opt_state
+            # Slab-streamed: aux leaves via tree_apply, object per y-slab —
+            # each slab's m/v transfer in, update, transfer out, so only
+            # ~2 slabs of state are ever HBM-resident (XLA frees each
+            # slab's buffers after its last use).
+            specs_aux = {k: v for k, v in self.specs.items() if k != 'obj'}
+            upd_params, new_state = opt_lib.tree_apply(
+                specs_aux, params, grads, opt_state, i_opt_batch,
+                update_mask=mask)
+            obj_spec = self.specs['obj']
+            parts = []
+            new_obj_state = {name: {} for name in opt_state['obj']}
+            for key, (st, sz) in zip(self._slab_keys, self._slab_ranges):
+                o_k = jax.lax.slice_in_dim(params['obj'], st, st + sz, axis=0)
+                g_k = jax.lax.slice_in_dim(grads['obj'], st, st + sz, axis=0)
+                st_k = {name: jax.device_put(opt_state['obj'][name][key],
+                                             self._state_dev_sh[name][key])
+                        for name in opt_state['obj']}
+                o2, st2 = opt_lib.opt_apply(obj_spec, o_k, g_k, st_k,
+                                            i_opt_batch)
+                parts.append(o2)
+                for name, arr in st2.items():
+                    new_obj_state[name][key] = jax.device_put(
+                        arr, self._state_host_sh[name][key])
+            upd_params['obj'] = jnp.concatenate(parts, axis=0)
+            new_state['obj'] = new_obj_state
+            return upd_params, new_state
+
         def apply_step(params, opt_state, grads, i_opt_batch, global_batch,
                        support_mask):
             mask = update_mask(global_batch)
-            upd_params, opt_state = opt_lib.tree_apply(
-                self.specs, params, grads, opt_state, i_opt_batch,
-                update_mask=mask)
+            upd_params, opt_state = apply_updates(params, grads, opt_state,
+                                                  i_opt_batch, mask)
             upd_params = param_lib.apply_param_constraints(upd_params, cfg)
             upd_params['obj'] = param_lib.apply_object_constraints(
                 upd_params['obj'], cfg, support_mask)
@@ -380,7 +519,7 @@ class Reconstructor:
         # Exposed pieces for the accumulate-then-update schemes
         # ('per angle' updates, rotate_out_of_loop; see run_epoch).
         self._grad_step = jax.jit(grad_step)
-        self._apply_only = jax.jit(apply_step, donate_argnums=(0, 1))
+        self._apply_only = jax.jit(apply_step, donate_argnums=donate)
         self._accum_grads = jax.jit(
             lambda a, b: jax.tree.map(jnp.add, a, b))
         # Shrink-wrap mask update (``adorym/array_ops.py:331-335``): zero the
@@ -484,19 +623,22 @@ class Reconstructor:
                                            support_mask)
             return params, opt_state, losses
 
-        self._angle_step = jax.jit(angle_step, donate_argnums=(0, 1))
+        self._angle_step = jax.jit(angle_step, donate_argnums=donate)
 
         def step(params, opt_state, batch, measured, weight_l1, i_opt_batch,
                  global_batch, support_mask):
             loss, grads = jax.value_and_grad(self.loss_fn)(
                 params, batch, measured, weight_l1)
             mask = update_mask(global_batch)
-            upd_params, opt_state = opt_lib.tree_apply(
-                self.specs, params, grads, opt_state, i_opt_batch,
-                update_mask=mask)
+            upd_params, opt_state = apply_updates(params, grads, opt_state,
+                                                  i_opt_batch, mask)
 
             if self.second_order and cfg.train.optimize_object:
                 from .optim import second_order as so
+                # Second-order object state streams whole-array (its update
+                # is not element-wise separable over slabs).
+                opt_state = {**opt_state,
+                             'obj': obj_state_in(opt_state['obj'])}
 
                 def loss_obj_fn(o):
                     return self.loss_fn({**params, 'obj': o}, batch,
@@ -527,7 +669,7 @@ class Reconstructor:
                         pred_fn, loss_pred_fn, loss_obj_fn, params['obj'],
                         opt_state['obj'])
                 upd_params['obj'] = obj_new
-                opt_state = {**opt_state, 'obj': obj_state}
+                opt_state = {**opt_state, 'obj': obj_state_out(obj_state)}
 
             # Leaves without specs (fixed probe etc.) pass through untouched.
             upd_params = param_lib.apply_param_constraints(upd_params, cfg)
@@ -535,7 +677,7 @@ class Reconstructor:
                 upd_params['obj'], cfg, support_mask)
             return upd_params, opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------
     def make_batches(self, rng: np.random.Generator):
@@ -605,6 +747,7 @@ class Reconstructor:
                     self.finite_support_mask)
             self.i_opt_batch += 1
             self.global_batch += len(inds_list)
+            self._rehome_state()
             self._apply_external_algorithm()
             # Shrink-wrap at angle granularity: the slow path updates the
             # mask every ``shrink_cycle`` batches
@@ -746,6 +889,7 @@ class Reconstructor:
                     jnp.asarray(self.global_batch, jnp.int32),
                     self.finite_support_mask)
                 self.i_opt_batch += 1
+                self._rehome_state()
                 self._apply_external_algorithm()
             else:
                 if rol and (obj_rot is None or cur_angle != i_theta):
@@ -781,6 +925,7 @@ class Reconstructor:
                         jnp.asarray(self.global_batch, jnp.int32),
                         self.finite_support_mask)
                     self.i_opt_batch += 1
+                    self._rehome_state()
                     accum = None
                     n_acc = 0
                     # obj_rot stays STALE until the angle changes: the

@@ -58,11 +58,13 @@ def epie_reconstruct(data, probe, probe_pos, obj_init,
             else jnp.asarray(probe_pos_correction, jnp.float32))
     py, px = probe.shape
 
+    has_corr = corr is not None
+
     def one_position(carry, j):
-        obj, probe = carry
+        obj, probe, data, pos, corr = carry
         p = pos[j]
         subobj = jax.lax.dynamic_slice(obj, (p[0], p[1]), (py, px))
-        probe_j = probe if corr is None else fourier_shift(probe, corr[j])
+        probe_j = fourier_shift(probe, corr[j]) if has_corr else probe
         ex = probe_j * subobj
         dp = fft2_and_shift(ex)
         mag = jnp.maximum(jnp.abs(dp), 1e-12)
@@ -73,16 +75,24 @@ def epie_reconstruct(data, probe, probe_pos, obj_init,
         obj = jax.lax.dynamic_update_slice(obj, o_new, (p[0], p[1]))
         if update_probe:
             probe = probe + alpha * jnp.conj(subobj) * d / jnp.max(jnp.abs(subobj) ** 2)
-        return (obj, probe), None
+        return (obj, probe, data, pos, corr), None
 
+    # data/pos/corr ride in the carry (jit ARGUMENTS, not closure
+    # constants — large float closure constants are corrupted by the axon
+    # TPU remote compile).
     @jax.jit
-    def one_epoch(obj, probe):
-        (obj, probe), _ = jax.lax.scan(one_position, (obj, probe),
-                                       jnp.arange(pos.shape[0]))
+    def one_epoch(obj, probe, data, pos, corr):
+        (obj, probe, *_), _ = jax.lax.scan(
+            one_position, (obj, probe, data, pos, corr),
+            jnp.arange(pos.shape[0]))
         return obj, probe
 
+    if corr is None:
+        corr_arg = jnp.zeros((pos.shape[0], 2), jnp.float32)
+    else:
+        corr_arg = corr
     for _ in range(n_epochs):
-        obj, probe = one_epoch(obj, probe)
+        obj, probe = one_epoch(obj, probe, data, pos, corr_arg)
     return obj, probe
 
 

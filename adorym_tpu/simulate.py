@@ -58,8 +58,12 @@ def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
 
     mb = minibatch_size or n_pos
 
+    # params is an ARGUMENT, never a closure: on the axon TPU, large float
+    # arrays embedded as jit constants come back measurably wrong (~10% at
+    # 128^2) through the remote AOT compile, silently corrupting simulated
+    # data.  Arguments transfer exactly.
     @jax.jit
-    def fwd(theta, i_theta, pos, inds):
+    def fwd(params, theta, i_theta, pos, inds):
         batch = {'i_theta': i_theta, 'theta': theta, 'pos_batch': pos,
                  'ind_batch': inds}
         return model.predict(params, batch, cfg, pad_arr,
@@ -70,7 +74,8 @@ def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
         per_angle = []
         for b0 in range(0, n_pos, mb):
             inds = np.arange(b0, min(b0 + mb, n_pos))
-            pred = fwd(jnp.asarray(theta, jnp.float32),
+            pred = fwd(params,
+                       jnp.asarray(theta, jnp.float32),
                        jnp.asarray(i_theta, jnp.int32),
                        jnp.asarray(probe_pos[inds], jnp.float32),
                        jnp.asarray(inds, jnp.int32))

@@ -208,3 +208,152 @@ def test_3d_multislice_rotation_parity(tmp_path, monkeypatch):
         rec.run_epoch(ep, callback=lambda e, b, l: our_losses.append(l))
     np.testing.assert_allclose(np.asarray(our_losses), ref_losses,
                                rtol=5e-4)
+
+
+@pytest.mark.parametrize('loss_type,extra_ref,extra_ours', [
+    # Poisson NLL (``adorym/forward_model.py:94-102``)
+    ('poisson', {}, {}),
+    # lsq + reweighted-L1 regularizer (``adorym/regularizers.py:49-84``,
+    # weight refresh ``adorym/ptychography.py:994-1000``)
+    ('lsq', dict(alpha_d=5e-5, alpha_b=5e-6, reweighted_l1=True),
+     dict(alpha_d=5e-5, alpha_b=5e-6, reweighted_l1=True)),
+])
+def test_loss_parity_poisson_and_rwl1(parity_setup, loss_type, extra_ref,
+                                      extra_ours):
+    from adorym_tpu.config import (Geometry, LossConfig, ReconConfig,
+                                   TrainConfig)
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = parity_setup
+    n_epochs, lr = 4, 1e-4
+
+    ref_recon = _import_reference()
+    out = f'ref_out_{loss_type}_{bool(extra_ref)}'
+    ref_recon(
+        fname='data.h5', save_path=str(root), output_folder=out,
+        obj_size=(n, n, 1), two_d_mode=True,
+        probe_pos=pos, energy_ev=5000.0, psize_cm=1e-7,
+        free_prop_cm='inf', n_epochs=n_epochs,
+        minibatch_size=len(pos), n_dp_batch=len(pos),
+        optimizer='adam', learning_rate=lr,
+        loss_function_type=loss_type, poisson_multiplier=1.0,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied', probe_initial=[probe_mag, probe_phase],
+        gamma=0, use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        dynamic_rate=False,
+        **({'alpha_d': None, 'alpha_b': None} if not extra_ref else extra_ref))
+    csv = os.path.join(str(root), out, 'convergence', 'loss_rank_0.txt')
+    ref = np.atleast_1d(np.genfromtxt(csv, delimiter=',', names=True)['loss'])
+
+    loss_cfg = LossConfig(loss_function_type=loss_type,
+                          poisson_multiplier=1.0,
+                          alpha_d=extra_ours.get('alpha_d', 0.0) or 0.0,
+                          alpha_b=extra_ours.get('alpha_b', 0.0) or 0.0,
+                          reweighted_l1=extra_ours.get('reweighted_l1', False))
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', two_d_mode=True),
+        loss=loss_cfg,
+        train=TrainConfig(minibatch_size=len(pos), learning_rate=lr,
+                          optimizer='adam'))
+    ds = RawDataset(str(root / 'data.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    probe0 = np.stack([probe_mag * np.cos(probe_phase),
+                       probe_mag * np.sin(probe_phase)], -1
+                      ).astype(np.float32)[None]
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe0, obj_init=obj0)
+    ours = []
+    for ep in range(n_epochs):
+        rec.i_opt_batch = 0  # reference epoch-counter-reset quirk (see above)
+        ours.append(rec.run_epoch(ep))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4)
+
+
+def test_multidist_loss_parity(tmp_path):
+    """MultiDistModel loss parity (``adorym/forward_model.py:809-1092``):
+    4-distance near-field holography, plane probe, intensity data, no
+    refinement — trajectories must agree like the ptychography rows."""
+    from adorym_tpu.config import (Geometry, LossConfig, ReconConfig,
+                                   TrainConfig)
+    from adorym_tpu.models import multidist
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.io.data import write_data_file
+    from adorym_tpu.utils.initialize import initialize_probe
+
+    n = 32
+    dists = (0.05, 0.12, 0.3, 0.7)
+    rng = np.random.default_rng(11)
+    from scipy.ndimage import gaussian_filter
+    ph = gaussian_filter(rng.normal(size=(n, n, 1)), (2, 2, 0))
+    ph = ph / np.abs(ph).max() * 0.4
+    obj_true = np.stack([np.cos(ph), np.sin(ph)], -1).astype(np.float32)
+
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(n, n),
+                          energy_ev=17500.0, psize_cm=1e-5,
+                          free_prop_cm=dists, n_dists=4, two_d_mode=True,
+                          safe_zone_width=0),
+        loss=LossConfig(raw_data_type='intensity'),
+        train=TrainConfig(minibatch_size=1, learning_rate=1e-3,
+                          optimizer='adam', unknown_type='real_imag'))
+    probe = initialize_probe((n, n), 'plane')
+    pos = np.array([[0.0, 0.0]])
+    data = simulate(cfg, obj_true, probe, pos, model=multidist)
+    write_data_file(str(tmp_path / 'md.h5'), data ** 2, probe_pos=pos,
+                    energy_ev=17500.0, psize_cm=1e-5, free_prop_cm=dists)
+
+    obj0_r = np.ones((n, n, 1), np.float64)
+    obj0_i = rng.normal(size=(n, n, 1)) * 0.01
+
+    ref_recon = _import_reference()
+    # Reference bug: the driver passes run_bfloat16/run_float64 to every
+    # model (``adorym/ptychography.py:526-532``); MultiDistModel forwards
+    # its **kwargs to ForwardModel.__init__ (``forward_model.py:813``)
+    # which doesn't accept them — the reference's multidist path crashes
+    # as shipped.  Patch the base init to tolerate the extras so the
+    # physics can be compared.
+    import adorym.forward_model as ref_fm
+    if not getattr(ref_fm.ForwardModel.__init__, '_patched', False):
+        orig_init = ref_fm.ForwardModel.__init__
+
+        def patched(self, loss_function_type='lsq', distribution_mode=None,
+                    device=None, common_vars_dict=None,
+                    raw_data_type='magnitude', simulation_mode=False,
+                    **_ignored):
+            orig_init(self, loss_function_type, distribution_mode, device,
+                      common_vars_dict, raw_data_type, simulation_mode)
+        patched._patched = True
+        ref_fm.ForwardModel.__init__ = patched
+    ref_recon(
+        fname='md.h5', save_path=str(tmp_path), output_folder='refmd',
+        obj_size=(n, n, 1), two_d_mode=True, probe_pos=pos,
+        energy_ev=17500.0, psize_cm=1e-5, free_prop_cm=list(dists),
+        safe_zone_width=0,
+        n_epochs=4, minibatch_size=1, n_dp_batch=1,
+        optimizer='adam', learning_rate=1e-3,
+        unknown_type='real_imag', raw_data_type='intensity',
+        initial_guess=[obj0_r, obj0_i],
+        probe_type='plane',
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        dynamic_rate=False)
+    csv = os.path.join(str(tmp_path), 'refmd', 'convergence',
+                       'loss_rank_0.txt')
+    ref = np.atleast_1d(np.genfromtxt(csv, delimiter=',', names=True)['loss'])
+
+    # The reference interprets a real_imag initial_guess as (MAGNITUDE,
+    # PHASE) and converts (``adorym/util.py:123-124``); mirror that here.
+    obj0 = np.stack([obj0_r * np.cos(obj0_i),
+                     obj0_r * np.sin(obj0_i)], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=data ** 2, probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, model=multidist)
+    ours = []
+    for ep in range(4):
+        rec.i_opt_batch = 0
+        ours.append(rec.run_epoch(ep))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4)

@@ -124,3 +124,27 @@ def write_data_file(path: str, data: np.ndarray, *, theta=None,
             f.create_dataset('metadata/psize_cm', data=float(psize_cm))
         if free_prop_cm is not None:
             f.create_dataset('metadata/free_prop_cm', data=np.asarray(free_prop_cm))
+
+
+def parse_source_folder(src_dir, prefix):
+    """Enumerate a ``prefix_<iTheta>_<iDist>.tiff`` folder in (theta, dist)
+    order (``adorym/misc.py:214-230``).
+
+    Returns (sorted file list, n_theta, n_dists, raw image shape).
+    """
+    import glob
+    import re
+    from .output import read_tiff
+    flist = glob.glob(os.path.join(src_dir, prefix + '*.tif*'))
+    if not flist:
+        raise FileNotFoundError(f'no {prefix}*.tif* in {src_dir}')
+    raw_shape = np.squeeze(read_tiff(flist[0])).shape
+    theta_full, dist_full = [], []
+    for f in flist:
+        nums = re.findall(r'\d+', os.path.basename(f))
+        theta_full.append(int(nums[-2]))
+        dist_full.append(int(nums[-1]))
+    n_theta = len(np.unique(theta_full))
+    n_dists = len(flist) // n_theta
+    order = np.argsort(np.asarray(theta_full) * n_dists + np.asarray(dist_full))
+    return [flist[i] for i in order], n_theta, n_dists, raw_shape

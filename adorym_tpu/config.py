@@ -152,9 +152,13 @@ class ParallelConfig:
     object_axis: int = 1    # number of devices sharding the object's y extent
     axis_names: Tuple[str, str] = ('dp', 'op')
     # Explicit halo-exchange patch gather (parallel/halo.py) instead of
-    # GSPMD auto-partitioning; requires the padded object's y extent to
-    # divide object_axis and the probe to fit one shard slab.
-    use_halo_gather: bool = False
+    # GSPMD auto-partitioning (which all-gathers the FULL object for the
+    # patch gather, defeating op-sharding for exactly the objects that
+    # need it).  'auto' (default): use whenever the geometry allows —
+    # the padded object's y extent divides object_axis and the probe fits
+    # one shard slab; True: require (warns + falls back if ineligible);
+    # False: always GSPMD.
+    use_halo_gather: Union[bool, str] = 'auto'
     # Out-of-core: keep the object's optimizer state (Adam moments,
     # momentum velocity, Curveball z — 1-2x the object size) in HOST memory
     # (pinned_host), streamed through HBM once per update inside the jitted

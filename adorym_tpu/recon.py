@@ -203,7 +203,7 @@ class Reconstructor:
         # (opt-in; see parallel/halo.py).
         self._gather_fn = None
         if (mesh is not None and cfg.parallel.object_axis > 1
-                and cfg.parallel.use_halo_gather
+                and cfg.parallel.use_halo_gather  # 'auto' or True
                 and self.model is ptycho_model):
             y_pad = geo.obj_size[0] + int(self.pad_arr[0][0] + self.pad_arr[0][1])
             n_op = cfg.parallel.object_axis
@@ -211,11 +211,12 @@ class Reconstructor:
                 from .parallel.halo import sharded_patch_gather
                 self._gather_fn = (lambda o, p, ps:
                                    sharded_patch_gather(o, p, ps, mesh))
-            else:
+            elif cfg.parallel.use_halo_gather is True:
                 import warnings
                 warnings.warn('use_halo_gather requested but geometry does '
                               'not satisfy its constraints; falling back to '
-                              'GSPMD partitioning')
+                              'GSPMD partitioning (full-object all-gather '
+                              'for the patch gather)')
         if self._gather_fn is None and self.model is ptycho_model:
             # The scan table is static and pad_arr was computed from it, so
             # every window is provably in range: use the plain clamped

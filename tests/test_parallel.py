@@ -115,3 +115,72 @@ class TestSharded:
         sharding = rec.params['obj'].sharding
         spec = sharding.spec
         assert spec[0] == 'op', f'object lost its sharding: {spec}'
+
+
+def test_halo_gather_avoids_full_object_allgather():
+    """Sharded MEMORY, not just sharded math: with the (auto-selected) halo
+    gather, the lowered program contains NO all-gather of the full object —
+    GSPMD's auto-partitioning materializes one for the patch gather, which
+    defeats op-sharding for objects that need it."""
+    import re
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from adorym_tpu.config import (Geometry, ParallelConfig, ReconConfig,
+                                   TrainConfig)
+    from adorym_tpu.parallel.mesh import make_mesh
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.utils.initialize import initialize_probe
+
+    n, pn = 32, 8
+    rng = np.random.default_rng(0)
+    obj_true = np.stack([rng.random((n, n, 4)) * 1e-3,
+                         rng.random((n, n, 4)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=2,
+                             probe_phase_sigma=2, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 8)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta = np.zeros(1, np.float32)
+
+    def full_object_allgathers(use_halo):
+        pcfg = ParallelConfig(data_axis=4, object_axis=2,
+                              use_halo_gather=use_halo)
+        cfg = ReconConfig(
+            geometry=Geometry(obj_size=(n, n, 4), probe_size=(pn, pn),
+                              energy_ev=5000.0, psize_cm=1e-7,
+                              free_prop_cm='inf'),
+            train=TrainConfig(minibatch_size=4, learning_rate=1e-5,
+                              update_scheme='per angle',
+                              rotate_out_of_loop=True),
+            parallel=pcfg)
+        data = simulate(cfg, obj_true, probe, pos, theta)
+        mesh = make_mesh(pcfg)
+        rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                            theta_ls=theta,
+                            obj_init=np.zeros_like(obj_true), mesh=mesh)
+        if use_halo == 'auto':
+            assert rec._gather_fn is not None, 'auto halo did not engage'
+        batch = {
+            'i_theta': jnp.asarray(0, jnp.int32),
+            'theta': jnp.asarray(0.0, jnp.float32),
+            'pos_batch': jax.device_put(jnp.asarray(pos[:4], jnp.float32),
+                                        NamedSharding(mesh, P('dp'))),
+            'ind_batch': jax.device_put(jnp.arange(4, dtype=jnp.int32),
+                                        NamedSharding(mesh, P('dp')))}
+        meas = jax.device_put(jnp.asarray(data[0][:4]),
+                              NamedSharding(mesh, P('dp')))
+        txt = rec._grad_step.lower(rec.params, batch, meas,
+                                   None).compile().as_text()
+        # The object is [32, 32, 4, 2] (pad 0 here); any all-gather whose
+        # result carries the full 32-row y extent re-materializes it.
+        ags = re.findall(r'all-gather[^\n]*', txt)
+        return [a for a in ags if re.search(r'\[32,32,4', a)]
+
+    assert full_object_allgathers('auto') == []
+    # ... while plain GSPMD partitioning does all-gather the object
+    # (documents WHY the halo gather exists; if XLA ever stops doing this,
+    # the halo path can be retired).
+    assert len(full_object_allgathers(False)) >= 1

@@ -77,12 +77,19 @@ def measure_ours() -> float:
     # the tunnel round-trip — and axon's block_until_ready is a no-op).
     rec.run_epoch(0)
     n_batches = len(rec.make_batches(np.random.default_rng(0)))
-    best = 0.0
-    for r in range(5):
+    # Median of steady-state epochs: the shared axon pool's throughput
+    # varies ~2x across the day; the median of several compile-excluded
+    # epochs is far more stable than a single epoch (or a best-of, which
+    # only reports the pool's luckiest moment).
+    rates = []
+    for r in range(7):
         t0 = time.time()
         rec.run_epoch(1 + r)
-        best = max(best, n_batches * MINIBATCH / (time.time() - t0))
-    return best
+        rates.append(n_batches * MINIBATCH / (time.time() - t0))
+    rates.sort()
+    print(f'per-epoch patterns/s: {[round(r, 1) for r in rates]}',
+          file=sys.stderr)
+    return rates[len(rates) // 2]
 
 
 def measure_reference_baseline() -> float:
@@ -128,10 +135,12 @@ def measure_reference_baseline() -> float:
         loss.backward()
 
     one_step()  # warmup
-    t0 = time.time()
-    one_step()
-    dt = time.time() - t0
-    return MINIBATCH / dt
+    best_dt = float('inf')
+    for _ in range(3):  # best-of: most generous to the reference
+        t0 = time.time()
+        one_step()
+        best_dt = min(best_dt, time.time() - t0)
+    return MINIBATCH / best_dt
 
 
 def get_baseline() -> dict:
@@ -140,8 +149,17 @@ def get_baseline() -> dict:
             return json.load(f)
     try:
         pps_1rank = measure_reference_baseline()
+        # Why assumed ideal 8x and not a real ``mpirun -n 8``: this image
+        # has no MPI stack (no mpirun/mpiexec, no mpi4py) and exposes ONE
+        # CPU core (nproc=1), so an 8-rank run is impossible here — and
+        # would be SLOWER than 1 rank if oversubscribed onto one core.
+        # Ideal linear scaling is therefore a strict upper bound on the
+        # reference, making vs_baseline a LOWER bound on the speedup.
         entry = {'reference_patterns_per_sec_1rank_cpu': pps_1rank,
                  'assumed_ranks': 8,
+                 'assumption': 'ideal 8x scaling; no MPI stack and nproc=1 '
+                               'in this image, so vs_baseline is a lower '
+                               'bound on the true speedup',
                  'reference_patterns_per_sec_8rank_cpu': pps_1rank * 8}
     except Exception as e:  # reference not runnable here
         entry = {'error': f'{type(e).__name__}: {e}',

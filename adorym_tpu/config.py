@@ -137,9 +137,18 @@ class TrainConfig:
     run_bfloat16: bool = False
     # Fused Pallas multislice kernel: 'auto' (TPU only) | 'on' | 'off'.
     fused_multislice: str = 'auto'
-    # Patch-granular gradient accumulation in the angle-fused step
-    # (experimental: measured slower than XLA's scatter on v5e).
+    # Patch-granular gradient accumulation in the angle-fused step (auto-
+    # enabled when the scan table is a constant-stride grid — see
+    # ops/patches.detect_row_grid; this flag forces it for other tables,
+    # where the fori-loop scatter usually loses to XLA's).
     patch_grad: bool = False
+    # How rotate_out_of_loop rotates the accumulated gradient back to the
+    # 0-deg frame: False (default) interpolates at -theta exactly like the
+    # reference (``adorym/ptychography.py:1069-1078`` rotates the gradient
+    # array with reverse coordinates) — a bilinear GATHER, ~3x faster than
+    # the scatter-heavy exact transpose; True uses the exact linear-map
+    # transpose of the forward rotation.
+    exact_grad_rotation: bool = False
     seed: int = 0
 
 

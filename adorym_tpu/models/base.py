@@ -39,7 +39,7 @@ def _safe_sqrt_jvp(primals, tangents):
 
 def mismatch_loss(pred_mag, measured, loss_type='lsq',
                   raw_data_type='magnitude', poisson_multiplier=1.0,
-                  beamstop_mask=None):
+                  beamstop_mask=None, per_item=False):
     """Data-mismatch loss on detected magnitudes.
 
     Matches ``ForwardModel.get_mismatch_loss`` (``adorym/forward_model.py:88-103``):
@@ -51,6 +51,10 @@ def mismatch_loss(pred_mag, measured, loss_type='lsq',
 
     ``beamstop_mask``: optional {0,1} float map over detector pixels; loss is
     averaged over unmasked pixels only (``adorym/forward_model.py:121-135``).
+
+    ``per_item=True`` returns the per-pattern pixel means ``[N]`` instead of
+    the batch scalar (``mean(per_item(...)) == mismatch_loss(...)``) — used
+    by the fused multi-batch gradient path to keep per-batch loss logging.
     """
     measured = jnp.abs(measured)
     if loss_type == 'lsq':
@@ -63,9 +67,15 @@ def mismatch_loss(pred_mag, measured, loss_type='lsq',
         per_pixel = pred_i - d * m * jnp.log(jnp.maximum(pred_i, 1e-12))
     else:
         raise ValueError(f'unknown loss_function_type {loss_type}')
+    pixel_axes = tuple(range(1, per_pixel.ndim))
     if beamstop_mask is not None:
         mask = beamstop_mask.astype(per_pixel.dtype)
+        if per_item:
+            return (jnp.sum(per_pixel * mask, axis=pixel_axes)
+                    / jnp.sum(mask))
         return jnp.sum(per_pixel * mask) / (jnp.sum(mask) * pred_mag.shape[0])
+    if per_item:
+        return jnp.mean(per_pixel, axis=pixel_axes)
     return jnp.mean(per_pixel)
 
 

@@ -112,6 +112,71 @@ def extract_patches_vacuum(obj, positions, probe_size,
     return jax.vmap(slice_one)(positions)
 
 
+def detect_row_grid(pos_table, minibatch_size, probe_size):
+    """Host-side check whether every minibatch of the (static) scan table is
+    one constant-stride grid row: same y, x = x0 + s*j with ``s`` dividing
+    the probe width.
+
+    When it holds, the per-batch gradient scatter-add reduces to ``k = px/s``
+    static shifted adds + one contiguous tile update
+    (:func:`scatter_rowgrid_add`) instead of XLA's generic scatter, which
+    runs ~5x off the HBM roofline at flagship shapes.  Returns the stride
+    or None.
+    """
+    pos = np.round(np.asarray(pos_table)).astype(np.int64)
+    if pos.ndim != 2 or len(pos) == 0 or len(pos) % minibatch_size:
+        return None
+    if minibatch_size < 2:
+        return None
+    strides = set()
+    for b0 in range(0, len(pos), minibatch_size):
+        batch = pos[b0:b0 + minibatch_size]
+        if not np.all(batch[:, 0] == batch[0, 0]):
+            return None
+        dx = np.diff(batch[:, 1])
+        if not (np.all(dx == dx[0]) and dx[0] > 0):
+            return None
+        strides.add(int(dx[0]))
+    if len(strides) != 1:
+        return None
+    s = strides.pop()
+    if s > int(probe_size[1]) or int(probe_size[1]) % s:
+        return None
+    return s
+
+
+def scatter_rowgrid_add(acc, cot, y0, x0, stride):
+    """Add ``cot[N, py, px, ...]`` patch cotangents whose windows sit at
+    ``(y0, x0 + stride*j)`` into ``acc`` — the structured replacement for
+    the generic scatter (reference scatter semantics:
+    ``adorym/util.py:1070-1100``).
+
+    Split each patch's x axis into ``k = px/stride`` stride-wide lanes; lane
+    ``b`` of patch ``j`` lands at grid column ``j + b``, so the whole batch
+    collapses into ``k`` STATIC shifted adds over a ``[N+k-1]`` column
+    buffer, then one contiguous read-modify-write of the covered
+    ``[py, (N-1)*stride + px]`` tile.  No scatter op, no collisions — pure
+    sequential HBM traffic.
+    """
+    N, py, px = cot.shape[:3]
+    k = px // stride
+    trailing = cot.shape[3:]
+    z = jnp.reshape(cot, (N, py, k, stride) + trailing)
+    # k static shifted adds over the column-block axis (lane b of patch j
+    # lands at column block j + b).  Measured faster than an equivalent
+    # 0/1-matrix matmul formulation (tiny contraction dims starve the MXU:
+    # 1630 vs 910 patterns/s at flagship shapes).
+    w_buf = jnp.zeros((N + k - 1, py, stride) + trailing, cot.dtype)
+    for b in range(k):
+        w_buf = w_buf.at[b:b + N].add(z[:, :, b])
+    tile = jnp.moveaxis(w_buf, 0, 1)            # [py, N+k-1, stride, ...]
+    width = (N + k - 1) * stride                # = (N-1)*stride + px
+    tile = jnp.reshape(tile, (py, width) + trailing)
+    start = (y0, x0) + (0,) * (acc.ndim - 2)
+    cur = jax.lax.dynamic_slice(acc, start, (py, width) + acc.shape[2:])
+    return jax.lax.dynamic_update_slice(acc, cur + tile, start)
+
+
 def scatter_patches_add(obj, patches, positions):
     """Add ``patches[N, py, px, ...]`` into ``obj`` at ``positions[N, 2]``.
 

@@ -224,6 +224,31 @@ class Reconstructor:
             # than predict's default vacuum-masked gather, whose OOB
             # handling can never trigger here).
             self._gather_fn = patch_ops.extract_patches
+        # Structured scatter: when every minibatch is one constant-stride
+        # grid row (host-checkable — the table is static and batches are
+        # sequential slices), the angle-fused step accumulates gradients at
+        # patch granularity with scatter_rowgrid_add instead of XLA's
+        # generic scatter (~5x off roofline at flagship shapes).
+        self._rowgrid_stride = None
+        if (self.model is ptycho_model and mesh is None
+                and self.probe_pos.ndim == 2
+                and not cfg.train.randomize_probe_pos):
+            self._rowgrid_stride = patch_ops.detect_row_grid(
+                self.probe_pos, cfg.train.minibatch_size, geo.probe_size)
+        # Angle-fused gradient chunking (see angle_step): per-batch fixed
+        # costs amortize ~4x when several minibatches share one
+        # forward/backward, bounded by an HBM working-set estimate
+        # (~3 patch-stacks for fwd+bwd, leaving ~6 object-sized buffers for
+        # the rotate/accumulate pipeline).
+        patch_bytes = (cfg.train.minibatch_size * geo.probe_size[0]
+                       * geo.probe_size[1] * geo.obj_size[2] * 2 * 4)
+        obj_bytes = int(np.prod(geo.obj_size)) * 2 * 4
+        avail = 10e9 - 6 * obj_bytes
+        # ~6 patch-stack-sized buffers live through fwd+bwd (patches, their
+        # gradient, delta/beta splits, wave stacks) — measured at flagship
+        # shapes; g=12 (3 stacks assumed) OOMed by 0.2G on a 16G chip.
+        self._fuse_g = (int(max(1, min(64, avail // max(1, 6 * patch_bytes))))
+                        if avail > 0 else 1)
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
@@ -531,94 +556,154 @@ class Reconstructor:
         if not cfg.geometry.two_d_mode:
             from .ops.rotate import rotate, rotate_adjoint
             self._rotate_fwd = jax.jit(lambda o, th: rotate(o, th))
-            self._rotate_adj = jax.jit(lambda g, th: rotate_adjoint(g, th))
+            # Gradient rotate-back: the reference interpolates at -theta
+            # (``adorym/ptychography.py:1069-1078``) — a gather, ~3x faster
+            # than the scatter-heavy exact transpose.
+            if cfg.train.exact_grad_rotation:
+                grad_back = rotate_adjoint
+            else:
+                grad_back = lambda g, th: rotate(g, -th)
+            self._rotate_adj = jax.jit(grad_back)
+            self._grad_back = grad_back
 
         def angle_step(params, opt_state, theta, i_theta, pos_all, inds_all,
-                       measured_all, weight_l1, i_opt_batch, global_batch,
-                       support_mask):
+                       measured_all, w_all, weight_l1, i_opt_batch,
+                       global_batch, support_mask):
             """One whole angle in a single compiled program: rotate once,
-            scan over the angle's minibatches accumulating gradients,
-            adjoint-rotate the object gradient, apply the update.  Replaces
+            scan over the angle's minibatch CHUNKS accumulating gradients,
+            rotate the object gradient back, apply the update.  Replaces
             n_batches host dispatches with one — under remote-dispatch
             latency this is the difference between being latency-bound and
-            compute-bound."""
-            from .ops.rotate import rotate, rotate_adjoint
+            compute-bound.
+
+            Chunking: per-angle accumulation is linear, so ``fuse_g``
+            minibatches are differentiated in ONE forward/backward — the
+            per-batch fixed costs amortize (measured 4x fewer us/pattern at
+            flagship shapes going 23 -> 276 patterns per chunk).  The chunk
+            objective is the w-weighted sum of per-batch MEAN losses, so the
+            accumulated gradient (and Adam step) is bit-for-math identical
+            to the unfused loop; ``w`` zeroes the batches that only pad the
+            last chunk.  Inputs: pos/inds/measured ``[n_c, g*mb, ...]``,
+            ``w_all [n_c, g]``."""
+            from .ops.rotate import rotate
             if cfg.geometry.two_d_mode:
                 p_rot = params
             else:
                 p_rot = {**params, 'obj': rotate(params['obj'], theta)}
+            g = w_all.shape[1]
 
             predict_patches = getattr(self.model, 'predict_from_patches',
                                       None)
-            patch_mode = (cfg.train.patch_grad
+            patch_mode = ((cfg.train.patch_grad
+                           or self._rowgrid_stride is not None)
                           and predict_patches is not None
-                          and self.transform_measured is None)
+                          and self.transform_measured is None
+                          and self._gather_fn is patch_ops.extract_patches)
+
+            def per_batch_mismatch(pred, meas):
+                per_item = model_base.mismatch_loss(
+                    pred, meas, cfg.loss.loss_function_type,
+                    cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
+                    self.beamstop_mask, per_item=True)
+                return per_item.reshape(g, -1).mean(axis=1)
+
+            def reg_value(obj_rot):
+                if not self.reg_list:
+                    return 0.0
+                return regs.total_regularization(self.reg_list, obj_rot,
+                                                 weight_l1=weight_l1)
 
             if patch_mode:
                 # Differentiate at PATCH granularity and scatter-add into
                 # the accumulator ourselves: XLA's generic scatter in the
-                # extract_patches VJP runs ~5x off the HBM roofline, and it
+                # extract_patches VJP runs off the HBM roofline, and it
                 # would also materialize a full-object-sized zeros array
                 # per minibatch.
                 geo = cfg.geometry
+                mb = cfg.train.minibatch_size
                 obj_pad = patch_ops.pad_object(p_rot['obj'], self.pad_arr,
                                                cfg.train.unknown_type)
                 aux = {k: v for k, v in p_rot.items() if k != 'obj'}
                 pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
                                       jnp.int32)
 
-                def mismatch(subobj, aux_p, batch, meas):
+                def mismatch(subobj, aux_p, batch, meas, w):
                     pred = predict_patches(aux_p, batch, subobj, cfg)
-                    return model_base.mismatch_loss(
-                        pred, meas, cfg.loss.loss_function_type,
-                        cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
-                        self.beamstop_mask)
+                    per_batch = per_batch_mismatch(pred, meas)
+                    return jnp.sum(per_batch * w), per_batch
 
                 def body(carry, xs):
                     acc_obj, acc_aux = carry
-                    pos_b, inds_b, meas_b = xs
+                    pos_c, inds_c, meas_c, w = xs
                     batch = {'i_theta': i_theta, 'theta': theta,
-                             'pos_batch': pos_b, 'ind_batch': inds_b}
-                    pos_int = jnp.round(pos_b).astype(jnp.int32) + pad_off
+                             'pos_batch': pos_c, 'ind_batch': inds_c}
+                    pos_int = jnp.round(pos_c).astype(jnp.int32) + pad_off
                     subobj = patch_ops.extract_patches(obj_pad, pos_int,
                                                        geo.probe_size)
-                    loss, (g_sub, g_aux) = jax.value_and_grad(
-                        mismatch, argnums=(0, 1))(subobj, aux, batch, meas_b)
-                    acc_obj = patch_ops.scatter_patches_add(acc_obj, g_sub,
-                                                            pos_int)
+                    (_, per_batch), (g_sub, g_aux) = jax.value_and_grad(
+                        mismatch, argnums=(0, 1), has_aux=True)(
+                            subobj, aux, batch, meas_c, w)
+                    if self._rowgrid_stride is not None:
+                        # Constant-stride grid rows: k static shifted adds +
+                        # one contiguous tile update per row — no scatter.
+                        for r in range(g):
+                            acc_obj = patch_ops.scatter_rowgrid_add(
+                                acc_obj, g_sub[r * mb:(r + 1) * mb],
+                                pos_int[r * mb, 0], pos_int[r * mb, 1],
+                                self._rowgrid_stride)
+                    else:
+                        acc_obj = patch_ops.scatter_patches_add(
+                            acc_obj, g_sub, pos_int)
                     acc_aux = jax.tree.map(jnp.add, acc_aux, g_aux)
-                    return (acc_obj, acc_aux), loss
+                    return (acc_obj, acc_aux), per_batch
 
                 zero = (jnp.zeros_like(obj_pad),
                         jax.tree.map(jnp.zeros_like, aux))
                 (acc_obj, acc_aux), losses = jax.lax.scan(
-                    body, zero, (pos_all, inds_all, measured_all))
+                    body, zero, (pos_all, inds_all, measured_all, w_all))
                 # Crop the padding halo (gradients into vacuum padding drop).
                 p = self.pad_arr
                 g_rot = acc_obj[p[0][0]:acc_obj.shape[0] - p[0][1],
                                 p[1][0]:acc_obj.shape[1] - p[1][1]]
                 # Regularizers act on the (rotated) object, identically in
-                # every accumulated batch: one grad scaled by n_batches.
+                # every accumulated batch: one grad scaled by the number of
+                # REAL batches.
                 if self.reg_list:
-                    n_b = pos_all.shape[0]
-                    g_reg = jax.grad(lambda o: regs.total_regularization(
-                        self.reg_list, o, weight_l1=weight_l1))(p_rot['obj'])
-                    g_rot = g_rot + n_b * g_reg
+                    n_real = jnp.sum(w_all)
+                    rv, g_reg = jax.value_and_grad(
+                        lambda o: reg_value(o))(p_rot['obj'])
+                    g_rot = g_rot + n_real * g_reg
+                    losses = losses + rv
                 acc = {**acc_aux, 'obj': g_rot}
             else:
-                def body(acc, xs):
-                    pos_b, inds_b, meas_b = xs
+                def chunk_loss(p, pos_c, inds_c, meas_c, w):
                     batch = {'i_theta': i_theta, 'theta': theta,
-                             'pos_batch': pos_b, 'ind_batch': inds_b}
-                    loss, grads = jax.value_and_grad(self.loss_fn)(
-                        p_rot, batch, meas_b, weight_l1)
-                    return jax.tree.map(jnp.add, acc, grads), loss
+                             'pos_batch': pos_c, 'ind_batch': inds_c}
+                    if self._gather_fn is not None:
+                        pred = self.predict_fn(p, batch, cfg, self.pad_arr,
+                                               gather_fn=self._gather_fn)
+                    else:
+                        pred = self.predict_fn(p, batch, cfg, self.pad_arr)
+                    if self.transform_measured is not None:
+                        meas_c = self.transform_measured(p, batch, meas_c,
+                                                         cfg)
+                    per_batch = per_batch_mismatch(pred, meas_c)
+                    rv = reg_value(p['obj'])
+                    total = jnp.sum(per_batch * w) + jnp.sum(w) * rv
+                    return total, per_batch + rv
+
+                def body(acc, xs):
+                    pos_c, inds_c, meas_c, w = xs
+                    (_, per_batch), grads = jax.value_and_grad(
+                        chunk_loss, has_aux=True)(p_rot, pos_c, inds_c,
+                                                  meas_c, w)
+                    return jax.tree.map(jnp.add, acc, grads), per_batch
 
                 zero = jax.tree.map(jnp.zeros_like, p_rot)
-                acc, losses = jax.lax.scan(body, zero,
-                                           (pos_all, inds_all, measured_all))
+                acc, losses = jax.lax.scan(
+                    body, zero, (pos_all, inds_all, measured_all, w_all))
             if not cfg.geometry.two_d_mode:
-                acc = {**acc, 'obj': rotate_adjoint(acc['obj'], theta)}
+                acc = {**acc, 'obj': self._grad_back(acc['obj'], theta)}
             params, opt_state = apply_step(params, opt_state, acc,
                                            i_opt_batch, global_batch,
                                            support_mask)
@@ -722,12 +807,28 @@ class Reconstructor:
                 w = jnp.where(denom > 0, jnp.max(o) / denom, 1.0)
                 self.weight_l1 = jnp.nan_to_num(w, nan=1.0, posinf=1.0)
             inds_arr = np.stack(inds_list)                    # [n_b, mb]
+            n_b = len(inds_list)
+            mb = inds_arr.shape[1]
+            # Fuse fuse_g minibatches per gradient chunk (see angle_step):
+            # pad the batch axis with repeats of the last batch, weighted 0.
+            g = min(self._fuse_g, n_b)
+            n_c = -(-n_b // g)
+            pad_b = n_c * g - n_b
+            w_arr = np.ones(n_b, np.float32)
+            if pad_b:
+                inds_arr = np.concatenate(
+                    [inds_arr, np.repeat(inds_arr[-1:], pad_b, axis=0)])
+                w_arr = np.concatenate([w_arr, np.zeros(pad_b, np.float32)])
             pos_table = (self.probe_pos if self.probe_pos.ndim == 2
                          else self.probe_pos[i_theta])
-            pos_all = jnp.asarray(pos_table[inds_arr], jnp.float32)
-            inds_all = jnp.asarray(inds_arr, jnp.int32)
+            pos_all = jnp.asarray(
+                pos_table[inds_arr].reshape(n_c, g * mb, 2), jnp.float32)
+            inds_all = jnp.asarray(inds_arr.reshape(n_c, g * mb), jnp.int32)
+            w_all = jnp.asarray(w_arr.reshape(n_c, g))
             with self.timers.time('data_staging'):
-                measured = jnp.asarray(self.data[i_theta][inds_arr])
+                measured = jnp.asarray(
+                    self.data[i_theta][inds_arr].reshape(
+                        (n_c, g * mb) + self.data.shape[2:]))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 dp = self.cfg.parallel.axis_names[0]
@@ -742,10 +843,11 @@ class Reconstructor:
                     self.params, self.opt_state,
                     jnp.asarray(self.theta_ls[i_theta], jnp.float32),
                     jnp.asarray(i_theta, jnp.int32),
-                    pos_all, inds_all, measured, self.weight_l1,
+                    pos_all, inds_all, measured, w_all, self.weight_l1,
                     jnp.asarray(self.i_opt_batch, jnp.int32),
                     jnp.asarray(self.global_batch, jnp.int32),
                     self.finite_support_mask)
+            losses = jnp.ravel(losses)[:n_b]
             self.i_opt_batch += 1
             self.global_batch += len(inds_list)
             self._rehome_state()

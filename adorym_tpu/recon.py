@@ -415,6 +415,40 @@ class Reconstructor:
                               name_suffix=suffix)
         out_lib.output_probe(np.asarray(self.params['probe']), inter,
                              name_suffix=suffix)
+        self._save_intermediate_params(inter, i_epoch, i_batch)
+
+    def _save_intermediate_params(self, inter: str, i_epoch: int,
+                                  i_batch: int):
+        """Refined-parameter history, reference layout
+        (``adorym/optimizers.py:1111-1160``): per-parameter folders under
+        ``intermediate/``; scalar offsets append to one file, array params
+        write per-epoch ``<name>_<epoch>.txt`` (``prj_affine_<epoch>.txt``
+        is what ``tools/affine_transform_images.py`` consumes)."""
+        ep = max(i_epoch, 0)
+        for name, v in self.params.items():
+            if name in ('obj', 'probe') or name not in self.specs:
+                continue
+            arr = np.asarray(v)
+            d = os.path.join(inter, 'prj_affine' if name == 'prj_affine_ls'
+                             else ('probe_pos' if name == 'probe_pos_correction'
+                                   else name))
+            os.makedirs(d, exist_ok=True)
+            if name in ('probe_pos_offset', 'prj_pos_offset'):
+                path = os.path.join(d, f'{name}.txt')
+                mode = 'a' if (i_epoch > 0 or i_batch > 0) else 'w'
+                with open(path, mode) as f:
+                    f.write(f'{i_epoch:4d}, {max(i_batch, 0):4d}, '
+                            f'{list(arr.flatten())}\n')
+            elif name == 'prj_affine_ls':
+                np.savetxt(os.path.join(d, f'prj_affine_{ep}.txt'),
+                           np.concatenate(arr, 0))
+            elif name == 'probe_pos_correction':
+                np.savetxt(os.path.join(d, f'probe_pos_correction_{ep}.txt'),
+                           arr.reshape(-1, arr.shape[-1]))
+            else:
+                np.savetxt(os.path.join(d, f'{name}_{ep}.txt'),
+                           np.atleast_1d(arr).reshape(arr.shape[0], -1)
+                           if arr.ndim > 1 else np.atleast_1d(arr))
 
     def save_checkpoint(self, i_epoch: int, i_batch: int):
         from .io import checkpoint as ckpt_lib

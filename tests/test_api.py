@@ -145,3 +145,46 @@ def test_metrics_fsc():
                        + np.fft.fftfreq(64)[None, :] * (-1.7)))).real
     shift = register_translation(shifted, img, upsample_factor=20)
     np.testing.assert_allclose(shift, [3.4, -1.7], atol=0.1)
+
+
+def test_intermediate_parameter_history(tmp_path):
+    """Refined-parameter histories land in the reference layout
+    (``adorym/optimizers.py:1111-1160``): intermediate/prj_affine/
+    prj_affine_<epoch>.txt etc. — the format tools/affine_transform_images
+    consumes."""
+    import dataclasses
+    from adorym_tpu.config import (Geometry, IOConfig, ReconConfig,
+                                   RefineConfig, TrainConfig)
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.utils.initialize import initialize_probe
+
+    n, pn = 24, 12
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', two_d_mode=True),
+        train=TrainConfig(minibatch_size=4, learning_rate=1e-4),
+        refine=RefineConfig(optimize_all_probe_pos=True,
+                            optimize_probe_pos_offset=True),
+        io=IOConfig(save_intermediate=True, save_intermediate_level='epoch',
+                    store_checkpoint=False, use_checkpoint=False))
+    rng = np.random.default_rng(0)
+    obj_true = np.stack([rng.random((n, n, 1)) * 1e-3,
+                         rng.random((n, n, 1)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=3,
+                             probe_phase_sigma=3, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 6)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    data = simulate(cfg, obj_true, probe, pos)
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                        obj_init=np.zeros_like(obj_true),
+                        output_folder=str(tmp_path / 'out'))
+    rec.run(n_epochs=2)
+    inter = tmp_path / 'out' / 'intermediate'
+    ppc = np.loadtxt(inter / 'probe_pos' / 'probe_pos_correction_1.txt')
+    assert ppc.shape == (len(pos), 2)
+    offs = (inter / 'probe_pos_offset' / 'probe_pos_offset.txt').read_text()
+    assert offs.strip()

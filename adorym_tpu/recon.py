@@ -797,6 +797,45 @@ class Reconstructor:
                 upd_params['obj'], cfg, support_mask)
             return upd_params, opt_state, loss
 
+        def epoch_fused(params, opt_state, theta_b, itheta_b, pos_b, inds_b,
+                        measured_b, weight_l1, i_opt_batch0, global_batch0,
+                        support_mask):
+            """A whole immediate-update epoch as ONE compiled program: scan
+            the per-batch train step over the epoch's (shuffled) batches.
+            For 2D workloads remote-dispatch latency dominates the tiny
+            per-batch compute; this replaces n_batches dispatches + host
+            stagings per epoch with one.  Shrink-wrap runs in-scan on its
+            reference cadence (``adorym/ptychography.py:1220-1225``)."""
+            t = cfg.train
+            has_mask = support_mask is not None
+
+            def body(carry, xs):
+                params, opt_state, mask = carry
+                i_b, th, it, pos, inds, meas = xs
+                batch = {'i_theta': it, 'theta': th, 'pos_batch': pos,
+                         'ind_batch': inds}
+                params, opt_state, loss = step(
+                    params, opt_state, batch, meas, weight_l1,
+                    i_opt_batch0 + i_b, global_batch0 + i_b,
+                    mask if has_mask else None)
+                if has_mask and t.shrink_cycle is not None:
+                    gate = jnp.logical_and(i_b > 0,
+                                           i_b % t.shrink_cycle == 0)
+                    shrunk = mask * (params['obj'][..., 0]
+                                     >= t.shrink_threshold)
+                    mask = jnp.where(gate, shrunk, mask)
+                return (params, opt_state, mask), loss
+
+            n_b = theta_b.shape[0]
+            carry0 = (params, opt_state,
+                      support_mask if has_mask else jnp.zeros((), jnp.float32))
+            (params, opt_state, mask), losses = jax.lax.scan(
+                body, carry0,
+                (jnp.arange(n_b, dtype=jnp.int32), theta_b, itheta_b,
+                 pos_b, inds_b, measured_b))
+            return params, opt_state, (mask if has_mask else None), losses
+
+        self._epoch_fused = jax.jit(epoch_fused, donate_argnums=donate)
         return jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------
@@ -935,6 +974,65 @@ class Reconstructor:
             self.timers.reset()
         return mean_loss
 
+    def _run_epoch_fused(self, i_epoch: int, batches, callback) -> float:
+        """Whole-epoch fusion for the immediate-update scheme (see
+        ``epoch_fused`` in _build_step): one device dispatch per epoch."""
+        t = self.cfg.train
+        n_b = len(batches)
+        theta_b = np.empty(n_b, np.float32)
+        itheta_b = np.empty(n_b, np.int32)
+        inds_arr = np.empty((n_b, t.minibatch_size), np.int64)
+        pos_b = np.empty((n_b, t.minibatch_size, 2), np.float32)
+        for i, (i_theta, inds) in enumerate(batches):
+            theta_b[i] = self.theta_ls[i_theta]
+            itheta_b[i] = i_theta
+            inds_arr[i] = inds
+            table = (self.probe_pos if self.probe_pos.ndim == 2
+                     else self.probe_pos[i_theta])
+            pos_b[i] = table[inds]
+        with self.timers.time('data_staging'):
+            measured = jnp.asarray(self.data[itheta_b[:, None], inds_arr])
+        with self.timers.time('train_step'):
+            self.params, self.opt_state, mask, losses = self._epoch_fused(
+                self.params, self.opt_state,
+                jnp.asarray(theta_b), jnp.asarray(itheta_b),
+                jnp.asarray(pos_b), jnp.asarray(inds_arr, jnp.int32),
+                measured, self.weight_l1,
+                jnp.asarray(self.i_opt_batch, jnp.int32),
+                jnp.asarray(self.global_batch, jnp.int32),
+                self.finite_support_mask)
+        if mask is not None:
+            self.finite_support_mask = mask
+        self.i_opt_batch += n_b
+        self.global_batch += n_b
+        self._rehome_state()
+        losses = [float(v) for v in np.asarray(losses)]
+        if callback is not None or self._logger is not None:
+            for b, l in enumerate(losses):
+                if callback is not None:
+                    callback(i_epoch, b, l)
+                if self._logger is not None:
+                    self._logger.log(i_epoch, b, l)
+        # Checkpoint / walltime at epoch granularity (the reference's
+        # per-batch cadence implies a host visit per batch).
+        if (self.output_folder is not None and self.cfg.io.store_checkpoint
+                and n_b >= self.cfg.io.n_batch_per_checkpoint):
+            self.save_checkpoint(i_epoch, n_b - 1)
+        t_max = self.cfg.io.t_max_min
+        if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
+            if self.output_folder is not None:
+                self.save_checkpoint(i_epoch, n_b - 1)
+            self.stop_requested = True
+        mean_loss = float(np.mean(losses))
+        self.loss_history.append(mean_loss)
+        if self.verbose:
+            dt = self.timers.total.get('train_step', 0.0) or 1e-9
+            self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
+                        f'{n_b * t.minibatch_size / dt:.1f} patterns/s '
+                        f'(fused epoch); {self.timers.summary()}')
+            self.timers.reset()
+        return mean_loss
+
     def run_epoch(self, i_epoch: int, rng: Optional[np.random.Generator] = None,
                   callback=None) -> float:
         if rng is None:
@@ -973,6 +1071,21 @@ class Reconstructor:
                 and (rol or self.cfg.geometry.two_d_mode)
                 and self.expand_indices is None and self.loader is None):
             return self._run_epoch_angles(i_epoch, batches, callback)
+        # Immediate-update epochs fuse into ONE compiled program (a scan of
+        # the per-batch step) when nothing needs a mid-epoch host visit:
+        # remote-dispatch latency dominates small 2D batches otherwise.
+        data_bytes = (self.data.dtype.itemsize * len(batches)
+                      * t.minibatch_size * int(np.prod(self.data.shape[2:]))
+                      if self.data is not None else np.inf)
+        if (not use_accum and not self.second_order
+                and self.external_algorithm is None
+                and self.loader is None and self.expand_indices is None
+                and self.mesh is None and not self._needs_weight_l1
+                and not (self.output_folder is not None
+                         and self.cfg.io.save_intermediate
+                         and self.cfg.io.save_intermediate_level == 'batch')
+                and data_bytes <= 1.5e9):
+            return self._run_epoch_fused(i_epoch, batches, callback)
         accum = None
         n_acc = 0
         obj_rot = None

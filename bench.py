@@ -78,18 +78,22 @@ def measure_ours() -> float:
     rec.run_epoch(0)
     n_batches = len(rec.make_batches(np.random.default_rng(0)))
     # Median of steady-state epochs: the shared axon pool's throughput
-    # varies ~2x across the day; the median of several compile-excluded
-    # epochs is far more stable than a single epoch (or a best-of, which
-    # only reports the pool's luckiest moment).
+    # varies ~2x WITHIN a run; time-boxed so slow-pool periods still get
+    # enough samples (min 7 epochs, up to ~4 minutes), then report the
+    # median of the later half (the pool often needs a few epochs to reach
+    # steady state).
     rates = []
-    for r in range(7):
+    t_start = time.time()
+    r = 0
+    while r < 7 or (time.time() - t_start < 240 and r < 24):
         t0 = time.time()
         rec.run_epoch(1 + r)
         rates.append(n_batches * MINIBATCH / (time.time() - t0))
-    rates.sort()
-    print(f'per-epoch patterns/s: {[round(r, 1) for r in rates]}',
+        r += 1
+    print(f'per-epoch patterns/s: {[round(x, 1) for x in rates]}',
           file=sys.stderr)
-    return rates[len(rates) // 2]
+    tail = sorted(rates[len(rates) // 2:])
+    return tail[len(tail) // 2]
 
 
 def measure_reference_baseline() -> float:

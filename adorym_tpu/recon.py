@@ -272,6 +272,7 @@ class Reconstructor:
         self._t_start = time.time()
         from .utils.profiling import Timers
         self.timers = Timers()
+        self._data_dev = None   # device-resident dataset (fused epochs)
         self.verbose = False
 
         # -- outputs / checkpointing (reference output tree; only active
@@ -798,20 +799,24 @@ class Reconstructor:
             return upd_params, opt_state, loss
 
         def epoch_fused(params, opt_state, theta_b, itheta_b, pos_b, inds_b,
-                        measured_b, weight_l1, i_opt_batch0, global_batch0,
+                        data_dev, weight_l1, i_opt_batch0, global_batch0,
                         support_mask):
             """A whole immediate-update epoch as ONE compiled program: scan
             the per-batch train step over the epoch's (shuffled) batches.
             For 2D workloads remote-dispatch latency dominates the tiny
             per-batch compute; this replaces n_batches dispatches + host
-            stagings per epoch with one.  Shrink-wrap runs in-scan on its
-            reference cadence (``adorym/ptychography.py:1220-1225``)."""
+            stagings per epoch with one.  The measured DATASET stays
+            device-resident across epochs (``data_dev``) — each scan step
+            gathers its batch rows on device, so epochs do zero H2D.
+            Shrink-wrap runs in-scan on its reference cadence
+            (``adorym/ptychography.py:1220-1225``)."""
             t = cfg.train
             has_mask = support_mask is not None
 
             def body(carry, xs):
                 params, opt_state, mask = carry
-                i_b, th, it, pos, inds, meas = xs
+                i_b, th, it, pos, inds = xs
+                meas = data_dev[it, inds]
                 batch = {'i_theta': it, 'theta': th, 'pos_batch': pos,
                          'ind_batch': inds}
                 params, opt_state, loss = step(
@@ -832,7 +837,7 @@ class Reconstructor:
             (params, opt_state, mask), losses = jax.lax.scan(
                 body, carry0,
                 (jnp.arange(n_b, dtype=jnp.int32), theta_b, itheta_b,
-                 pos_b, inds_b, measured_b))
+                 pos_b, inds_b))
             return params, opt_state, (mask if has_mask else None), losses
 
         self._epoch_fused = jax.jit(epoch_fused, donate_argnums=donate)
@@ -991,13 +996,16 @@ class Reconstructor:
                      else self.probe_pos[i_theta])
             pos_b[i] = table[inds]
         with self.timers.time('data_staging'):
-            measured = jnp.asarray(self.data[itheta_b[:, None], inds_arr])
+            if self._data_dev is None:
+                # Once per run: the dataset stays device-resident; every
+                # fused epoch gathers batch rows on device (zero H2D).
+                self._data_dev = jnp.asarray(self.data)
         with self.timers.time('train_step'):
             self.params, self.opt_state, mask, losses = self._epoch_fused(
                 self.params, self.opt_state,
                 jnp.asarray(theta_b), jnp.asarray(itheta_b),
                 jnp.asarray(pos_b), jnp.asarray(inds_arr, jnp.int32),
-                measured, self.weight_l1,
+                self._data_dev, self.weight_l1,
                 jnp.asarray(self.i_opt_batch, jnp.int32),
                 jnp.asarray(self.global_batch, jnp.int32),
                 self.finite_support_mask)

@@ -78,3 +78,15 @@ def profiler_trace(log_dir: Optional[str]):
         return
     with jax.profiler.trace(log_dir):
         yield
+
+
+def host_memory_rss_mb() -> Optional[float]:
+    """Host RSS in MB (the reference's CPU memory probe,
+    ``adorym/util.py:2214``); None when /proc is unavailable."""
+    try:
+        with open('/proc/self/statm') as f:
+            pages = int(f.read().split()[1])
+        import os
+        return pages * os.sysconf('SC_PAGE_SIZE') / 2 ** 20
+    except Exception:
+        return None

@@ -59,6 +59,13 @@ def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
     from .config import RefineConfig
     cfg = dataclasses.replace(cfg, refine=RefineConfig())
 
+    obj = np.asarray(obj)
+    probe = np.asarray(probe)
+    if obj.ndim != 4 or obj.shape[-1] != 2:
+        raise ValueError(f'obj must be [y, x, z, 2], got {obj.shape}')
+    if probe.ndim != 4 or probe.shape[-1] != 2:
+        raise ValueError(
+            f'probe must be [n_modes, py, px, 2], got {probe.shape}')
     if theta_ls is None:
         theta_ls = np.zeros(1)
     probe_pos = np.asarray(probe_pos, dtype=np.float64)

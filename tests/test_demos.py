@@ -38,6 +38,27 @@ def test_multidist_affine_demo(tmp_path):
     assert corr > 0.6, corr
 
 
+def test_probe_optimization_demo(tmp_path):
+    """Reference demos/2d_ptychography_w_probe_optimization: ifft-probe
+    retrieval + phase-only object + off-edge scan grid."""
+    m = _load('2d_ptychography_w_probe_optimization')
+    m.DATA_DIR = str(tmp_path)
+    m.DATA = str(tmp_path / 'data.h5')
+    corr, probe_corr = m.main(n_epochs=400, output_folder='recon_ci')
+    assert corr > 0.9, corr
+    assert probe_corr > 0.9, probe_corr
+
+
+def test_multidist_position_correction_demo(tmp_path):
+    """Reference demos/2d_multidist_holography_w_position_correction:
+    per-distance registration-shift refinement on misregistered frames."""
+    m = _load('2d_multidist_holography_w_position_correction')
+    m.DATA_DIR = str(tmp_path)
+    m.DATA = str(tmp_path / 'data_shift.h5')
+    corr = m.main(n_epochs=150, output_folder='recon_ci')
+    assert corr > 0.85, corr
+
+
 def test_position_correction_demo(tmp_path):
     """BASELINE config #3 (already shipped in round 1): cameraman with
     probe-position-error refinement — keep it covered too."""

@@ -142,6 +142,12 @@ class TrainConfig:
     # ops/patches.detect_row_grid; this flag forces it for other tables,
     # where the fori-loop scatter usually loses to XLA's).
     patch_grad: bool = False
+    # Hoist the ``binning`` z-reduction out of the per-chunk work: bin the
+    # rotated object ONCE per angle, extract/scatter patches at binned
+    # depth (8x less HBM traffic per gradient chunk at binning=8), expand
+    # the accumulated gradient back to full depth before the rotate-back.
+    # 'auto' (on when delta_beta + binning>1 + patch-granular step) | 'off'.
+    prebin_z: str = 'auto'
     # How rotate_out_of_loop rotates the accumulated gradient back to the
     # 0-deg frame: False (default) interpolates at -theta exactly like the
     # reference (``adorym/ptychography.py:1069-1078`` rotates the gradient

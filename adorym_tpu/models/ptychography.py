@@ -137,14 +137,22 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
 
 
 def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
-                         return_wave: bool = False):
+                         return_wave: bool = False, prebinned_z: bool = False):
     """Forward model from pre-extracted object patches ``[N, py, px, z, 2]``.
+
+    ``prebinned_z``: the patches' z axis is already reduced in bins of
+    ``geometry.binning`` (delta_beta sums) — the driver hoisted the bin
+    reduction to once per angle; skip re-binning in the propagator.
 
     Split out of :func:`predict` so the driver's angle-fused step can
     differentiate at PATCH granularity and scatter-add into its gradient
     accumulator directly (XLA's generic scatter in the extract_patches VJP
     runs well off the HBM roofline)."""
     geo = cfg.geometry
+    if prebinned_z and (geo.pure_projection or geo.slice_pos_cm_ls is not None
+                        or cfg.train.unknown_type != 'delta_beta'):
+        raise ValueError('prebinned_z requires the plain delta_beta '
+                         'multislice branch')
     probe = prepare_probe(params, batch, cfg)
     # [N, py, px, z, 2]
     delta = subobj[..., 0]
@@ -197,7 +205,8 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
             unknown_type=cfg.train.unknown_type,
             fresnel_approx=geo.fresnel_approx,
             sign_convention=geo.sign_convention,
-            scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa, fused=fused)
+            scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa, fused=fused,
+            prebinned=prebinned_z)
 
     if cfg.refine.optimize_prj_pos_offset:
         exit_wave = fourier_shift(exit_wave,

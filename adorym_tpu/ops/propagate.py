@@ -188,7 +188,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                          fresnel_approx=True, sign_convention=1,
                          scale_ri_by_k=True, kappa=None, repeats=None,
                          backprop=False, return_intermediate=False,
-                         fused='auto'):
+                         fused='auto', prebinned=False):
     """Multislice (Fresnel beam) propagation through an object batch.
 
     TPU-native equivalent of ``multislice_propagate_batch``
@@ -218,6 +218,13 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
       fused: 'auto' | True | False — use the fused Pallas MXU kernel
         (DFT-by-matmul, wave resident in VMEM) for the z scan.  'auto'
         enables it on TPU for 4D ``[modes, N, y, x]`` waves.
+      prebinned: the z axis of ``delta``/``beta`` is ALREADY binned (each
+        slice is the bin-sum of ``binning`` physical slices; requires
+        delta_beta, nz multiple of binning at bin time).  ``binning``
+        still sets the per-step propagation distance, but no further
+        z reduction is applied.  Lets the driver hoist the bin reduction
+        out of the per-minibatch work (one object-sized reduction per
+        angle instead of one patch-stack reduction per gradient chunk).
 
     Returns:
       Exit wave ``[..., y, x]`` (and the intermediate stack if requested).
@@ -261,15 +268,22 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
     # always joins the far-side bin — the short bin in both directions
     # (forward: last step, ``adorym/propagate.py:207-257``; backward: first
     # step, ``:381-383``).
-    delta_z = _pad_z_to_multiple(jnp.moveaxis(delta, -1, 0), binning,
-                                 unknown_type)
-    beta_z = _pad_z_to_multiple(jnp.moveaxis(beta, -1, 0), binning,
-                                unknown_type)
-    if backprop:
-        delta_z = delta_z[::-1]
-        beta_z = beta_z[::-1]
-    delta_z = _bin_slices(delta_z, binning, unknown_type)
-    beta_z = _bin_slices(beta_z, binning, unknown_type)
+    if prebinned:
+        delta_z = jnp.moveaxis(delta, -1, 0)
+        beta_z = jnp.moveaxis(beta, -1, 0)
+        if backprop:
+            delta_z = delta_z[::-1]
+            beta_z = beta_z[::-1]
+    else:
+        delta_z = _pad_z_to_multiple(jnp.moveaxis(delta, -1, 0), binning,
+                                     unknown_type)
+        beta_z = _pad_z_to_multiple(jnp.moveaxis(beta, -1, 0), binning,
+                                    unknown_type)
+        if backprop:
+            delta_z = delta_z[::-1]
+            beta_z = beta_z[::-1]
+        delta_z = _bin_slices(delta_z, binning, unknown_type)
+        beta_z = _bin_slices(beta_z, binning, unknown_type)
     n_steps = delta_z.shape[0]
 
     t_all = slice_modulator(delta_z, beta_z, k1, unknown_type, mod_sign)

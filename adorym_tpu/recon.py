@@ -240,8 +240,15 @@ class Reconstructor:
         # forward/backward, bounded by an HBM working-set estimate
         # (~3 patch-stacks for fwd+bwd, leaving ~6 object-sized buffers for
         # the rotate/accumulate pipeline).
+        nz_patch = geo.obj_size[2]
+        if (cfg.train.prebin_z == 'auto' and geo.binning > 1
+                and (cfg.train.patch_grad or self._rowgrid_stride is not None)
+                and cfg.train.unknown_type == 'delta_beta'
+                and not geo.pure_projection and geo.slice_pos_cm_ls is None):
+            # Patch stacks move at binned depth (prebin hoist, angle_step).
+            nz_patch = -(-nz_patch // geo.binning)
         patch_bytes = (cfg.train.minibatch_size * geo.probe_size[0]
-                       * geo.probe_size[1] * geo.obj_size[2] * 2 * 4)
+                       * geo.probe_size[1] * nz_patch * 2 * 4)
         obj_bytes = int(np.prod(geo.obj_size)) * 2 * 4
         avail = 10e9 - 6 * obj_bytes
         # ~6 patch-stack-sized buffers live through fwd+bwd (patches, their
@@ -658,12 +665,32 @@ class Reconstructor:
                 mb = cfg.train.minibatch_size
                 obj_pad = patch_ops.pad_object(p_rot['obj'], self.pad_arr,
                                                cfg.train.unknown_type)
+                # Hoist the binning z-reduction to once per angle: patches
+                # (and their scatter-added gradients) then move 1/binning
+                # of the HBM bytes per chunk.  The chunk math is unchanged
+                # — the propagator's bin step IS this sum (delta_beta), so
+                # summing before extraction == extracting then binning.
+                prebin = (cfg.train.prebin_z == 'auto'
+                          and geo.binning > 1
+                          and cfg.train.unknown_type == 'delta_beta'
+                          and not geo.pure_projection
+                          and geo.slice_pos_cm_ls is None)
+                nz_full = obj_pad.shape[2]
+                if prebin:
+                    pad_z = -nz_full % geo.binning
+                    ob = obj_pad
+                    if pad_z:
+                        ob = jnp.pad(ob, ((0, 0), (0, 0), (0, pad_z), (0, 0)))
+                    obj_pad = ob.reshape(ob.shape[0], ob.shape[1],
+                                         ob.shape[2] // geo.binning,
+                                         geo.binning, 2).sum(axis=3)
                 aux = {k: v for k, v in p_rot.items() if k != 'obj'}
                 pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
                                       jnp.int32)
 
                 def mismatch(subobj, aux_p, batch, meas, w):
-                    pred = predict_patches(aux_p, batch, subobj, cfg)
+                    pred = predict_patches(aux_p, batch, subobj, cfg,
+                                           prebinned_z=prebin)
                     per_batch = per_batch_mismatch(pred, meas)
                     return jnp.sum(per_batch * w), per_batch
 
@@ -700,6 +727,11 @@ class Reconstructor:
                 p = self.pad_arr
                 g_rot = acc_obj[p[0][0]:acc_obj.shape[0] - p[0][1],
                                 p[1][0]:acc_obj.shape[1] - p[1][1]]
+                if prebin:
+                    # Adjoint of the bin-sum: every physical slice gets its
+                    # bin's gradient (z-pad slices drop with the crop).
+                    g_rot = jnp.repeat(g_rot, geo.binning,
+                                       axis=2)[:, :, :nz_full]
                 # Regularizers act on the (rotated) object, identically in
                 # every accumulated batch: one grad scaled by the number of
                 # REAL batches.

@@ -147,3 +147,23 @@ def test_shrink_wrap_updates_in_fast_path():
         # A zero-initialized object sits below threshold almost everywhere:
         # the mask must have shrunk in both epoch paths.
         assert m.mean() < 0.9, (scheme, rol, m.mean())
+
+
+@pytest.mark.parametrize('binning', [4, 5])
+def test_prebin_z_hoist_matches_in_chunk_binning(binning):
+    """The prebin hoist (bin the rotated object once per angle, angle_step)
+    must reproduce the in-chunk binning trajectory: the propagator's bin
+    step is a z-sum (delta_beta), which commutes with patch extraction.
+    binning=5 exercises the short far-side bin (24 % 5 != 0)."""
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup(seed=3)
+    cfg_kw = dict(cfg_kw, binning=binning)
+    rec_off, loss_off = _run(cfg_kw, obj_true, probe, pos, theta_ls, data,
+                             update_scheme='per angle',
+                             rotate_out_of_loop=True, prebin_z='off')
+    rec_on, loss_on = _run(cfg_kw, obj_true, probe, pos, theta_ls, data,
+                           update_scheme='per angle',
+                           rotate_out_of_loop=True, prebin_z='auto')
+    # Sum-order roundoff only (float32 bin sums associate differently).
+    np.testing.assert_allclose(loss_on, loss_off, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec_on.params['obj']),
+                               np.asarray(rec_off.params['obj']), atol=1e-6)

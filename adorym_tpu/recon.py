@@ -256,6 +256,16 @@ class Reconstructor:
         # shapes; g=12 (3 stacks assumed) OOMed by 0.2G on a 16G chip.
         self._fuse_g = (int(max(1, min(64, avail // max(1, 6 * patch_bytes))))
                         if avail > 0 else 1)
+        # Device-resident dataset for the angle path: per-angle H2D staging
+        # serializes with compute on remote-dispatch links (measured 4-5x
+        # epoch wall at the flagship on the axon tunnel).  Enable when the
+        # dataset fits alongside the working set (object buffers + fused
+        # patch stacks); multi-chip keeps per-angle staging (the dataset
+        # would need dp-sharding, and local links don't have the problem).
+        ws_bytes = 6 * obj_bytes + 6 * patch_bytes * self._fuse_g
+        self._data_dev_ok = (mesh is None
+                             and self.data is not None
+                             and self.data.nbytes <= 14.5e9 - ws_bytes)
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
@@ -936,9 +946,17 @@ class Reconstructor:
             inds_all = jnp.asarray(inds_arr.reshape(n_c, g * mb), jnp.int32)
             w_all = jnp.asarray(w_arr.reshape(n_c, g))
             with self.timers.time('data_staging'):
-                measured = jnp.asarray(
-                    self.data[i_theta][inds_arr].reshape(
-                        (n_c, g * mb) + self.data.shape[2:]))
+                if self._data_dev_ok:
+                    if self._data_dev is None:
+                        self._data_dev = jnp.asarray(self.data)
+                    # Zero per-angle H2D: gather the angle's rows on device.
+                    measured = self._data_dev[i_theta][
+                        jnp.asarray(inds_arr)].reshape(
+                            (n_c, g * mb) + self.data.shape[2:])
+                else:
+                    measured = jnp.asarray(
+                        self.data[i_theta][inds_arr].reshape(
+                            (n_c, g * mb) + self.data.shape[2:]))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 dp = self.cfg.parallel.axis_names[0]

@@ -256,6 +256,13 @@ class Reconstructor:
         # shapes; g=12 (3 stacks assumed) OOMed by 0.2G on a 16G chip.
         self._fuse_g = (int(max(1, min(64, avail // max(1, 6 * patch_bytes))))
                         if avail > 0 else 1)
+        # NOTE (negative result): a whole-chunk custom-VJP gather whose
+        # backward is ops/patches.scatter_grid2d_add (separable two-pass
+        # grid scatter, no per-row tile RMW) measured FASTER standalone
+        # (51 vs 64 ms) but SLOWER inside the compiled angle program
+        # (interleaved A/B: 5.5-5.8k vs 6.6-7.3k patterns/s) — the
+        # custom_vjp boundary blocks fusion the in-line rowgrid loop gets.
+        # The ops stay (tested, used by tools/profile_flagship.py).
         # Device-resident dataset for the angle path: per-angle H2D staging
         # serializes with compute on remote-dispatch links (measured 4-5x
         # epoch wall at the flagship on the axon tunnel).  Enable when the

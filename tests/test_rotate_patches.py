@@ -240,3 +240,38 @@ def test_chunked_rotation_matches_unchunked(monkeypatch):
     lhs = float(jnp.vdot(fwd, cot))
     rhs = float(jnp.vdot(x, adj))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_grid_extractor_vjp_matches_generic():
+    """make_grid_extractor's custom backward (separable grid scatter) must
+    equal the generic extract_patches VJP."""
+    import jax
+    import jax.numpy as jnp
+    from adorym_tpu.ops import patches as p
+
+    rng = np.random.default_rng(0)
+    rows, cols, py, px, s = 3, 4, 12, 12, 4
+    obj = jnp.asarray(rng.random((30, 40, 5, 2)).astype(np.float32))
+    ct_seed = jnp.asarray(rng.random((rows * cols, py, px, 5, 2))
+                          .astype(np.float32))
+    y0, x0 = 2, 3
+    yy = y0 + s * np.repeat(np.arange(rows), cols)
+    xx = x0 + s * np.tile(np.arange(cols), rows)
+    pos = jnp.asarray(np.stack([yy, xx], -1), jnp.int32)
+
+    ex = p.make_grid_extractor(s, rows, cols, (py, px))
+    origin = jnp.asarray([y0, x0], jnp.float32)
+
+    out_grid = ex(obj, origin)
+    out_ref = p.extract_patches(obj, pos, (py, px))
+    np.testing.assert_array_equal(np.asarray(out_grid), np.asarray(out_ref))
+
+    def loss_grid(o):
+        return jnp.sum(ex(o, origin) * ct_seed)
+
+    def loss_ref(o):
+        return jnp.sum(p.extract_patches(o, pos, (py, px)) * ct_seed)
+
+    g1 = jax.grad(loss_grid)(obj)
+    g2 = jax.grad(loss_ref)(obj)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

@@ -206,7 +206,7 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
             fresnel_approx=geo.fresnel_approx,
             sign_convention=geo.sign_convention,
             scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa, fused=fused,
-            prebinned=prebinned_z)
+            prebinned=prebinned_z, mxu_bf16=cfg.train.run_bfloat16)
 
     if cfg.refine.optimize_prj_pos_offset:
         exit_wave = fourier_shift(exit_wave,

@@ -188,7 +188,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                          fresnel_approx=True, sign_convention=1,
                          scale_ri_by_k=True, kappa=None, repeats=None,
                          backprop=False, return_intermediate=False,
-                         fused='auto', prebinned=False):
+                         fused='auto', prebinned=False, mxu_bf16=False):
     """Multislice (Fresnel beam) propagation through an object batch.
 
     TPU-native equivalent of ``multislice_propagate_batch``
@@ -308,7 +308,8 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         interpret = jax.default_backend() != 'tpu'
         return multislice_fused(t_all.astype(jnp.complex64),
                                 wave.astype(jnp.complex64),
-                                kernel.astype(jnp.complex64), interpret)
+                                kernel.astype(jnp.complex64), interpret,
+                                mxu_bf16)
 
     def step(wv, t):
         wv_in = wv

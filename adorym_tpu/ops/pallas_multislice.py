@@ -191,6 +191,130 @@ def _bwd_kernel(t_r_ref, t_i_ref, inter_r_ref, inter_i_ref,
         gw_i_ref[:] = a_i[:]
 
 
+# ---------------------------------------------------------------------------
+# delta/beta-fused variant: modulator computed IN-KERNEL, backward
+# reconstructs the forward wavefields by INVERTING the propagation
+# ---------------------------------------------------------------------------
+
+def _db_mod(d, b, k1, s):
+    """Slice transmission t = exp(-k1*b) * exp(-i*s*k1*d) as (re, im)."""
+    amp = jnp.exp(-k1 * b)
+    ph = -s * k1 * d
+    return amp * jnp.cos(ph), amp * jnp.sin(ph)
+
+
+def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
+                   fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                   out_r_ref, out_i_ref, w_r, w_i, *, k1, s):
+    """Like _fwd_kernel but takes the two REAL object channels and computes
+    the complex modulator on the VPU — half the modulator stream bytes and
+    NO intermediate-wavefield output (the backward reconstructs them)."""
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+
+    @pl.when(step == 0)
+    def _():
+        w_r[:] = w0_r_ref[:]
+        w_i[:] = w0_i_ref[:]
+
+    tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
+    mr = w_r[:] * tr - w_i[:] * ti
+    mi = w_r[:] * ti + w_i[:] * tr
+
+    @pl.when(step < n_steps - 1)
+    def _():
+        mats = (fy_r[:], fy_i[:], fx_r[:], fx_i[:],
+                gy_r[:], gy_i[:], gx_r[:], gx_i[:])
+        pr, pi = _propagate_block(mr, mi, h_r_ref[:], h_i_ref[:], mats)
+        w_r[:] = pr
+        w_i[:] = pi
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        out_r_ref[:] = mr
+        out_i_ref[:] = mi
+
+
+def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
+                   h_r_ref, h_i_ref,
+                   fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                   gd_ref, gb_ref, gw_r_ref, gw_i_ref,
+                   a_r, a_i, v_r, v_i, *, k1, s):
+    """Reverse sweep with NO stored intermediates: the Fresnel step is
+    invertible (H is unit-modulus under the paraxial approximation and the
+    delta_beta transmission never vanishes), so the pre-modulation
+    wavefield of every step is reconstructed on the fly:
+    ``m(z) = P^{-1}(w(z+1))``, ``w(z) = m(z) / t(z)``, with
+    ``P^{-1} = IFFT . conj(H) . FFT`` and ``1/t = exp(+k1*b)*exp(+i*s*k1*d)``
+    computed directly from the object channels (no division).
+    Cotangent flow is the plain transpose, as in _bwd_kernel."""
+    st = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+
+    @pl.when(st == 0)
+    def _():
+        a_r[:] = g_r_ref[:]
+        a_i[:] = g_i_ref[:]
+        v_r[:] = out_r_ref[:]        # m(S-1) = exit wave (no final prop)
+        v_i[:] = out_i_ref[:]
+
+    @pl.when(st > 0)
+    def _():
+        # Cotangent through the transpose of the following propagation:
+        # P^T = F H G (swapped transform order, H unconjugated).
+        mats_t = (gy_r[:], gy_i[:], gx_r[:], gx_i[:],
+                  fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+        pr, pi = _propagate_block(a_r[:], a_i[:], h_r_ref[:], h_i_ref[:],
+                                  mats_t)
+        a_r[:] = pr
+        a_i[:] = pi
+        # Wave reconstruction through the inverse: m(z) = P^{-1}(w(z+1)).
+        mats_f = (fy_r[:], fy_i[:], fx_r[:], fx_i[:],
+                  gy_r[:], gy_i[:], gx_r[:], gx_i[:])
+        qr, qi = _propagate_block(v_r[:], v_i[:], h_r_ref[:], -h_i_ref[:],
+                                  mats_f)
+        v_r[:] = qr
+        v_i[:] = qi
+
+    d = d_ref[0]
+    b = b_ref[0]
+    amp = jnp.exp(-k1 * b)
+    ph = -s * k1 * d
+    cph = jnp.cos(ph)
+    sph = jnp.sin(ph)
+    tr = amp * cph
+    ti = amp * sph
+    inv_amp = jnp.exp(k1 * b)
+    ur = inv_amp * cph
+    ui = -inv_amp * sph
+    # w(z) = m(z) * (1/t)
+    wr = v_r[:] * ur - v_i[:] * ui
+    wi = v_r[:] * ui + v_i[:] * ur
+    # Modulator cotangent gt = sum_modes(a * w) (unconjugated), chained
+    # through t = exp(u), u = -k1*b + i*(-s*k1*d): cot_u = gt * t, then the
+    # real->complex boundary (verified against jax.vjp of slice_modulator):
+    # cot_b = -k1*Re(cot_u); cot_d = +s*k1*Im(cot_u) (JAX's ``complex``
+    # primitive transpose conjugates — the imag channel flips sign).
+    gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
+    gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
+    cu_r = gt_r * tr - gt_i * ti
+    cu_i = gt_r * ti + gt_i * tr
+    gb_ref[0] = -k1 * cu_r
+    gd_ref[0] = s * k1 * cu_i
+    # Cotangent through the modulation (plain multiply), carry w.
+    na_r = a_r[:] * tr - a_i[:] * ti
+    na_i = a_r[:] * ti + a_i[:] * tr
+    a_r[:] = na_r
+    a_i[:] = na_i
+    v_r[:] = wr
+    v_i[:] = wi
+
+    @pl.when(st == n_steps - 1)
+    def _():
+        gw_r_ref[:] = a_r[:]
+        gw_i_ref[:] = a_i[:]
+
+
 def _dft_mats(ny, nx):
     fy = dft_matrix(ny)
     fx = dft_matrix(nx)
@@ -378,3 +502,138 @@ def _multislice_fused_bwd(interpret, bf16, res, g):
 
 
 multislice_fused.defvjp(_multislice_fused_fwd, _multislice_fused_bwd)
+
+
+def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
+                 bf16=False):
+    with _dot_precision(bf16):
+        n_steps, N0, ny, nx = d.shape
+        M = w_r.shape[0]
+        NB = _pick_nb(M, N0, ny, nx)
+        # d/b pad with 0 = identity modulation for delta_beta.
+        (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
+                                         (0.0, 0.0, 0.0, 0.0))
+        n_blocks = N // NB
+        mats = _dft_mats(ny, nx)
+        vmem = pltpu.VMEM
+        db_spec = pl.BlockSpec((1, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
+                               memory_space=vmem)
+        w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
+                               memory_space=vmem)
+        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
+                              memory_space=vmem)
+
+        def m_spec(n):
+            return pl.BlockSpec((n, n), lambda bk, st: (0, 0),
+                                memory_space=vmem)
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+        )
+        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        out = pl.pallas_call(
+            functools.partial(_fwd_db_kernel, k1=k1, s=s),
+            grid=(n_blocks, n_steps),
+            in_specs=[db_spec, db_spec, w0_spec, w0_spec, h_spec, h_spec]
+                     + mat_specs,
+            out_specs=(w0_spec, w0_spec),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
+            interpret=interpret,
+        )(d, b, w_r, w_i, h_r, h_i, *mats)
+        return out
+
+
+def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
+                 interpret=False, bf16=False):
+    with _dot_precision(bf16):
+        n_steps, N0, ny, nx = d.shape
+        M = g_r.shape[0]
+        NB = _pick_nb(M, N0, ny, nx)
+        (d, b, out_r, out_i, g_r, g_i), N = _pad_batch(
+            (d, b, out_r, out_i, g_r, g_i), N0, NB,
+            (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        n_blocks = N // NB
+        mats = _dft_mats(ny, nx)
+        vmem = pltpu.VMEM
+        db_rev = pl.BlockSpec((1, NB, ny, nx),
+                              lambda bk, st: (n_steps - 1 - st, bk, 0, 0),
+                              memory_space=vmem)
+        w_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
+                              memory_space=vmem)
+        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
+                              memory_space=vmem)
+
+        def m_spec(n):
+            return pl.BlockSpec((n, n), lambda bk, st: (0, 0),
+                                memory_space=vmem)
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+        )
+        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        return pl.pallas_call(
+            functools.partial(_bwd_db_kernel, k1=k1, s=s),
+            grid=(n_blocks, n_steps),
+            in_specs=[db_rev, db_rev, w_spec, w_spec, w_spec, w_spec,
+                      h_spec, h_spec] + mat_specs,
+            out_specs=(db_rev, db_rev, w_spec, w_spec),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 4,
+            interpret=interpret,
+        )(d, b, out_r, out_i, g_r, g_i, h_r, h_i, *mats)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def multislice_db(delta, beta, wave, kernel, k1, s, interpret=False,
+                  bf16=False):
+    """Modulator-fused multislice: per step ``t = exp(-k1*b - i*s*k1*d)``
+    computed in-kernel, then ``w <- IFFT(FFT(w*t) H)``; the backward pass
+    RECONSTRUCTS the forward wavefields by inverting the (unit-modulus)
+    propagation instead of storing them — object channels stream as two
+    f32 planes and nothing step-sized is ever written in the forward.
+
+    Requires the delta_beta modulator and a pure-phase (paraxial Fresnel)
+    transfer kernel; callers fall back to :func:`multislice_fused`
+    otherwise.
+
+    Args:
+      delta, beta: f32 ``[n_steps, N, ny, nx]`` (pre-binned sums).
+      wave: complex ``[M, N, ny, nx]``; kernel: complex ``[ny, nx]``.
+      k1, s: modulation scale ``2*pi*dz_nm/lambda_nm`` and sign.
+
+    Differentiable in delta, beta, wave (kernel is geometry).
+    """
+    out, _ = _multislice_db_fwd(delta, beta, wave, kernel, k1, s, interpret,
+                                bf16)
+    return out
+
+
+def _multislice_db_fwd(delta, beta, wave, kernel, k1, s, interpret,
+                       bf16=False):
+    N = delta.shape[1]
+    o_r, o_i = _call_fwd_db(delta, beta, jnp.real(wave), jnp.imag(wave),
+                            jnp.real(kernel), jnp.imag(kernel), k1, s,
+                            interpret=interpret, bf16=bf16)
+    out = (o_r[:, :N] + 1j * o_i[:, :N]).astype(jnp.complex64)
+    return out, (delta, beta, o_r, o_i, kernel)
+
+
+def _multislice_db_bwd(k1, s, interpret, bf16, res, g):
+    delta, beta, o_r, o_i, kernel = res
+    N = delta.shape[1]
+    # o_r/o_i come back batch-padded when N % NB != 0 — the bwd re-pads its
+    # own inputs identically, so slice to N first for a consistent shape.
+    gd, gb, gw_r, gw_i = _call_bwd_db(
+        delta, beta, o_r[:, :N], o_i[:, :N],
+        jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
+        k1, s, interpret=interpret, bf16=bf16)
+    gw = (gw_r[:, :N] + 1j * gw_i[:, :N]).astype(jnp.complex64)
+    return gd[:, :N], gb[:, :N], gw, None
+
+
+multislice_db.defvjp(_multislice_db_fwd, _multislice_db_bwd)

@@ -286,13 +286,42 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         beta_z = _bin_slices(beta_z, binning, unknown_type)
     n_steps = delta_z.shape[0]
 
-    t_all = slice_modulator(delta_z, beta_z, k1, unknown_type, mod_sign)
-
+    internal_kernel = kernel is None
     if kernel is None:
         kernel = fresnel_kernel(wave.shape[-2:], voxel_nm, lmbda_nm,
                                 prop_sign * delta_nm * binning,
                                 fresnel_approx=fresnel_approx,
                                 sign_convention=sign_convention)
+
+    if fused == 'auto':
+        # At full f32 precision the DFT-by-matmul kernels only TIE (t_all
+        # variant) or LOSE (multi-pass HIGHEST dots, 2-propagation
+        # invertible backward) to XLA's FFT in the compiled angle program;
+        # their win is the single-pass bf16 MXU mode (~1.35x, measured
+        # db-bf16 5.9-6.6k vs xla 4.4-4.6k patterns/s interleaved at the
+        # flagship).  Auto therefore selects Pallas only under
+        # run_bfloat16; force with fused='on'.
+        fused = (jax.default_backend() == 'tpu' and not return_intermediate
+                 and wave.ndim == 4 and delta_z.ndim == 4 and mxu_bf16)
+    fused = (fused and not return_intermediate and wave.ndim == 4
+             and delta_z.ndim == 4)
+
+    if (fused and n_steps > 1 and unknown_type == 'delta_beta'
+            and fresnel_approx and internal_kernel):
+        # Modulator-fused kernel with invertible backward: the object
+        # channels stream as two f32 planes, the modulator is computed on
+        # the VPU per step, and no intermediate wavefields are stored (the
+        # paraxial transfer kernel is unit-modulus, so the backward
+        # reconstructs them by inverse propagation).
+        from .pallas_multislice import multislice_db
+        interpret = jax.default_backend() != 'tpu'
+        return multislice_db(delta_z.astype(jnp.float32),
+                             beta_z.astype(jnp.float32),
+                             wave.astype(jnp.complex64),
+                             kernel.astype(jnp.complex64),
+                             float(k1), float(mod_sign), interpret, mxu_bf16)
+
+    t_all = slice_modulator(delta_z, beta_z, k1, unknown_type, mod_sign)
 
     if n_steps == 1:
         out = wave * t_all[0]
@@ -300,10 +329,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
             return out, wave[None]
         return out
 
-    if fused == 'auto':
-        fused = (jax.default_backend() == 'tpu' and not return_intermediate
-                 and wave.ndim == 4 and t_all.ndim == 4)
-    if fused and not return_intermediate and wave.ndim == 4 and t_all.ndim == 4:
+    if fused:
         from .pallas_multislice import multislice_fused
         interpret = jax.default_backend() != 'tpu'
         return multislice_fused(t_all.astype(jnp.complex64),

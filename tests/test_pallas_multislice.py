@@ -77,3 +77,65 @@ class TestFusedMultislice:
         gt_s = jax.grad(loss_scan)(t)
         np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_s),
                                    atol=1e-4)
+
+
+class TestMultisliceDB:
+    """The modulator-fused kernel with the invertible (no stored
+    intermediates) backward: multislice_db vs the unfused scan path."""
+
+    @staticmethod
+    def _setup(nz=16, binning=4, M=2, N=5, n=24, seed=0):
+        rng = np.random.default_rng(seed)
+        delta = jnp.asarray(rng.random((N, n, n, nz), np.float32) * 1e-3)
+        beta = jnp.asarray(rng.random((N, n, n, nz), np.float32) * 3e-5)
+        wave = jnp.asarray((rng.random((M, N, n, n))
+                            + 1j * rng.random((M, N, n, n)))
+                           .astype(np.complex64))
+        tgt = jnp.asarray(rng.random((M, N, n, n), np.float32))
+        return delta, beta, wave, tgt, binning
+
+    @staticmethod
+    def _loss(delta, beta, wave, tgt, binning, fused, **kw):
+        from adorym_tpu.ops import propagate as prop
+        o = prop.multislice_propagate(delta, beta, wave, 5000.0, 1e-7,
+                                      binning=binning, fused=fused, **kw)
+        return jnp.mean((jnp.abs(o) - tgt) ** 2)
+
+    @pytest.mark.parametrize('nz,binning', [(16, 4), (13, 4), (6, 1)])
+    def test_forward_and_grads_match_scan(self, nz, binning):
+        """Forward + all three gradients vs the XLA scan path, including a
+        short far-side bin (13 % 4) and binning=1."""
+        delta, beta, wave, tgt, _ = self._setup(nz=nz, binning=binning)
+        g_db = jax.grad(self._loss, argnums=(0, 1, 2))(
+            delta, beta, wave, tgt, binning, True)
+        g_ref = jax.grad(self._loss, argnums=(0, 1, 2))(
+            delta, beta, wave, tgt, binning, False)
+        for a, r in zip(g_db, g_ref):
+            scale = float(jnp.max(jnp.abs(r))) or 1.0
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(r) / scale, atol=2e-5)
+
+    def test_backprop_direction(self):
+        delta, beta, wave, tgt, binning = self._setup()
+        g_db = jax.grad(self._loss, argnums=(0, 1))(
+            delta, beta, wave, tgt, binning, True, backprop=True)
+        g_ref = jax.grad(self._loss, argnums=(0, 1))(
+            delta, beta, wave, tgt, binning, False, backprop=True)
+        for a, r in zip(g_db, g_ref):
+            scale = float(jnp.max(jnp.abs(r))) or 1.0
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(r) / scale, atol=2e-5)
+
+    def test_kappa_gradient_flows(self):
+        """beta = kappa * delta outside the kernel: d loss / d kappa must
+        match the unfused path (single-material constraint refinement)."""
+        delta, beta, wave, tgt, binning = self._setup()
+
+        def loss_k(lg_kappa, fused):
+            kappa = 10.0 ** lg_kappa
+            return self._loss(delta, beta, wave, tgt, binning, fused,
+                              kappa=kappa)
+
+        g_db = jax.grad(loss_k)(jnp.asarray(1.7), True)
+        g_ref = jax.grad(loss_k)(jnp.asarray(1.7), False)
+        np.testing.assert_allclose(float(g_db), float(g_ref), rtol=1e-4)

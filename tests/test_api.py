@@ -118,6 +118,19 @@ def test_api_multiscale(data_file):
     assert np.isfinite(results['loss_history']).all()
 
 
+def test_api_multiscale_per_angle_probe(data_file):
+    """Multiscale downsampling with shared_probe_among_angles=False: the 5D
+    [n_theta, modes, py, px, 2] probe must stride the SPATIAL axes (advisor
+    round-1 finding: ``probe_init[:, ::ds, ::ds]`` sliced modes/y)."""
+    params = reference_style_params(
+        data_file, output_folder='recon_ms5d', multiscale_level=2,
+        n_epochs=4, shared_probe_among_angles=False, optimize_probe=True)
+    results = reconstruct_ptychography(**params)
+    assert results['obj'].shape == (48, 48, 1, 2)
+    assert results['probe'].shape[-3:] == (24, 24, 2)
+    assert np.isfinite(results['loss_history']).all()
+
+
 def test_api_unknown_kwarg_warns(data_file):
     params = reference_style_params(data_file, output_folder=None,
                                     n_epochs=1)
@@ -188,3 +201,55 @@ def test_intermediate_parameter_history(tmp_path):
     assert ppc.shape == (len(pos), 2)
     offs = (inter / 'probe_pos_offset' / 'probe_pos_offset.txt').read_text()
     assert offs.strip()
+
+
+def test_theta_downsample_selects_matching_per_angle_grids(tmp_path):
+    """With common_probe_pos=False and theta_downsample, the surviving
+    angles must read THEIR OWN scan grids (original indices 0, 2, ...), not
+    the first len(theta)//ds grids (advisor round-1 finding)."""
+    from adorym_tpu.io.data import write_data_file
+    from adorym_tpu.simulate import simulate
+
+    n, pn = 32, 16
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 4), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf'),
+        train=TrainConfig(minibatch_size=9))
+    rng = np.random.default_rng(0)
+    obj_true = np.stack([rng.random((n, n, 4)) * 1e-3,
+                         rng.random((n, n, 4)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=3,
+                             probe_phase_sigma=3, probe_phase_max=0.3)
+    theta_ls = np.linspace(0, np.pi, 4, endpoint=False)
+    xs = np.arange(0, n - pn - 3, 6)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    base = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    # Distinct grid per angle (shifted by the angle index).
+    grids = [base + i for i in range(4)]
+    data = np.stack([
+        simulate(cfg, obj_true, probe, grids[i], np.array([theta_ls[i]]))[0]
+        for i in range(4)])
+
+    full = tmp_path / 'full.h5'
+    sub = tmp_path / 'sub.h5'
+    write_data_file(str(full), data, theta=theta_ls,
+                    energy_ev=5000.0, psize_cm=1e-7,
+                    probe_pos_per_angle=grids)
+    write_data_file(str(sub), data[[0, 2]], theta=theta_ls[[0, 2]],
+                    energy_ev=5000.0, psize_cm=1e-7,
+                    probe_pos_per_angle=[grids[0], grids[2]])
+
+    kw = dict(obj_size=(n, n, 4), n_epochs=2, minibatch_size=9,
+              learning_rate=1e-5, optimizer='adam', common_probe_pos=False,
+              probe_type='supplied',
+              probe_initial=(np.hypot(probe[..., 0], probe[..., 1]),
+                             np.arctan2(probe[..., 1], probe[..., 0])),
+              free_prop_cm='inf', use_checkpoint=False,
+              save_path=str(tmp_path), output_folder=None)
+    r_ds = reconstruct_ptychography(fname='full.h5', theta_downsample=2,
+                                    **kw)
+    r_sub = reconstruct_ptychography(fname='sub.h5', **kw)
+    np.testing.assert_allclose(r_ds['loss_history'], r_sub['loss_history'],
+                               rtol=1e-6)

@@ -148,6 +148,14 @@ class TrainConfig:
     # the accumulated gradient back to full depth before the rotate-back.
     # 'auto' (on when delta_beta + binning>1 + patch-granular step) | 'off'.
     prebin_z: str = 'auto'
+    # Streaming rotation for the prebin path: fold the bin reduction /
+    # expansion into the rotation gathers chunk-by-chunk so neither the
+    # rotated full-res object nor the expanded full-res gradient
+    # materialize (bit-exact; the difference between fitting and OOM for
+    # the largest single-chip objects, but ~25% slower than the bulk
+    # rotate at sizes that fit).  'auto' (on above ~1.5 GB/object) |
+    # 'on' | 'off'.
+    stream_rotation: str = 'auto'
     # How rotate_out_of_loop rotates the accumulated gradient back to the
     # 0-deg frame: False (default) interpolates at -theta exactly like the
     # reference (``adorym/ptychography.py:1069-1078`` rotates the gradient

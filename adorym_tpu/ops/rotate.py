@@ -137,6 +137,112 @@ def rotate(obj, theta, axis=0):
     return jnp.moveaxis(out, 0, axis)
 
 
+def _bilinear_gather_plane_mapped_z(vol_b, c1, c2, nz_full, binning):
+    """Bilinear sample in the (x, z) plane of a z-BINNED volume as if it
+    were expanded to full depth: corner index ``z`` reads ``vol_b[z //
+    binning]`` (the expansion is piecewise-constant in z, so only the
+    corner lookup changes).  ``vol_b``: [x, zb, ...]; returns the plane
+    ``c1.shape + trailing``."""
+    s1 = vol_b.shape[0]
+    c1 = jnp.clip(c1, 0.0, s1 - 1.0)
+    c2 = jnp.clip(c2, 0.0, nz_full - 1.0)
+    f1 = jnp.floor(c1)
+    f2 = jnp.floor(c2)
+    w1 = c1 - f1
+    w2 = c2 - f2
+    i1 = f1.astype(jnp.int32)
+    i2 = f2.astype(jnp.int32)
+    i1c = jnp.minimum(i1 + 1, s1 - 1)
+    i2c = jnp.minimum(i2 + 1, nz_full - 1)
+    i2 = i2 // binning
+    i2c = i2c // binning
+    flat1 = [i1.ravel(), i1.ravel(), i1c.ravel(), i1c.ravel()]
+    flat2 = [i2.ravel(), i2c.ravel(), i2.ravel(), i2c.ravel()]
+    wts = [((1 - w1) * (1 - w2)).ravel(), ((1 - w1) * w2).ravel(),
+           (w1 * (1 - w2)).ravel(), (w1 * w2).ravel()]
+    out = None
+    for a, b, wt in zip(flat1, flat2, wts):
+        vals = vol_b[a, b]
+        wt = wt.reshape((-1,) + (1,) * (vals.ndim - 1)).astype(vals.dtype)
+        out = vals * wt if out is None else out + vals * wt
+    return out.reshape(c1.shape + vol_b.shape[2:])
+
+
+def rotate_and_bin_z(obj, theta, binning):
+    """``bin_z(rotate(obj, theta))`` WITHOUT materializing the rotated
+    full-resolution volume: each y-chunk is gathered and bin-summed before
+    the next is produced.  For large objects this removes an object-sized
+    buffer from the peak (a 768^3 delta/beta pair is 3.6 GB) and skips the
+    separate full-resolution bin pass.
+
+    ``obj``: [y, x, z, 2] (delta_beta channels — the bin identity is 0);
+    returns [y, x, ceil(z/binning), 2].  Exactly equals
+    ``rotate(obj, theta)`` followed by the zero-padded z bin-sum.
+    """
+    y, x, nz = obj.shape[:3]
+    nz_b = -(-nz // binning)
+    pad_z = nz_b * binning - nz
+    c1, c2 = _rotation_source_coords((x, nz),
+                                     jnp.asarray(theta, dtype=jnp.float32))
+    k = _carried_chunks(y, obj.size * obj.dtype.itemsize)
+    cy = y // k if y % k == 0 else y
+
+    def one_chunk(sl):
+        r = _bilinear_gather_plane(sl, c1, c2, 1, 2)
+        if pad_z:
+            widths = [(0, 0), (0, 0), (0, pad_z)] + [(0, 0)] * (r.ndim - 3)
+            r = jnp.pad(r, widths)
+        return r.reshape(r.shape[:2] + (nz_b, binning) + r.shape[3:]).sum(3)
+
+    if cy == y:
+        return one_chunk(obj)
+
+    def body(i, out):
+        sl = jax.lax.dynamic_slice_in_dim(obj, i * cy, cy, 0)
+        return jax.lax.dynamic_update_slice_in_dim(out, one_chunk(sl),
+                                                   i * cy, 0)
+
+    out0 = jnp.zeros((y, x, nz_b) + obj.shape[3:], obj.dtype)
+    return jax.lax.fori_loop(0, k, body, out0)
+
+
+def rotate_expanded_from_binned_z(g_binned, theta, binning, nz_full):
+    """``rotate(expand_z(g_binned), theta)`` WITHOUT materializing the
+    expanded volume: the z expansion is piecewise-constant, so the bilinear
+    corner lookups read ``g_binned[..., z // binning, :]`` directly.  Used
+    for the gradient rotate-back (caller passes ``-theta``): the full-res
+    rotated gradient is the only object-sized buffer produced.
+
+    ``g_binned``: [y, x, zb, 2]; returns [y, x, nz_full, 2], exactly equal
+    to ``rotate(jnp.repeat(g_binned, binning, 2)[:, :, :nz_full], theta)``.
+    """
+    y = g_binned.shape[0]
+    x = g_binned.shape[1]
+    c1, c2 = _rotation_source_coords((x, nz_full),
+                                     jnp.asarray(theta, dtype=jnp.float32))
+    out_bytes = (y * x * nz_full * int(np.prod(g_binned.shape[3:]))
+                 * g_binned.dtype.itemsize)
+    k = _carried_chunks(y, out_bytes)
+    cy = y // k if y % k == 0 else y
+
+    def one_chunk(sl):
+        # vmap the plane sampler over the carried y axis of this chunk.
+        return jax.vmap(
+            lambda p: _bilinear_gather_plane_mapped_z(p, c1, c2, nz_full,
+                                                      binning))(sl)
+
+    if cy == y:
+        return one_chunk(g_binned)
+
+    def body(i, out):
+        sl = jax.lax.dynamic_slice_in_dim(g_binned, i * cy, cy, 0)
+        return jax.lax.dynamic_update_slice_in_dim(out, one_chunk(sl),
+                                                   i * cy, 0)
+
+    out0 = jnp.zeros((y, x, nz_full) + g_binned.shape[3:], g_binned.dtype)
+    return jax.lax.fori_loop(0, k, body, out0)
+
+
 def rotate_adjoint(cotangent, theta, axis=0):
     """Transpose (adjoint) of :func:`rotate` at the same ``theta``.
 

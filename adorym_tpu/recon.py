@@ -550,9 +550,16 @@ class Reconstructor:
                         mask[k] = gate
             return mask
 
-        def apply_updates(params, grads, opt_state, i_opt_batch, mask):
+        def apply_updates(params, grads, opt_state, i_opt_batch, mask,
+                          obj_slab_grad=None):
             """First-order updates for every spec'd leaf, with the object's
-            offloaded state streamed whole (or slab-by-slab) through HBM."""
+            offloaded state streamed whole (or slab-by-slab) through HBM.
+
+            ``obj_slab_grad(start, size)``: optional lazy object-gradient
+            producer for the slabbed path — rotation acts per y-plane, so
+            the angle step can hand over the BINNED accumulated gradient
+            and have each slab's full-depth rotate-back computed just in
+            time, never materializing the object-sized gradient."""
             if not self._off_slabbed:
                 if 'obj' in opt_state:
                     opt_state = {**opt_state,
@@ -573,29 +580,47 @@ class Reconstructor:
                 specs_aux, params, grads, opt_state, i_opt_batch,
                 update_mask=mask)
             obj_spec = self.specs['obj']
-            parts = []
             new_obj_state = {name: {} for name in opt_state['obj']}
+            # In-place slab updates (dynamic_update_slice chain): with the
+            # step's params donated this aliases into the existing object
+            # buffer — a jnp.concatenate of the slabs materialized a SECOND
+            # object-sized array, the difference between 768^3 fitting and
+            # OOMing by 2G.
+            upd_obj = params['obj']
             for key, (st, sz) in zip(self._slab_keys, self._slab_ranges):
-                o_k = jax.lax.slice_in_dim(params['obj'], st, st + sz, axis=0)
-                g_k = jax.lax.slice_in_dim(grads['obj'], st, st + sz, axis=0)
+                # Slice from the progressively-updated buffer: identical
+                # values (slabs are disjoint), but the data dependency
+                # SERIALIZES the slab chain — sliced from params, XLA
+                # overlaps every slab's m/v transfers and update temps
+                # (~4 slab-sized live buffers each, the 768^3 OOM).
+                o_k = jax.lax.slice_in_dim(upd_obj, st, st + sz, axis=0)
+                g_k = (obj_slab_grad(st, sz) if obj_slab_grad is not None
+                       else jax.lax.slice_in_dim(grads['obj'], st, st + sz,
+                                                 axis=0))
                 st_k = {name: jax.device_put(opt_state['obj'][name][key],
                                              self._state_dev_sh[name][key])
                         for name in opt_state['obj']}
                 o2, st2 = opt_lib.opt_apply(obj_spec, o_k, g_k, st_k,
                                             i_opt_batch)
-                parts.append(o2)
+                upd_obj = jax.lax.dynamic_update_slice_in_dim(upd_obj, o2,
+                                                              st, axis=0)
                 for name, arr in st2.items():
                     new_obj_state[name][key] = jax.device_put(
                         arr, self._state_host_sh[name][key])
-            upd_params['obj'] = jnp.concatenate(parts, axis=0)
+            upd_params['obj'] = upd_obj
             new_state['obj'] = new_obj_state
             return upd_params, new_state
 
         def apply_step(params, opt_state, grads, i_opt_batch, global_batch,
-                       support_mask):
+                       support_mask, obj_slab_grad=None):
             mask = update_mask(global_batch)
+            if obj_slab_grad is not None and not self._off_slabbed:
+                grads = {**grads,
+                         'obj': obj_slab_grad(0, params['obj'].shape[0])}
+                obj_slab_grad = None
             upd_params, opt_state = apply_updates(params, grads, opt_state,
-                                                  i_opt_batch, mask)
+                                                  i_opt_batch, mask,
+                                                  obj_slab_grad)
             upd_params = param_lib.apply_param_constraints(upd_params, cfg)
             upd_params['obj'] = param_lib.apply_object_constraints(
                 upd_params['obj'], cfg, support_mask)
@@ -644,11 +669,8 @@ class Reconstructor:
             to the unfused loop; ``w`` zeroes the batches that only pad the
             last chunk.  Inputs: pos/inds/measured ``[n_c, g*mb, ...]``,
             ``w_all [n_c, g]``."""
-            from .ops.rotate import rotate
-            if cfg.geometry.two_d_mode:
-                p_rot = params
-            else:
-                p_rot = {**params, 'obj': rotate(params['obj'], theta)}
+            from .ops.rotate import (rotate, rotate_and_bin_z,
+                                     rotate_expanded_from_binned_z)
             g = w_all.shape[1]
 
             predict_patches = getattr(self.model, 'predict_from_patches',
@@ -658,6 +680,35 @@ class Reconstructor:
                           and predict_patches is not None
                           and self.transform_measured is None
                           and self._gather_fn is patch_ops.extract_patches)
+            prebin = (patch_mode
+                      and cfg.train.prebin_z == 'auto'
+                      and cfg.geometry.binning > 1
+                      and cfg.train.unknown_type == 'delta_beta'
+                      and not cfg.geometry.pure_projection
+                      and cfg.geometry.slice_pos_cm_ls is None)
+            # Streaming rotation: with the prebin hoist and the interp
+            # (-theta) gradient rotate-back, neither the rotated full-res
+            # object nor the expanded full-res gradient need ever exist —
+            # rotate_and_bin_z / rotate_expanded_from_binned_z fold the bin
+            # reduction/expansion into the gathers chunk-by-chunk
+            # (bit-exact; regularizers need the full rotated object, so
+            # they disable it).
+            # Streaming costs ~25% at sizes that fit comfortably (the
+            # chunked mapped gathers lower worse than the bulk rotate), so
+            # 'auto' enables it only when the object is big enough that the
+            # two saved object-sized buffers decide whether the run fits
+            # (>= ~1.5 GB per channel-pair, i.e. ~576^3 and up).
+            obj_nbytes = int(np.prod(params['obj'].shape)) * 4
+            stream_rot = (prebin and not cfg.geometry.two_d_mode
+                          and (cfg.train.stream_rotation == 'on'
+                               or (cfg.train.stream_rotation == 'auto'
+                                   and obj_nbytes > 1.5e9))
+                          and not cfg.train.exact_grad_rotation
+                          and not self.reg_list)
+            if cfg.geometry.two_d_mode or stream_rot:
+                p_rot = params
+            else:
+                p_rot = {**params, 'obj': rotate(params['obj'], theta)}
 
             def per_batch_mismatch(pred, meas):
                 per_item = model_base.mismatch_loss(
@@ -680,27 +731,31 @@ class Reconstructor:
                 # per minibatch.
                 geo = cfg.geometry
                 mb = cfg.train.minibatch_size
-                obj_pad = patch_ops.pad_object(p_rot['obj'], self.pad_arr,
-                                               cfg.train.unknown_type)
+                nz_full = params['obj'].shape[2]
                 # Hoist the binning z-reduction to once per angle: patches
                 # (and their scatter-added gradients) then move 1/binning
                 # of the HBM bytes per chunk.  The chunk math is unchanged
                 # — the propagator's bin step IS this sum (delta_beta), so
                 # summing before extraction == extracting then binning.
-                prebin = (cfg.train.prebin_z == 'auto'
-                          and geo.binning > 1
-                          and cfg.train.unknown_type == 'delta_beta'
-                          and not geo.pure_projection
-                          and geo.slice_pos_cm_ls is None)
-                nz_full = obj_pad.shape[2]
-                if prebin:
-                    pad_z = -nz_full % geo.binning
-                    ob = obj_pad
-                    if pad_z:
-                        ob = jnp.pad(ob, ((0, 0), (0, 0), (0, pad_z), (0, 0)))
-                    obj_pad = ob.reshape(ob.shape[0], ob.shape[1],
-                                         ob.shape[2] // geo.binning,
-                                         geo.binning, 2).sum(axis=3)
+                if stream_rot:
+                    # Rotate + bin fused chunk-by-chunk: the rotated
+                    # full-res object never exists.
+                    obj_pad = patch_ops.pad_object(
+                        rotate_and_bin_z(params['obj'], theta, geo.binning),
+                        self.pad_arr, cfg.train.unknown_type)
+                else:
+                    obj_pad = patch_ops.pad_object(p_rot['obj'],
+                                                   self.pad_arr,
+                                                   cfg.train.unknown_type)
+                    if prebin:
+                        pad_z = -nz_full % geo.binning
+                        ob = obj_pad
+                        if pad_z:
+                            ob = jnp.pad(ob, ((0, 0), (0, 0), (0, pad_z),
+                                              (0, 0)))
+                        obj_pad = ob.reshape(ob.shape[0], ob.shape[1],
+                                             ob.shape[2] // geo.binning,
+                                             geo.binning, 2).sum(axis=3)
                 aux = {k: v for k, v in p_rot.items() if k != 'obj'}
                 pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
                                       jnp.int32)
@@ -744,7 +799,7 @@ class Reconstructor:
                 p = self.pad_arr
                 g_rot = acc_obj[p[0][0]:acc_obj.shape[0] - p[0][1],
                                 p[1][0]:acc_obj.shape[1] - p[1][1]]
-                if prebin:
+                if prebin and not stream_rot:
                     # Adjoint of the bin-sum: every physical slice gets its
                     # bin's gradient (z-pad slices drop with the crop).
                     g_rot = jnp.repeat(g_rot, geo.binning,
@@ -786,6 +841,24 @@ class Reconstructor:
                 zero = jax.tree.map(jnp.zeros_like, p_rot)
                 acc, losses = jax.lax.scan(
                     body, zero, (pos_all, inds_all, measured_all, w_all))
+            if stream_rot:
+                # Fused expand + interp rotate-back, deferred to the
+                # optimizer: reads the BINNED gradient directly (bit-exact
+                # vs expand-then-rotate), and under slab-offloaded state
+                # each y-slab's full-depth gradient exists only while that
+                # slab updates.
+                g_binned = acc['obj']
+
+                def obj_slab_grad(st, sz):
+                    sl = jax.lax.slice_in_dim(g_binned, st, st + sz, axis=0)
+                    return rotate_expanded_from_binned_z(
+                        sl, -theta, cfg.geometry.binning, nz_full)
+
+                params, opt_state = apply_step(params, opt_state, acc,
+                                               i_opt_batch, global_batch,
+                                               support_mask,
+                                               obj_slab_grad=obj_slab_grad)
+                return params, opt_state, losses
             if not cfg.geometry.two_d_mode:
                 acc = {**acc, 'obj': self._grad_back(acc['obj'], theta)}
             params, opt_state = apply_step(params, opt_state, acc,

@@ -167,3 +167,22 @@ def test_prebin_z_hoist_matches_in_chunk_binning(binning):
     np.testing.assert_allclose(loss_on, loss_off, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rec_on.params['obj']),
                                np.asarray(rec_off.params['obj']), atol=1e-6)
+
+
+def test_stream_rotation_matches_bulk():
+    """stream_rotation='on' (rotate_and_bin_z + deferred binned rotate-back)
+    must reproduce the bulk rotate/bin/expand trajectory bit-for-bit —
+    the streaming path is what the largest single-chip objects run."""
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup(seed=4)
+    cfg_kw = dict(cfg_kw, binning=4)
+    rec_bulk, loss_bulk = _run(cfg_kw, obj_true, probe, pos, theta_ls, data,
+                               update_scheme='per angle',
+                               rotate_out_of_loop=True,
+                               stream_rotation='off')
+    rec_st, loss_st = _run(cfg_kw, obj_true, probe, pos, theta_ls, data,
+                           update_scheme='per angle',
+                           rotate_out_of_loop=True, stream_rotation='on')
+    np.testing.assert_allclose(loss_st, loss_bulk, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_st.params['obj']),
+                               np.asarray(rec_bulk.params['obj']),
+                               atol=1e-7)

@@ -1026,7 +1026,13 @@ class Reconstructor:
             inds_all = jnp.asarray(inds_arr.reshape(n_c, g * mb), jnp.int32)
             w_all = jnp.asarray(w_arr.reshape(n_c, g))
             with self.timers.time('data_staging'):
-                if self._data_dev_ok:
+                if self.loader is not None:
+                    # Out-of-core data: the native mmap loader gathers the
+                    # whole angle's rows (page-cache-hot after epoch 0).
+                    measured = jnp.asarray(
+                        self.loader.gather(i_theta, inds_arr.ravel())
+                        .reshape((n_c, g * mb) + self.loader.shape[2:]))
+                elif self._data_dev_ok:
                     if self._data_dev is None:
                         self._data_dev = jnp.asarray(self.data)
                     # Zero per-angle H2D: gather the angle's rows on device.
@@ -1207,7 +1213,9 @@ class Reconstructor:
         if (use_accum and t.update_scheme == 'per angle'
                 and t.n_batch_per_update <= 1
                 and (rol or self.cfg.geometry.two_d_mode)
-                and self.expand_indices is None and self.loader is None):
+                and self.expand_indices is None):
+            # (Out-of-core measurement data composes: with a FastLoader the
+            # angle's rows stream through the native mmap gather.)
             return self._run_epoch_angles(i_epoch, batches, callback)
         # Immediate-update epochs fuse into ONE compiled program (a scan of
         # the per-batch step) when nothing needs a mid-epoch host visit:

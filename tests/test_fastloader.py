@@ -62,3 +62,50 @@ def test_h5_conversion(raw_dataset, tmp_path):
 def test_open_missing_file_fails():
     with pytest.raises(RuntimeError):
         fastloader.FastLoader('/nonexistent/file.raw', (1, 1, 4, 4))
+
+
+def test_angle_fused_epoch_with_loader(tmp_path):
+    """The angle-fused 3D path composes with out-of-core measurement data:
+    a FastLoader-backed run must match the in-memory trajectory exactly."""
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.utils.initialize import initialize_probe
+
+    n, pn = 24, 12
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', binning=4),
+        train=TrainConfig(minibatch_size=3, learning_rate=1e-5, seed=7,
+                          update_scheme='per angle',
+                          rotate_out_of_loop=True))
+    rng = np.random.default_rng(0)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=3,
+                             probe_phase_sigma=3, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 6)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 3, endpoint=False)
+    data = simulate(cfg, obj_true, probe, pos, theta_ls)
+
+    raw = str(tmp_path / 'data.raw')
+    np.ascontiguousarray(data, np.float32).tofile(raw)
+    ld = fastloader.FastLoader(raw, data.shape)
+
+    def run(src):
+        rec = Reconstructor(cfg, data=src, probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=np.zeros_like(obj_true))
+        losses = [rec.run_epoch(ep) for ep in range(2)]
+        return rec, losses
+
+    rec_mem, losses_mem = run(data)
+    rec_ld, losses_ld = run(ld)
+    ld.close()
+    np.testing.assert_allclose(losses_ld, losses_mem, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_ld.params['obj']),
+                               np.asarray(rec_mem.params['obj']), atol=1e-7)

@@ -81,6 +81,13 @@ def simulate(cfg: ReconConfig, obj: np.ndarray, probe: np.ndarray,
               'probe': jnp.asarray(probe, jnp.float32)}
 
     mb = minibatch_size or n_pos
+    if not minibatch_size:
+        # Cap the default batch so the full-depth patch stack stays modest
+        # (~512 MB): one giant batch at flagship scale (529 positions x
+        # 256 z) is a 5.6 GB gather per angle.
+        per_pos = (int(np.prod(cfg.geometry.probe_size))
+                   * cfg.geometry.obj_size[2] * 2 * 4)
+        mb = max(1, min(mb, int(512e6 // max(1, per_pos))))
 
     pad_key = tuple(tuple(int(v) for v in row) for row in pad_arr)
     out = []

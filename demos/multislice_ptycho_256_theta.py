@@ -76,6 +76,10 @@ def main():
         optimizer='adam',
         rotate_out_of_loop=True, update_scheme='per angle',
         use_checkpoint=False,
+        # The reference's default cadence (10 batches) checkpoints every
+        # angle here; a checkpoint moves ~0.5 GB device->host, which on a
+        # remote-tunnel link (measured 14 MB/s D2H) dominates the epoch.
+        n_batch_per_checkpoint=23 * 30,
     )
     print('loss history:', results['loss_history'])
 

@@ -294,6 +294,8 @@ class Reconstructor:
         self.loss_history: List[float] = []
         self.stop_requested = False
         self._t_start = time.time()
+        self._ckpt_seconds = 0.0
+        self._ckpt_warned = False
         from .utils.profiling import Timers
         self.timers = Timers()
         self._data_dev = None   # device-resident dataset (fused epochs)
@@ -476,6 +478,25 @@ class Reconstructor:
                            if arr.ndim > 1 else np.atleast_1d(arr))
 
     def save_checkpoint(self, i_epoch: int, i_batch: int):
+        t0 = time.time()
+        out = self._save_checkpoint_inner(i_epoch, i_batch)
+        self._ckpt_seconds += time.time() - t0
+        # A checkpoint moves the full params + optimizer state to host; on
+        # slow device->host links (remote tunnels run ~14 MB/s) the
+        # reference's default 10-batch cadence can dominate the run.
+        if (not self._ckpt_warned and self._ckpt_seconds > 60
+                and self._ckpt_seconds > 0.5 * (time.time() - self._t_start)):
+            import warnings
+            warnings.warn(
+                'checkpointing has consumed more than half the wall time '
+                f'({self._ckpt_seconds:.0f}s) — raise n_batch_per_checkpoint '
+                'or set store_checkpoint=False (device->host transfer of '
+                'the full parameter/optimizer state per checkpoint is slow '
+                'on this link)')
+            self._ckpt_warned = True
+        return out
+
+    def _save_checkpoint_inner(self, i_epoch: int, i_batch: int):
         from .io import checkpoint as ckpt_lib
         if self.cfg.io.use_orbax:
             # Pass jax.Arrays straight through: orbax writes per-device

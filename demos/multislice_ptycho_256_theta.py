@@ -5,6 +5,10 @@ positions/angle, 72^2 probe, Fraunhofer, binning 8).
 
 Self-simulates a cone phantom at reduced angle count if no data file is
 present (the full 500-angle set is large); pass --n-theta to scale.
+Measured on a TPU v5e (30 angles, 5 epochs): epoch-mean loss
+0.593 -> 0.392, ~31 s/epoch steady state of which ~10 s is the
+per-epoch intermediate-TIFF device->host fetch on the remote tunnel
+(pure compute runs ~4700-5300 patterns/s).
 """
 
 import argparse

@@ -47,9 +47,21 @@ def _cmatmul_right(ar, ai, br, bi):
     return rr, ri
 
 
-# Module-level switch consulted at TRACE time by the kernel bodies (Pallas
-# kernel fns can't thread extra static args through pallas_call cleanly).
-_DOT_PRECISION = [jax.lax.Precision.HIGHEST]
+# Trace-time switch consulted by the kernel bodies (Pallas kernel fns
+# can't thread extra static args through pallas_call cleanly).
+# Thread-local: concurrent traces from different threads (one bf16, one
+# f32) must not race the precision into each other's compiled program.
+import threading
+
+_DOT_TLS = threading.local()
+
+
+class _DotPrecisionProxy:
+    def __getitem__(self, _):
+        return getattr(_DOT_TLS, 'p', jax.lax.Precision.HIGHEST)
+
+
+_DOT_PRECISION = _DotPrecisionProxy()
 
 
 class _dot_precision:
@@ -60,11 +72,11 @@ class _dot_precision:
         self.p = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
 
     def __enter__(self):
-        self.prev = _DOT_PRECISION[0]
-        _DOT_PRECISION[0] = self.p
+        self.prev = getattr(_DOT_TLS, 'p', jax.lax.Precision.HIGHEST)
+        _DOT_TLS.p = self.p
 
     def __exit__(self, *exc):
-        _DOT_PRECISION[0] = self.prev
+        _DOT_TLS.p = self.prev
 
 
 def _fft2_matmul(wr, wi, fy_r, fy_i, fx_r, fx_i):

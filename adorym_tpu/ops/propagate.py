@@ -160,6 +160,25 @@ def _pad_z_to_multiple(arr, binning, unknown_type):
     return arr
 
 
+def bin_z_sum(arr, binning, axis):
+    """Zero-padded bin-sum along ``axis`` — the delta_beta binning
+    semantics (far-end identity pad joins the short tail bin) for callers
+    that hoist the reduction out of the propagator (the prebin path in
+    ``recon.angle_step`` and ``ops/rotate.rotate_and_bin_z``)."""
+    if binning == 1:
+        return arr
+    axis = axis % arr.ndim
+    nz = arr.shape[axis]
+    pad = -nz % binning
+    if pad:
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        arr = jnp.pad(arr, widths)
+    shape = (arr.shape[:axis] + ((nz + pad) // binning, binning)
+             + arr.shape[axis + 1:])
+    return arr.reshape(shape).sum(axis=axis + 1)
+
+
 def _bin_slices(arr, binning, unknown_type):
     """Reduce the leading z axis in bins of ``binning``.
 

@@ -188,11 +188,9 @@ def rotate_and_bin_z(obj, theta, binning):
     cy = y // k if y % k == 0 else y
 
     def one_chunk(sl):
-        r = _bilinear_gather_plane(sl, c1, c2, 1, 2)
-        if pad_z:
-            widths = [(0, 0), (0, 0), (0, pad_z)] + [(0, 0)] * (r.ndim - 3)
-            r = jnp.pad(r, widths)
-        return r.reshape(r.shape[:2] + (nz_b, binning) + r.shape[3:]).sum(3)
+        from .propagate import bin_z_sum
+        return bin_z_sum(_bilinear_gather_plane(sl, c1, c2, 1, 2), binning,
+                         axis=2)
 
     if cy == y:
         return one_chunk(obj)

@@ -37,6 +37,7 @@ from .models import ptychography as ptycho_model
 from .optim import optimizers as opt_lib
 from .optim import params as param_lib
 from .ops import patches as patch_ops
+from .ops import propagate as prop
 
 
 def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
@@ -240,11 +241,27 @@ class Reconstructor:
         # forward/backward, bounded by an HBM working-set estimate
         # (~3 patch-stacks for fwd+bwd, leaving ~6 object-sized buffers for
         # the rotate/accumulate pipeline).
+        for knob, val in (('prebin_z', cfg.train.prebin_z),
+                          ('stream_rotation', cfg.train.stream_rotation)):
+            if val not in ('auto', 'on', 'off'):
+                raise ValueError(f"{knob} must be 'auto'|'on'|'off', "
+                                 f"got {val!r}")
+        # Mirror angle_step's ACTUAL patch_mode gate (patch granularity +
+        # prebin) so the chunk sizing never assumes binned-depth stacks on
+        # a path that moves full-depth ones (e.g. the mesh halo gather).
+        self._patch_mode = ((cfg.train.patch_grad
+                             or self._rowgrid_stride is not None)
+                            and hasattr(self.model, 'predict_from_patches')
+                            and self.transform_measured is None
+                            and self._gather_fn is patch_ops.extract_patches)
+        self._prebin = (self._patch_mode
+                        and cfg.train.prebin_z in ('auto', 'on')
+                        and geo.binning > 1
+                        and cfg.train.unknown_type == 'delta_beta'
+                        and not geo.pure_projection
+                        and geo.slice_pos_cm_ls is None)
         nz_patch = geo.obj_size[2]
-        if (cfg.train.prebin_z == 'auto' and geo.binning > 1
-                and (cfg.train.patch_grad or self._rowgrid_stride is not None)
-                and cfg.train.unknown_type == 'delta_beta'
-                and not geo.pure_projection and geo.slice_pos_cm_ls is None):
+        if self._prebin:
             # Patch stacks move at binned depth (prebin hoist, angle_step).
             nz_patch = -(-nz_patch // geo.binning)
         patch_bytes = (cfg.train.minibatch_size * geo.probe_size[0]
@@ -696,17 +713,9 @@ class Reconstructor:
 
             predict_patches = getattr(self.model, 'predict_from_patches',
                                       None)
-            patch_mode = ((cfg.train.patch_grad
-                           or self._rowgrid_stride is not None)
-                          and predict_patches is not None
-                          and self.transform_measured is None
-                          and self._gather_fn is patch_ops.extract_patches)
-            prebin = (patch_mode
-                      and cfg.train.prebin_z == 'auto'
-                      and cfg.geometry.binning > 1
-                      and cfg.train.unknown_type == 'delta_beta'
-                      and not cfg.geometry.pure_projection
-                      and cfg.geometry.slice_pos_cm_ls is None)
+            # Single source of truth with the __init__ chunk sizing.
+            patch_mode = self._patch_mode
+            prebin = self._prebin
             # Streaming rotation: with the prebin hoist and the interp
             # (-theta) gradient rotate-back, neither the rotated full-res
             # object nor the expanded full-res gradient need ever exist —
@@ -769,14 +778,8 @@ class Reconstructor:
                                                    self.pad_arr,
                                                    cfg.train.unknown_type)
                     if prebin:
-                        pad_z = -nz_full % geo.binning
-                        ob = obj_pad
-                        if pad_z:
-                            ob = jnp.pad(ob, ((0, 0), (0, 0), (0, pad_z),
-                                              (0, 0)))
-                        obj_pad = ob.reshape(ob.shape[0], ob.shape[1],
-                                             ob.shape[2] // geo.binning,
-                                             geo.binning, 2).sum(axis=3)
+                        obj_pad = prop.bin_z_sum(obj_pad, geo.binning,
+                                                 axis=2)
                 aux = {k: v for k, v in p_rot.items() if k != 'obj'}
                 pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
                                       jnp.int32)

@@ -115,11 +115,13 @@ def main(n_epochs=300, output_folder='recon_multidist_posopt'):
         rec = np.asarray(results['probe_pos_correction'])
         # The refined shifts are determined up to a common translation
         # (the object can absorb a global shift) — compare relative to the
-        # anchor frame 0.
+        # anchor frame 0, SIGNED: the refinement shifts the measured frame
+        # BY the correction, so undoing a +s misregistration lands at -s
+        # (verified empirically; an abs metric would mask a sign bug).
         rel_rec = rec - rec[0]
         rel_true = SHIFTS_TRUE - SHIFTS_TRUE[0]
         err0 = np.abs(rel_true[1:]).mean()
-        err1 = np.abs(np.abs(rel_rec[1:]) - np.abs(rel_true[1:])).mean()
+        err1 = np.abs(rel_rec[1:] + rel_true[1:]).mean()
         msg = (f'; misregistration |err| {err0:.2f} px, residual '
                f'{err1:.2f} px')
     print(f'final loss: {results["loss_history"][-1]:.3e}; '

@@ -198,12 +198,17 @@ def main():
     results['adam_apply'] = timeit(apply_, obj, g_full, state, reps=args.reps)
 
     results = {k_: max(0.0, v - rtt) for k_, v in results.items()}
-    total = sum(results.values())
+    # The alternative scatter formulations are A/B probes of ONE pipeline
+    # phase — excluded from the pipeline total.
+    ab_only = ('scatter_grid2d', 'scatter_g2d_flat', 'scatter_row_flat')
+    total = sum(v for k_, v in results.items() if k_ not in ab_only)
     print(f'\n{args.n}^3, probe {pn}^2, binning {b}, chunk {args.chunk} '
           f'on {jax.devices()[0].platform} '
           f'(dispatch+fence floor {rtt:.1f} ms, subtracted):')
     for k_, v in results.items():
-        print(f'  {k_:>18}: {v:8.2f} ms  ({100 * v / total:4.1f}%)')
+        tag = ' [A/B]' if k_ in ab_only else ''
+        pct = f'({100 * v / total:4.1f}%)' if k_ not in ab_only else ''
+        print(f'  {k_:>18}: {v:8.2f} ms  {pct}{tag}')
     print(f'  {"sum":>18}: {total:8.2f} ms '
           f'-> {args.chunk / total * 1e3:.0f} patterns/s equivalent')
     print(f'  [A/B] grad chunk with XLA generic scatter instead of '

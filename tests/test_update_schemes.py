@@ -186,3 +186,31 @@ def test_stream_rotation_matches_bulk():
     np.testing.assert_allclose(np.asarray(rec_st.params['obj']),
                                np.asarray(rec_bulk.params['obj']),
                                atol=1e-7)
+
+
+def test_device_resident_data_matches_staged():
+    """The device-resident dataset gather (zero per-angle H2D) must match
+    per-angle host staging exactly — the two branches of
+    _run_epoch_angles' data path."""
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup(seed=5)
+
+    def run(force_staged):
+        cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                          train=TrainConfig(minibatch_size=3,
+                                            learning_rate=1e-5, seed=7,
+                                            update_scheme='per angle',
+                                            rotate_out_of_loop=True))
+        rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=np.zeros_like(obj_true))
+        if force_staged:
+            rec._data_dev_ok = False
+        losses = [rec.run_epoch(ep) for ep in range(2)]
+        return rec, losses
+
+    rec_dev, losses_dev = run(False)
+    assert rec_dev._data_dev is not None     # the resident path engaged
+    rec_st, losses_st = run(True)
+    np.testing.assert_allclose(losses_dev, losses_st, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_dev.params['obj']),
+                               np.asarray(rec_st.params['obj']), atol=1e-7)

@@ -273,13 +273,23 @@ class Reconstructor:
         # shapes; g=12 (3 stacks assumed) OOMed by 0.2G on a 16G chip.
         self._fuse_g = (int(max(1, min(64, avail // max(1, 6 * patch_bytes))))
                         if avail > 0 else 1)
-        # NOTE (negative result): a whole-chunk custom-VJP gather whose
-        # backward is ops/patches.scatter_grid2d_add (separable two-pass
-        # grid scatter, no per-row tile RMW) measured FASTER standalone
-        # (51 vs 64 ms) but SLOWER inside the compiled angle program
-        # (interleaved A/B: 5.5-5.8k vs 6.6-7.3k patterns/s) — the
-        # custom_vjp boundary blocks fusion the in-line rowgrid loop gets.
-        # The ops stay (tested, used by tools/profile_flagship.py).
+        # Whole-chunk separable grid scatter (scatter_grid2d_add): when the
+        # table is a complete 2D grid and chunks carry no padded rows, the
+        # per-row tile RMW loop collapses into two lane passes + ONE tile
+        # update (+5-8% in-program, interleaved A/B).  NOTE: wrapping the
+        # same scatter as a custom-VJP gather backward was a NEGATIVE
+        # result (the custom_vjp boundary blocks extract/modulator fusion,
+        # 5.5-5.8k vs 6.6-7.3k patterns/s) — only the plain swap ships.
+        self._grid_scatter_rows = None
+        if self._rowgrid_stride is not None and self.n_pos:
+            full = patch_ops.detect_full_grid(
+                self.probe_pos, cfg.train.minibatch_size, geo.probe_size)
+            mb_ = cfg.train.minibatch_size
+            if full is not None and self.n_pos % mb_ == 0:
+                n_b = self.n_pos // mb_
+                g_ = min(self._fuse_g, n_b)
+                if (-(-n_b // g_)) * g_ == n_b:
+                    self._grid_scatter_rows = g_
         # Device-resident dataset for the angle path: per-angle H2D staging
         # serializes with compute on remote-dispatch links (measured 4-5x
         # epoch wall at the flagship on the axon tunnel).  Enable when the
@@ -802,13 +812,19 @@ class Reconstructor:
                         mismatch, argnums=(0, 1), has_aux=True)(
                             subobj, aux, batch, meas_c, w)
                     if self._rowgrid_stride is not None:
-                        # Constant-stride grid rows: k static shifted adds +
-                        # one contiguous tile update per row — no scatter.
-                        for r in range(g):
-                            acc_obj = patch_ops.scatter_rowgrid_add(
-                                acc_obj, g_sub[r * mb:(r + 1) * mb],
-                                pos_int[r * mb, 0], pos_int[r * mb, 1],
-                                self._rowgrid_stride)
+                        # Constant-stride grid rows: lane decomposition
+                        # instead of a scatter.  Full-grid chunks collapse
+                        # further into ONE separable 2D-grid update.
+                        if self._grid_scatter_rows == g:
+                            acc_obj = patch_ops.scatter_grid2d_add(
+                                acc_obj, g_sub, pos_int[0, 0], pos_int[0, 1],
+                                self._rowgrid_stride, g)
+                        else:
+                            for r in range(g):
+                                acc_obj = patch_ops.scatter_rowgrid_add(
+                                    acc_obj, g_sub[r * mb:(r + 1) * mb],
+                                    pos_int[r * mb, 0], pos_int[r * mb, 1],
+                                    self._rowgrid_stride)
                     else:
                         acc_obj = patch_ops.scatter_patches_add(
                             acc_obj, g_sub, pos_int)

@@ -214,3 +214,30 @@ def test_device_resident_data_matches_staged():
     np.testing.assert_allclose(losses_dev, losses_st, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(rec_dev.params['obj']),
                                np.asarray(rec_st.params['obj']), atol=1e-7)
+
+
+def test_grid_scatter_matches_row_loop():
+    """The whole-chunk separable grid scatter (full-grid tables) must match
+    the per-row lane-scatter loop exactly."""
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup(seed=6)
+
+    def run(force_rows):
+        cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                          train=TrainConfig(minibatch_size=3,
+                                            learning_rate=1e-5, seed=7,
+                                            update_scheme='per angle',
+                                            rotate_out_of_loop=True))
+        rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=np.zeros_like(obj_true))
+        if force_rows:
+            rec._grid_scatter_rows = None
+        losses = [rec.run_epoch(ep) for ep in range(2)]
+        return rec, losses
+
+    rec_g, losses_g = run(False)
+    assert rec_g._grid_scatter_rows is not None   # grid path engaged
+    rec_r, losses_r = run(True)
+    np.testing.assert_allclose(losses_g, losses_r, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_g.params['obj']),
+                               np.asarray(rec_r.params['obj']), atol=1e-7)

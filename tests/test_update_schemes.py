@@ -241,3 +241,43 @@ def test_grid_scatter_matches_row_loop():
     np.testing.assert_allclose(losses_g, losses_r, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(rec_g.params['obj']),
                                np.asarray(rec_r.params['obj']), atol=1e-7)
+
+
+def test_grid_scatter_multi_chunk():
+    """Grid scatter with MULTIPLE chunks per angle (g < n_rows, no padded
+    rows): each chunk's sub-grid lands at its own traced origin."""
+    n, pn, mb = 30, 12, 4
+    cfg_kw = dict(obj_size=(n, n, n), probe_size=(pn, pn),
+                  energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf',
+                  binning=4)
+    rng = np.random.default_rng(8)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=3,
+                             probe_phase_sigma=3, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 6)[:4]
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 2, endpoint=False)
+    cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                      train=TrainConfig(minibatch_size=mb,
+                                        learning_rate=1e-5, seed=7,
+                                        update_scheme='per angle',
+                                        rotate_out_of_loop=True))
+    data = simulate(cfg, obj_true, probe, pos, theta_ls)
+
+    def run(grid_rows):
+        rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=np.zeros_like(obj_true))
+        rec._fuse_g = 2                   # 4 rows -> 2 chunks of 2 rows
+        rec._grid_scatter_rows = grid_rows
+        losses = [rec.run_epoch(ep) for ep in range(2)]
+        return rec, losses
+
+    rec_g, losses_g = run(2)
+    rec_r, losses_r = run(None)
+    np.testing.assert_allclose(losses_g, losses_r, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rec_g.params['obj']),
+                               np.asarray(rec_r.params['obj']), atol=1e-7)

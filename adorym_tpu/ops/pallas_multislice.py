@@ -247,6 +247,89 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
         out_i_ref[:] = mi
 
 
+def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
+                      fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                      out_r_ref, out_i_ref, inter_r_ref, inter_i_ref,
+                      w_r, w_i, *, k1, s):
+    """Modulator-fused forward that RECORDS the per-step entering
+    wavefields (like _fwd_kernel) — pairs with _bwd_db_st_kernel's cheap
+    1-propagation backward.  Streams half the modulator bytes of the
+    t_all kernel (two f32 planes instead of complex)."""
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+
+    @pl.when(step == 0)
+    def _():
+        w_r[:] = w0_r_ref[:]
+        w_i[:] = w0_i_ref[:]
+
+    inter_r_ref[0] = w_r[:]
+    inter_i_ref[0] = w_i[:]
+
+    tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
+    mr = w_r[:] * tr - w_i[:] * ti
+    mi = w_r[:] * ti + w_i[:] * tr
+
+    @pl.when(step < n_steps - 1)
+    def _():
+        mats = (fy_r[:], fy_i[:], fx_r[:], fx_i[:],
+                gy_r[:], gy_i[:], gx_r[:], gx_i[:])
+        pr, pi = _propagate_block(mr, mi, h_r_ref[:], h_i_ref[:], mats)
+        w_r[:] = pr
+        w_i[:] = pi
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        out_r_ref[:] = mr
+        out_i_ref[:] = mi
+
+
+def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
+                      g_r_ref, g_i_ref, h_r_ref, h_i_ref,
+                      fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                      gd_ref, gb_ref, gw_r_ref, gw_i_ref,
+                      a_r, a_i, *, k1, s):
+    """Reverse sweep with stored intermediates (like _bwd_kernel) but the
+    modulator recomputed from the two f32 object planes and the cotangent
+    emitted directly as (gd, gb) — the modulator VJP fuses in-kernel."""
+    st = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+
+    @pl.when(st == 0)
+    def _():
+        a_r[:] = g_r_ref[:]
+        a_i[:] = g_i_ref[:]
+
+    @pl.when(st > 0)
+    def _():
+        mats = (gy_r[:], gy_i[:], gx_r[:], gx_i[:],
+                fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+        pr, pi = _propagate_block(a_r[:], a_i[:], h_r_ref[:], h_i_ref[:],
+                                  mats)
+        a_r[:] = pr
+        a_i[:] = pi
+
+    wr = inter_r_ref[0]
+    wi = inter_i_ref[0]
+    tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
+    gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
+    gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
+    # Chain through t = exp(u) (see _bwd_db_kernel).
+    cu_r = gt_r * tr - gt_i * ti
+    cu_i = gt_r * ti + gt_i * tr
+    gb_ref[0] = -k1 * cu_r
+    gd_ref[0] = s * k1 * cu_i
+    new_r = a_r[:] * tr - a_i[:] * ti
+    new_i = a_r[:] * ti + a_i[:] * tr
+    a_r[:] = new_r
+    a_i[:] = new_i
+
+    @pl.when(st == n_steps - 1)
+    def _():
+        gw_r_ref[:] = a_r[:]
+        gw_i_ref[:] = a_i[:]
+
+
 def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
                    h_r_ref, h_i_ref,
                    fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
@@ -649,3 +732,134 @@ def _multislice_db_bwd(k1, s, interpret, bf16, res, g):
 
 
 multislice_db.defvjp(_multislice_db_fwd, _multislice_db_bwd)
+
+
+def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
+                    bf16=False):
+    with _dot_precision(bf16):
+        n_steps, N0, ny, nx = d.shape
+        M = w_r.shape[0]
+        NB = _pick_nb(M, N0, ny, nx)
+        (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
+                                         (0.0, 0.0, 0.0, 0.0))
+        n_blocks = N // NB
+        mats = _dft_mats(ny, nx)
+        vmem = pltpu.VMEM
+        db_spec = pl.BlockSpec((1, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
+                               memory_space=vmem)
+        w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
+                               memory_space=vmem)
+        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
+                              memory_space=vmem)
+
+        def m_spec(n):
+            return pl.BlockSpec((n, n), lambda bk, st: (0, 0),
+                                memory_space=vmem)
+
+        inter_spec = pl.BlockSpec((1, M, NB, ny, nx),
+                                  lambda bk, st: (st, 0, bk, 0, 0),
+                                  memory_space=vmem)
+        out_shapes = (
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
+        )
+        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        return pl.pallas_call(
+            functools.partial(_fwd_db_st_kernel, k1=k1, s=s),
+            grid=(n_blocks, n_steps),
+            in_specs=[db_spec, db_spec, w0_spec, w0_spec, h_spec, h_spec]
+                     + mat_specs,
+            out_specs=(w0_spec, w0_spec, inter_spec, inter_spec),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
+            interpret=interpret,
+        )(d, b, w_r, w_i, h_r, h_i, *mats)
+
+
+def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
+                    interpret=False, bf16=False):
+    with _dot_precision(bf16):
+        n_steps, N0, ny, nx = d.shape
+        M = g_r.shape[0]
+        NB = _pick_nb(M, N0, ny, nx)
+        (d, b, g_r, g_i), N = _pad_batch((d, b, g_r, g_i), N0, NB,
+                                         (0.0, 0.0, 0.0, 0.0))
+        if inter_r.shape[-3] != N:
+            (inter_r, inter_i), _ = _pad_batch(
+                (inter_r, inter_i), inter_r.shape[-3], NB, (0.0, 0.0))
+        n_blocks = N // NB
+        mats = _dft_mats(ny, nx)
+        vmem = pltpu.VMEM
+        db_rev = pl.BlockSpec((1, NB, ny, nx),
+                              lambda bk, st: (n_steps - 1 - st, bk, 0, 0),
+                              memory_space=vmem)
+        inter_rev = pl.BlockSpec((1, M, NB, ny, nx),
+                                 lambda bk, st: (n_steps - 1 - st, 0, bk,
+                                                 0, 0),
+                                 memory_space=vmem)
+        w_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
+                              memory_space=vmem)
+        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
+                              memory_space=vmem)
+
+        def m_spec(n):
+            return pl.BlockSpec((n, n), lambda bk, st: (0, 0),
+                                memory_space=vmem)
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
+        )
+        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        return pl.pallas_call(
+            functools.partial(_bwd_db_st_kernel, k1=k1, s=s),
+            grid=(n_blocks, n_steps),
+            in_specs=[db_rev, db_rev, inter_rev, inter_rev, w_spec, w_spec,
+                      h_spec, h_spec] + mat_specs,
+            out_specs=(db_rev, db_rev, w_spec, w_spec),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
+            interpret=interpret,
+        )(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, *mats)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def multislice_db_stored(delta, beta, wave, kernel, k1, s, interpret=False,
+                         bf16=False):
+    """Modulator-fused multislice with STORED intermediates: the object
+    channels stream as two f32 planes and the modulator (and its VJP)
+    compute in-kernel, while the backward replays recorded wavefields with
+    ONE propagation per step (the invertible variant pays two).  Fastest
+    f32 kernel at flagship shapes; same interface as multislice_db."""
+    out, _ = _multislice_db_st_fwd(delta, beta, wave, kernel, k1, s,
+                                   interpret, bf16)
+    return out
+
+
+def _multislice_db_st_fwd(delta, beta, wave, kernel, k1, s, interpret,
+                          bf16=False):
+    N = delta.shape[1]
+    o_r, o_i, inter_r, inter_i = _call_fwd_db_st(
+        delta, beta, jnp.real(wave), jnp.imag(wave),
+        jnp.real(kernel), jnp.imag(kernel), k1, s,
+        interpret=interpret, bf16=bf16)
+    out = (o_r[:, :N] + 1j * o_i[:, :N]).astype(jnp.complex64)
+    return out, (delta, beta, inter_r, inter_i, kernel)
+
+
+def _multislice_db_st_bwd(k1, s, interpret, bf16, res, g):
+    delta, beta, inter_r, inter_i, kernel = res
+    N = delta.shape[1]
+    gd, gb, gw_r, gw_i = _call_bwd_db_st(
+        delta, beta, inter_r, inter_i,
+        jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
+        k1, s, interpret=interpret, bf16=bf16)
+    gw = (gw_r[:, :N] + 1j * gw_i[:, :N]).astype(jnp.complex64)
+    return gd[:, :N], gb[:, :N], gw, None
+
+
+multislice_db_stored.defvjp(_multislice_db_st_fwd, _multislice_db_st_bwd)

@@ -327,18 +327,21 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
 
     if (fused and n_steps > 1 and unknown_type == 'delta_beta'
             and fresnel_approx and internal_kernel):
-        # Modulator-fused kernel with invertible backward: the object
-        # channels stream as two f32 planes, the modulator is computed on
-        # the VPU per step, and no intermediate wavefields are stored (the
-        # paraxial transfer kernel is unit-modulus, so the backward
-        # reconstructs them by inverse propagation).
-        from .pallas_multislice import multislice_db
+        # Modulator-fused kernels: the object channels stream as two f32
+        # planes and the modulator (and its VJP) compute on the VPU.
+        # Stored-intermediates variant by default (1 propagation per
+        # backward step); the invertible variant (reconstructs wavefields,
+        # 2 propagations, but ZERO step-sized storage) takes over when the
+        # intermediate stack would be large (>2 GB).
+        from .pallas_multislice import multislice_db, multislice_db_stored
         interpret = jax.default_backend() != 'tpu'
-        return multislice_db(delta_z.astype(jnp.float32),
-                             beta_z.astype(jnp.float32),
-                             wave.astype(jnp.complex64),
-                             kernel.astype(jnp.complex64),
-                             float(k1), float(mod_sign), interpret, mxu_bf16)
+        inter_bytes = (n_steps * wave.size * 8)
+        kern = (multislice_db if inter_bytes > 2e9 else multislice_db_stored)
+        return kern(delta_z.astype(jnp.float32),
+                    beta_z.astype(jnp.float32),
+                    wave.astype(jnp.complex64),
+                    kernel.astype(jnp.complex64),
+                    float(k1), float(mod_sign), interpret, mxu_bf16)
 
     t_all = slice_modulator(delta_z, beta_z, k1, unknown_type, mod_sign)
 

@@ -139,3 +139,48 @@ class TestMultisliceDB:
         g_db = jax.grad(loss_k)(jnp.asarray(1.7), True)
         g_ref = jax.grad(loss_k)(jnp.asarray(1.7), False)
         np.testing.assert_allclose(float(g_db), float(g_ref), rtol=1e-4)
+
+
+class TestMultisliceDBStored:
+    """The modulator-fused kernel with STORED intermediates (the default
+    f-mode delta_beta fused kernel) vs the XLA scan path."""
+
+    def test_forward_and_grads_match_scan(self):
+        from adorym_tpu.ops import propagate as prop
+        from adorym_tpu.ops.pallas_multislice import multislice_db_stored
+        from adorym_tpu.ops.fourier import fft2, ifft2
+        rng = np.random.default_rng(1)
+        S, N, n, M = 6, 4, 16, 2
+        d = jnp.asarray(rng.random((S, N, n, n), np.float32) * 1e-2)
+        b = jnp.asarray(rng.random((S, N, n, n), np.float32) * 1e-3)
+        w = jnp.asarray((rng.random((M, N, n, n))
+                         + 1j * rng.random((M, N, n, n)))
+                        .astype(np.complex64))
+        h = jnp.asarray(np.exp(-1j * np.pi * 0.01 * (
+            np.add.outer(np.fft.fftfreq(n) ** 2,
+                         np.fft.fftfreq(n) ** 2))).astype(np.complex64))
+        k1, s = 1.7, 1.0
+        tgt = jnp.asarray(rng.random((M, N, n, n), np.float32))
+
+        def loss_st(d, b, w):
+            o = multislice_db_stored(d, b, w, h, k1, s, True)
+            return jnp.mean((jnp.abs(o) - tgt) ** 2)
+
+        def loss_ref(d, b, w):
+            amp = jnp.exp(-k1 * b)
+            ph = -s * k1 * d
+            t_all = (amp * jnp.cos(ph)
+                     + 1j * amp * jnp.sin(ph)).astype(jnp.complex64)
+
+            def step(wv, t):
+                return ifft2(fft2(wv * t[None]) * h), None
+
+            wv, _ = jax.lax.scan(step, w, t_all[:-1])
+            return jnp.mean((jnp.abs(wv * t_all[-1][None]) - tgt) ** 2)
+
+        g1 = jax.grad(loss_st, argnums=(0, 1, 2))(d, b, w)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(d, b, w)
+        for a, r in zip(g1, g2):
+            sc = float(jnp.max(jnp.abs(r))) or 1.0
+            np.testing.assert_allclose(np.asarray(a) / sc,
+                                       np.asarray(r) / sc, atol=5e-5)

@@ -36,10 +36,10 @@ _IGNORED = {
     'precalculate_rotation_coords', 'cache_dtype', 'n_split_mpi_ata',
     'dist_mode_n_batch_per_update', 'interpolation',
     'dynamic_dropping', 'dropping_threshold',
-    'fourier_disparity', 'debug', 'save_stdout',
+    'fourier_disparity', 'debug',
     'optimizer_batch_number_increment',
     'n_dp_batch', 'run_float64',
-    'dynamic_rate', 'initial_tilt', 'fix_object',
+    'dynamic_rate', 'fix_object',
     # Dead in the reference itself (accepted but never read anywhere in
     # adorym/ptychography.py's body): probe_circ_mask (signature-only,
     # :161), n_epoch_final_pass (:68).
@@ -108,6 +108,7 @@ def reconstruct_ptychography(
         optimize_prj_affine=False, prj_affine_learning_rate=1e-3,
         optimizer_prj_affine=None,
         optimize_tilt=False, tilt_learning_rate=1e-3, optimizer_tilt=None,
+        initial_tilt=None,
         optimize_ctf_lg_kappa=False, ctf_lg_kappa_learning_rate=1e-3,
         optimizer_ctf_lg_kappa=None,
         other_params_update_delay=0,
@@ -116,7 +117,7 @@ def reconstruct_ptychography(
         common_probe_pos=True, shared_probe_among_angles=True,
         update_using_external_algorithm=None,
         use_epie=False, epie_alpha=0.8, pupil_function=None,
-        t_max_min=None, run_bfloat16=False,
+        t_max_min=None, run_bfloat16=False, save_stdout=False,
         distribution_mode=None,
         parallel_data_axis=1, parallel_object_axis=1, use_orbax=False,
         **kwargs) -> Dict[str, Any]:
@@ -257,6 +258,9 @@ def reconstruct_ptychography(
                                             'optimizer_free_prop'),
         optimize_tilt=optimize_tilt, tilt_learning_rate=tilt_learning_rate,
         tilt_optimizer=_optimizer_kind(optimizer_tilt, 'optimizer_tilt'),
+        # Known tilts activate the tilt-rotation branch even without
+        # refinement (``adorym/forward_model.py:265-276``).
+        fixed_tilt=initial_tilt is not None,
         optimize_prj_affine=optimize_prj_affine,
         prj_affine_learning_rate=prj_affine_learning_rate,
         prj_affine_optimizer=_optimizer_kind(optimizer_prj_affine,
@@ -293,7 +297,8 @@ def reconstruct_ptychography(
         store_checkpoint=store_checkpoint, use_checkpoint=use_checkpoint,
         use_orbax=use_orbax,
         force_to_use_checkpoint=force_to_use_checkpoint,
-        n_batch_per_checkpoint=n_batch_per_checkpoint, t_max_min=t_max_min)
+        n_batch_per_checkpoint=n_batch_per_checkpoint, t_max_min=t_max_min,
+        save_stdout=save_stdout)
     # distribution_mode mapping: the reference's three storage/parallelism
     # branches collapse onto the mesh + memory-kind config (SURVEY §2.2).
     offload_state = False
@@ -381,8 +386,13 @@ def reconstruct_ptychography(
 
     # The refinable starts at the user's ctf_lg_kappa, like the reference
     # (``adorym/ptychography.py:733``), not at build_aux_params' default.
-    aux_init = ({'ctf_lg_kappa': float(ctf_lg_kappa)}
-                if optimize_ctf_lg_kappa else None)
+    aux_init = {}
+    if optimize_ctf_lg_kappa:
+        aux_init['ctf_lg_kappa'] = float(ctf_lg_kappa)
+    if initial_tilt is not None:
+        # tilt_ls = initial_tilt verbatim (``adorym/ptychography.py:681-682``).
+        aux_init['tilt_ls'] = np.asarray(initial_tilt, np.float32)
+    aux_init = aux_init or None
 
     # -- multiscale schedule (``adorym/ptychography.py:354``) --------------
     results = None

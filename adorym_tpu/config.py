@@ -94,6 +94,13 @@ class RefineConfig:
     optimize_tilt: bool = False
     tilt_learning_rate: float = 1e-3
     tilt_optimizer: str = 'adam'
+    # Reconstruct with KNOWN per-angle tilts without refining them: the
+    # reference activates its 3-axis tilt-rotation branch whenever
+    # ``initial_tilt is not None``, even with ``optimize_tilt=False``
+    # (``adorym/forward_model.py:265-276``, init ``ptychography.py:681-682``).
+    # Set by the api's ``initial_tilt`` kwarg; the tilt values live in the
+    # ``tilt_ls`` param leaf (no optimizer spec -> never updated).
+    fixed_tilt: bool = False
     optimize_prj_affine: bool = False
     prj_affine_learning_rate: float = 1e-3
     prj_affine_optimizer: str = 'adam'
@@ -103,6 +110,13 @@ class RefineConfig:
     # Gate ALL auxiliary updates (everything but obj/probe) until this many
     # global batches have run (``adorym/optimizers.py:1037``).
     other_params_update_delay: int = 0
+
+    @property
+    def tilt_active(self) -> bool:
+        """The 3-axis tilt rotation replaces the plain view rotation —
+        tilt has precedence over ``rotate_out_of_loop``
+        (``adorym/forward_model.py:265-276``)."""
+        return self.optimize_tilt or self.fixed_tilt
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,14 +63,16 @@ def prepare_probe(params: Dict, batch: Dict, cfg: ReconConfig):
 def rotated_object(params: Dict, batch: Dict, cfg: ReconConfig):
     """Rotate the object to the view angle (``adorym/forward_model.py:264-281``).
 
-    2D mode and single-angle runs skip rotation.  With tilt refinement the
-    rotation is the differentiable 3-axis tilt sequence.
+    2D mode and single-angle runs skip rotation.  With tilt active
+    (refined, or fixed via ``initial_tilt``) the rotation is the 3-axis tilt
+    sequence, which takes precedence over ``rotate_out_of_loop`` exactly as
+    in the reference (``adorym/forward_model.py:265-276``).
     """
     obj = params['obj']
     geo = cfg.geometry
     if geo.two_d_mode:
         return obj
-    if cfg.refine.optimize_tilt:
+    if cfg.refine.tilt_active:
         tilts = params['tilt_ls'][:, batch['i_theta']]
         return tilt_rotate(obj, tilts)
     if cfg.train.rotate_out_of_loop:

@@ -702,6 +702,15 @@ def multislice_db(delta, beta, wave, kernel, k1, s, interpret=False,
       k1, s: modulation scale ``2*pi*dz_nm/lambda_nm`` and sign.
 
     Differentiable in delta, beta, wave (kernel is geometry).
+
+    Accuracy bound: the wave reconstruction divides by the modulator,
+    ``1/t = exp(+k1*beta)``, so f32 roundoff in the reconstructed fields
+    amplifies by ``exp(max k1*beta_binned)`` per step relative to the
+    stored-intermediates backward.  Validated to grad-rtol ~1e-4 up to
+    ``k1*beta ~ 3`` per binned step (95% absorption/step — far beyond
+    physical multislice regimes, where per-step absorption is <<1%); for
+    pathological absorption keep :data:`..propagate.DB_STORED_MAX_BYTES`
+    high enough that :func:`multislice_db_stored` is selected.
     """
     out, _ = _multislice_db_fwd(delta, beta, wave, kernel, k1, s, interpret,
                                 bf16)

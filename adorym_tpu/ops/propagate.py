@@ -32,6 +32,14 @@ import numpy as np
 from ..constants import PI, wavelength_nm
 from .fourier import fft2, ifft2, fft2_and_shift, ifft2_and_shift, fourier_shift
 
+#: Fused delta_beta multislice variant switch: below this many bytes of
+#: per-chunk forward intermediates, the STORED-intermediates backward
+#: (1 propagation per step) is used; above it, the invertible backward
+#: (reconstructs wavefields, zero step-sized storage).  ~2 GB measured as
+#: the crossover where the stored stack's HBM pressure outweighs the
+#: invertible variant's extra propagation at flagship shapes.
+DB_STORED_MAX_BYTES = 2e9
+
 
 # ---------------------------------------------------------------------------
 # Frequency meshes and kernels
@@ -333,10 +341,11 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         # backward step); the invertible variant (reconstructs wavefields,
         # 2 propagations, but ZERO step-sized storage) takes over when the
         # intermediate stack would be large (>2 GB).
-        from .pallas_multislice import multislice_db, multislice_db_stored
+        from . import pallas_multislice as pm
         interpret = jax.default_backend() != 'tpu'
         inter_bytes = (n_steps * wave.size * 8)
-        kern = (multislice_db if inter_bytes > 2e9 else multislice_db_stored)
+        kern = (pm.multislice_db if inter_bytes > DB_STORED_MAX_BYTES
+                else pm.multislice_db_stored)
         return kern(delta_z.astype(jnp.float32),
                     beta_z.astype(jnp.float32),
                     wave.astype(jnp.complex64),

@@ -88,15 +88,20 @@ def _bilinear_gather_plane(vol, c1, c2, ax1, ax2):
 #: so an unchunked rotate peaks at ~4x the object — the binding constraint
 #: for large single-chip volumes (a 768^3 run exceeds 16G HBM through the
 #: rotation alone).  Chunking bounds the temporaries to ~4 chunks.
-_CHUNK_THRESHOLD_BYTES = 512 * 2 ** 20
-_CHUNK_TARGET_BYTES = 128 * 2 ** 20
+#: Fractions of the per-device capacity, tuned on a 16 GB v5e
+#: (512 MB threshold / 128 MB chunks = 1/32 and 1/128 of HBM).
+_CHUNK_THRESHOLD_FRAC = 1 / 32
+_CHUNK_TARGET_FRAC = 1 / 128
 
 
 def _carried_chunks(n_carried: int, nbytes: int) -> int:
-    """Smallest divisor of ``n_carried`` whose chunks fit the target."""
-    if nbytes <= _CHUNK_THRESHOLD_BYTES:
+    """Smallest divisor of ``n_carried`` whose chunks fit the target
+    (both scaled to the device's actual memory capacity)."""
+    from ..utils import profiling as _prof
+    hbm = _prof.hbm_limit_bytes()
+    if nbytes <= hbm * _CHUNK_THRESHOLD_FRAC:
         return 1
-    want = int(np.ceil(nbytes / _CHUNK_TARGET_BYTES))
+    want = int(np.ceil(nbytes / (hbm * _CHUNK_TARGET_FRAC)))
     for k in range(want, n_carried + 1):
         if n_carried % k == 0:
             return k
@@ -181,7 +186,6 @@ def rotate_and_bin_z(obj, theta, binning):
     """
     y, x, nz = obj.shape[:3]
     nz_b = -(-nz // binning)
-    pad_z = nz_b * binning - nz
     c1, c2 = _rotation_source_coords((x, nz),
                                      jnp.asarray(theta, dtype=jnp.float32))
     k = _carried_chunks(y, obj.size * obj.dtype.itemsize)

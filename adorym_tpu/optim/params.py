@@ -63,7 +63,7 @@ def build_aux_params(cfg: ReconConfig, n_theta: int, n_pos: int,
     if r.optimize_free_prop:
         fp = free_prop_cm if free_prop_cm is not None else geo.free_prop_cm
         params['free_prop_cm'] = jnp.atleast_1d(jnp.asarray(fp, jnp.float32))
-    if r.optimize_tilt:
+    if r.optimize_tilt or r.fixed_tilt:
         params['tilt_ls'] = (jnp.asarray(tilt_init, jnp.float32)
                              if tilt_init is not None
                              else jnp.zeros((3, n_theta), jnp.float32))

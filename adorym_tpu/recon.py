@@ -140,7 +140,11 @@ class Reconstructor:
             slice_pos_cm_ls=geo.slice_pos_cm_ls,
             free_prop_cm=(geo.free_prop_cm
                           if not isinstance(geo.free_prop_cm, str) else None))
-        if cfg.refine.optimize_tilt:
+        if cfg.refine.tilt_active:
+            if geo.two_d_mode:
+                # Reference parity (``adorym/forward_model.py:280``).
+                raise NotImplementedError(
+                    'tilt is not implemented for two_d_mode')
             # The axis-0 tilt component IS the view angle, refined around
             # its nominal value (``adorym/ptychography.py:681-682``).
             aux_kw['tilt_init'] = np.stack([
@@ -267,11 +271,32 @@ class Reconstructor:
         patch_bytes = (cfg.train.minibatch_size * geo.probe_size[0]
                        * geo.probe_size[1] * nz_patch * 2 * 4)
         obj_bytes = int(np.prod(geo.obj_size)) * 2 * 4
-        avail = 10e9 - 6 * obj_bytes
+        # Budgets derive from the actual per-device capacity (measured
+        # tuning was on a 16 GB v5e: 10e9 usable after a 6 GB reserve for
+        # XLA temporaries/fragmentation, 14.5e9 for data residency).
+        from .utils import profiling as _prof
+        hbm = _prof.hbm_limit_bytes()
+        avail = (hbm - 6e9) - 6 * obj_bytes
         # ~6 patch-stack-sized buffers live through fwd+bwd (patches, their
         # gradient, delta/beta splits, wave stacks) — measured at flagship
         # shapes; g=12 (3 stacks assumed) OOMed by 0.2G on a 16G chip.
-        self._fuse_g = (int(max(1, min(64, avail // max(1, 6 * patch_bytes))))
+        # When the Pallas delta_beta kernel will engage (bf16 auto / forced
+        # 'on'), its stored-intermediates variant additionally keeps the
+        # per-chunk forward wavefield stack (2 f32 arrays of
+        # [n_steps, n_modes, g*mb, py, px] ~= 2*n_modes patch stacks per g)
+        # resident through the backward — budget for it so enabling
+        # run_bfloat16 at flagship chunk sizes cannot blow the f32-tuned
+        # working set.
+        pallas_db = (cfg.train.unknown_type == 'delta_beta'
+                     and not geo.pure_projection
+                     and geo.slice_pos_cm_ls is None and geo.fresnel_approx
+                     and (cfg.train.fused_multislice == 'on'
+                          or (cfg.train.fused_multislice == 'auto'
+                              and cfg.train.run_bfloat16
+                              and jax.default_backend() == 'tpu')))
+        bufs = 6 + 2 * cfg.train.n_probe_modes if pallas_db else 6
+        self._chunk_bufs = bufs
+        self._fuse_g = (int(max(1, min(64, avail // max(1, bufs * patch_bytes))))
                         if avail > 0 else 1)
         # Whole-chunk separable grid scatter (scatter_grid2d_add): when the
         # table is a complete 2D grid and chunks carry no padded rows, the
@@ -296,10 +321,10 @@ class Reconstructor:
         # dataset fits alongside the working set (object buffers + fused
         # patch stacks); multi-chip keeps per-angle staging (the dataset
         # would need dp-sharding, and local links don't have the problem).
-        ws_bytes = 6 * obj_bytes + 6 * patch_bytes * self._fuse_g
+        ws_bytes = 6 * obj_bytes + bufs * patch_bytes * self._fuse_g
         self._data_dev_ok = (mesh is None
                              and self.data is not None
-                             and self.data.nbytes <= 14.5e9 - ws_bytes)
+                             and self.data.nbytes <= (hbm - 1.5e9) - ws_bytes)
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
@@ -1238,7 +1263,13 @@ class Reconstructor:
         # flagship 256^3 run this replaces 2 rotations/batch with
         # 2 rotations/angle.
         t = self.cfg.train
-        rol = t.rotate_out_of_loop and not self.cfg.geometry.two_d_mode
+        # Tilt (refined or fixed) has precedence over rotate_out_of_loop:
+        # the model applies the 3-axis tilt rotation inside AD, so the
+        # driver must neither pre-rotate by theta nor rotate gradients back
+        # (``adorym/forward_model.py:265-276`` — the tilt branch ignores
+        # self.rotate_out_of_loop).
+        rol = (t.rotate_out_of_loop and not self.cfg.geometry.two_d_mode
+               and not self.cfg.refine.tilt_active)
         use_accum = ((t.update_scheme == 'per angle' or rol
                       or t.n_batch_per_update > 1)
                      and not self.second_order)

@@ -51,6 +51,30 @@ class Timers:
         self.count.clear()
 
 
+#: Assumed per-device memory when the backend hides stats (v5e HBM) —
+#: keeps CPU test runs and stats-less backends on the tuning this package
+#: was measured with.
+DEFAULT_HBM_BYTES = 16e9
+
+
+def hbm_limit_bytes() -> float:
+    """Per-device accelerator memory capacity in bytes, for sizing the
+    driver's working-set heuristics (gradient-chunk fusing, data residency,
+    rotation chunking).  Derived from ``memory_stats()['bytes_limit']`` so
+    a v5p (95 GB) sizes ~6x larger than a v5e (16 GB); non-TPU backends
+    and TPUs that don't expose stats use :data:`DEFAULT_HBM_BYTES`."""
+    try:
+        dev = jax.devices()[0]
+        if dev.platform != 'tpu':
+            return DEFAULT_HBM_BYTES
+        limit = (dev.memory_stats() or {}).get('bytes_limit', 0)
+        if limit > 0:
+            return float(limit)
+    except Exception:
+        pass
+    return DEFAULT_HBM_BYTES
+
+
 def device_memory_stats() -> Optional[Dict[str, float]]:
     """Per-device HBM usage in MB (the reference's GPU memory probe
     analog).  Returns None when the backend doesn't expose stats."""

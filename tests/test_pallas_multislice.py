@@ -81,7 +81,15 @@ class TestFusedMultislice:
 
 class TestMultisliceDB:
     """The modulator-fused kernel with the invertible (no stored
-    intermediates) backward: multislice_db vs the unfused scan path."""
+    intermediates) backward: multislice_db vs the unfused scan path.
+
+    At these test sizes the auto-selection would pick the stored variant;
+    the fixture drops the switch threshold so every test here exercises the
+    INVERTIBLE kernel — the one production selects for >2 GB bf16 chunks."""
+
+    @pytest.fixture(autouse=True)
+    def _force_invertible(self, monkeypatch):
+        monkeypatch.setattr(prop, 'DB_STORED_MAX_BYTES', -1.0)
 
     @staticmethod
     def _setup(nz=16, binning=4, M=2, N=5, n=24, seed=0):
@@ -139,6 +147,61 @@ class TestMultisliceDB:
         g_db = jax.grad(loss_k)(jnp.asarray(1.7), True)
         g_ref = jax.grad(loss_k)(jnp.asarray(1.7), False)
         np.testing.assert_allclose(float(g_db), float(g_ref), rtol=1e-4)
+
+    def test_high_absorption_gradient_accuracy(self):
+        """The invertible backward reconstructs wavefields via
+        ``1/t = exp(+k1*beta)``, amplifying f32 roundoff exponentially with
+        per-step absorption.  Validate the documented bound: gradients stay
+        within rtol ~1e-4 of the scan path up to k1*beta ~ 3 per binned
+        step (the physical regime is orders of magnitude below this)."""
+        delta, beta, wave, tgt, binning = self._setup(nz=16, binning=4)
+        # psize 1e-7 cm at 5 keV: k1 = 2*pi*dz_nm/lambda_nm ~ 25.3.
+        # Scale beta so each binned step (4 slices) absorbs strongly:
+        # max k1 * sum_bin(beta) ~ 3.
+        k1 = 2 * np.pi * (1e-7 * 1e7) / (1240.0 / 5000.0)
+        beta = beta / float(jnp.max(beta)) * (3.0 / k1 / binning)
+        g_db = jax.grad(self._loss, argnums=(0, 1, 2))(
+            delta, beta, wave, tgt, binning, True)
+        g_ref = jax.grad(self._loss, argnums=(0, 1, 2))(
+            delta, beta, wave, tgt, binning, False)
+        for a, r in zip(g_db, g_ref):
+            scale = float(jnp.max(jnp.abs(r))) or 1.0
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(r) / scale, atol=1e-4)
+
+
+class TestDBVariantSelection:
+    """multislice_propagate's stored-vs-invertible switch at
+    DB_STORED_MAX_BYTES (``ops/propagate.py``)."""
+
+    @staticmethod
+    def _run(monkeypatch, threshold):
+        calls = []
+        from adorym_tpu.ops import pallas_multislice as pm
+        real_db, real_st = pm.multislice_db, pm.multislice_db_stored
+        monkeypatch.setattr(pm, 'multislice_db',
+                            lambda *a, **k: calls.append('invertible')
+                            or real_db(*a, **k))
+        monkeypatch.setattr(pm, 'multislice_db_stored',
+                            lambda *a, **k: calls.append('stored')
+                            or real_st(*a, **k))
+        monkeypatch.setattr(prop, 'DB_STORED_MAX_BYTES', threshold)
+        rng = np.random.default_rng(3)
+        delta = jnp.asarray(rng.random((2, 8, 8, 6), np.float32) * 1e-3)
+        beta = jnp.asarray(rng.random((2, 8, 8, 6), np.float32) * 3e-5)
+        wave = jnp.asarray((rng.random((1, 2, 8, 8))
+                            + 1j * rng.random((1, 2, 8, 8)))
+                           .astype(np.complex64))
+        out = prop.multislice_propagate(delta, beta, wave, 5000.0, 1e-7,
+                                        binning=2, fused=True)
+        return calls, np.asarray(out)
+
+    def test_boundary(self, monkeypatch):
+        calls_lo, out_lo = self._run(monkeypatch, -1.0)   # always invertible
+        assert calls_lo == ['invertible']
+        calls_hi, out_hi = self._run(monkeypatch, 1e18)   # always stored
+        assert calls_hi == ['stored']
+        np.testing.assert_allclose(out_lo, out_hi, atol=1e-5)
 
 
 class TestMultisliceDBStored:

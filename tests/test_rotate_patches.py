@@ -223,15 +223,18 @@ def test_chunked_rotation_matches_unchunked(monkeypatch):
     import adorym_tpu.ops.rotate as R
     rng = np.random.default_rng(0)
     obj = rng.random((24, 20, 16, 2)).astype(np.float32)
+    from adorym_tpu.utils import profiling
+    hbm = profiling.hbm_limit_bytes()
     for axis in (0, 1, 2):
         a = np.asarray(R.rotate(jnp.asarray(obj), 0.37, axis=axis))
-        monkeypatch.setattr(R, '_CHUNK_THRESHOLD_BYTES', 1)
-        monkeypatch.setattr(R, '_CHUNK_TARGET_BYTES', 20 * 16 * 2 * 4 * 3)
+        monkeypatch.setattr(R, '_CHUNK_THRESHOLD_FRAC', 1 / hbm)
+        monkeypatch.setattr(R, '_CHUNK_TARGET_FRAC',
+                            20 * 16 * 2 * 4 * 3 / hbm)
         b = np.asarray(R.rotate(jnp.asarray(obj), 0.37, axis=axis))
         monkeypatch.undo()
         np.testing.assert_allclose(a, b, atol=1e-6)
     # And the adjoint stays the exact transpose under chunking.
-    monkeypatch.setattr(R, '_CHUNK_THRESHOLD_BYTES', 1)
+    monkeypatch.setattr(R, '_CHUNK_THRESHOLD_FRAC', 1 / hbm)
     import jax
     cot = jnp.asarray(rng.random(obj.shape).astype(np.float32))
     x = jnp.asarray(obj)

@@ -212,6 +212,19 @@ class ParallelConfig:
     # whole arrays.  Ignored when the object is sharded over 'op' (slab
     # slicing would fight the GSPMD partition).
     offload_slabs: int = 8
+    # Beyond-HBM objects: keep the OBJECT ITSELF (not just its moments) in
+    # pinned host memory as y-slabs, visiting HBM slab-at-a-time — per
+    # angle, each slab streams in once for the fused rotate+bin (whose
+    # result is 1/binning the size) and once for its update; the full-
+    # resolution object never resides in HBM.  The last piece of the
+    # reference's shared-file property (object+gradient+moments in HDF5,
+    # bounded by disk not device memory, ``adorym/array_ops.py:62-73``).
+    # Requires offload_optimizer_state + the angle-fused patch path with
+    # prebin (delta_beta, binning>1, row-grid scan, per-angle updates,
+    # rotate_out_of_loop, interp rotate-back, no regularizers/support
+    # mask).  'auto' enables it when the object pair exceeds ~35% of HBM
+    # and the run qualifies; True raises if the run does not qualify.
+    offload_object: Union[bool, str] = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,6 +84,26 @@ def sharded_patch_gather(obj, positions, probe_size, mesh: Mesh,
     return fn(obj, positions.astype(jnp.int32))
 
 
+def neighbor_extend(slab, h1: int, h2: int, axis: str, n_shards: int):
+    """``[prev shard's last h1 rows ; slab ; next shard's first h2 rows]``.
+
+    Two ring ``ppermute``s of tiny (probe-height-order) row blocks — the
+    building block for re-slabbing between the unpadded parameter grid and
+    the padded working grid in the mesh patch step.  Circular: edge shards
+    receive wrap-around rows, which callers mask to vacuum (they map
+    outside the global extent) or never read.
+    """
+    parts = []
+    if h1:
+        perm_fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        parts.append(jax.lax.ppermute(slab[-h1:], axis, perm_fwd))
+    parts.append(slab)
+    if h2:
+        perm_bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        parts.append(jax.lax.ppermute(slab[:h2], axis, perm_bwd))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else slab
+
+
 def sharded_patch_scatter_add(obj, patches, positions, mesh: Mesh,
                               axis: str = 'op'):
     """Explicit transpose of :func:`sharded_patch_gather`: add patches into

@@ -235,7 +235,7 @@ class Reconstructor:
         # patch granularity with scatter_rowgrid_add instead of XLA's
         # generic scatter (~5x off roofline at flagship shapes).
         self._rowgrid_stride = None
-        if (self.model is ptycho_model and mesh is None
+        if (self.model is ptycho_model
                 and self.probe_pos.ndim == 2
                 and not cfg.train.randomize_probe_pos):
             self._rowgrid_stride = patch_ops.detect_row_grid(
@@ -253,8 +253,9 @@ class Reconstructor:
         # Mirror angle_step's ACTUAL patch_mode gate (patch granularity +
         # prebin) so the chunk sizing never assumes binned-depth stacks on
         # a path that moves full-depth ones (e.g. the mesh halo gather).
-        self._patch_mode = ((cfg.train.patch_grad
-                             or self._rowgrid_stride is not None)
+        self._patch_mode = (mesh is None
+                            and (cfg.train.patch_grad
+                                 or self._rowgrid_stride is not None)
                             and hasattr(self.model, 'predict_from_patches')
                             and self.transform_measured is None
                             and self._gather_fn is patch_ops.extract_patches)
@@ -376,6 +377,13 @@ class Reconstructor:
                     os.path.join(output_folder, 'checkpoint'))
                 if restored is not None:
                     r_params, r_state, i_epoch, i_batch, extra = restored
+                    # Object saved as y-slab dicts (object offload runs)
+                    # normalizes to a full array; the offload block below
+                    # re-splits per the CURRENT config.
+                    if isinstance(r_params.get('obj'), dict):
+                        r_params = {**r_params, 'obj': np.concatenate(
+                            [r_params['obj'][k]
+                             for k in sorted(r_params['obj'])], axis=0)}
                     self.params = {k: jnp.asarray(v)
                                    for k, v in r_params.items()}
                     # Checkpoints written under slab-streamed offload store
@@ -440,14 +448,239 @@ class Reconstructor:
             self.opt_state['obj'] = jax.tree.map(
                 jax.device_put, self.opt_state['obj'], self._state_host_sh)
 
+        # -- beyond-HBM objects: the object itself lives in pinned host
+        #    memory as y-slabs (the last shared-file property,
+        #    ``adorym/array_ops.py:62-73``).  Each angle touches HBM with
+        #    one slab at a time: slab -> fused rotate+bin (output is
+        #    1/binning the size, stays in HBM) for the forward, and
+        #    slab -> update -> slab for the optimizer; the full-resolution
+        #    object is never device-resident. -----------------------------
+        self._obj_offloaded = False
+        want_obj_off = cfg.parallel.offload_object
+        if want_obj_off == 'auto':
+            want_obj_off = (self._off_slabbed and obj_bytes > 0.35 * hbm)
+        if want_obj_off and mesh is None:
+            problems = []
+            if not self._off_slabbed:
+                problems.append('offload_optimizer_state with '
+                                'offload_slabs>1')
+            if not (self._patch_mode and self._prebin):
+                problems.append('the patch-granular prebin angle path '
+                                '(row-grid scan table, delta_beta, '
+                                'binning>1)')
+            if geo.two_d_mode:
+                problems.append('a 3D object')
+            if cfg.train.exact_grad_rotation:
+                problems.append('the interp gradient rotate-back '
+                                '(exact_grad_rotation=False)')
+            if self.reg_list or self._needs_weight_l1:
+                problems.append('no regularizers')
+            if self.finite_support_mask is not None:
+                problems.append('no finite-support mask')
+            if (cfg.train.update_scheme != 'per angle'
+                    or not cfg.train.rotate_out_of_loop
+                    or cfg.train.n_batch_per_update > 1):
+                problems.append("update_scheme='per angle' with "
+                                'rotate_out_of_loop')
+            if self.second_order:
+                problems.append('a first-order object optimizer')
+            if cfg.refine.tilt_active:
+                problems.append('no tilt')
+            if problems:
+                if cfg.parallel.offload_object is True:
+                    raise ValueError(
+                        'offload_object requires: ' + '; '.join(problems))
+            else:
+                obj = self.params['obj']
+                self._obj_dev_sh = {}
+                self._obj_host_sh = {}
+                slabs = {}
+                for key, (st, sz) in zip(self._slab_keys,
+                                         self._slab_ranges):
+                    sl = obj[st:st + sz]
+                    dsh = sl.sharding.with_memory_kind('device')
+                    self._obj_dev_sh[key] = dsh
+                    self._obj_host_sh[key] = dsh.with_memory_kind(
+                        'pinned_host')
+                    slabs[key] = jax.device_put(sl, self._obj_host_sh[key])
+                self.params = {**self.params, 'obj': slabs}
+                self._obj_offloaded = True
+        self._rehome_after_step = (self._rehome_after_step
+                                   or (self._obj_offloaded
+                                       and jax.default_backend() == 'cpu'))
+
+        # Mesh patch-granular fast path (the reference's DO mode at full
+        # speed): host-side layout + eligibility; the step itself is built
+        # inside _build_step.
+        self._mc = self._build_mc_layout()
+
         self._step = self._build_step()
 
+    def _build_mc_layout(self):
+        """Host-side eligibility + static layout for the mesh patch-mode
+        angle step (``_mc_step``) — the multi-chip composition of the
+        single-chip fast path (patch-granular accumulation, structured
+        row-grid scatter, prebin hoist, device-resident data).
+
+        Decomposition (reference semantics ``adorym/util.py:889-1102``, but
+        with ZERO host round-trips and only neighbor/psum collectives):
+
+          * the object stays sharded in y-slabs over 'op'; rotation about
+            the view axis is per-y-plane, so each shard rotates its own
+            slab with no communication (the reference rotates per-rank
+            slabs the same way, ``adorym/ptychography.py:930-934``);
+          * every minibatch of a row-grid scan table is ONE grid row with a
+            single y origin — whole minibatches are owned by the op shard
+            whose padded slab contains that origin, so patch extraction and
+            the structured scatter are shard-local against a slab extended
+            by a probe-height halo (2 tiny ``ppermute``s per angle);
+          * 'dp' splits the patches WITHIN each row; the slab gradient
+            accumulator is ``psum``'d over 'dp' once per angle;
+          * measured data lives device-resident, pre-gathered into the
+            (op, dp) layout — per-angle H2D drops to two scalars.
+
+        Returns the layout dict, or None when ineligible (the generic
+        GSPMD/halo-gather path then runs instead).
+        """
+        cfg = self.cfg
+        geo = cfg.geometry
+        mesh = self.mesh
+        if (mesh is None or self._rowgrid_stride is None
+                or self.model is not ptycho_model
+                or self.transform_measured is not None
+                or not hasattr(self.model, 'predict_from_patches')
+                or self.reg_list or self.second_order
+                or cfg.refine.tilt_active
+                or self.data is None
+                or cfg.train.update_scheme != 'per angle'
+                or cfg.train.n_batch_per_update > 1
+                or self.external_algorithm is not None):
+            return None
+        n_dp = cfg.parallel.data_axis
+        n_op = cfg.parallel.object_axis
+        mb = cfg.train.minibatch_size
+        Y, X, nz = geo.obj_size
+        py, px = geo.probe_size
+        if mb % n_dp or Y % n_op:
+            return None
+        p = self.pad_arr
+        p0, p1 = int(p[0][0]), int(p[0][1])
+        px0, px1 = int(p[1][0]), int(p[1][1])
+        # Extra vacuum rows so the padded working extent divides 'op'
+        # (harmless: positions are unchanged, the surplus is cropped with
+        # the rest of the padding).
+        p1 += (-(Y + p0 + p1)) % n_op
+        Y_p = Y + p0 + p1
+        S_u = Y // n_op
+        S_p = Y_p // n_op
+        h1, h2 = p0, p1 + py
+        if py > S_p or max(h1, h2, p0, p1) > S_u:
+            return None
+        prebin = (cfg.train.prebin_z in ('auto', 'on') and geo.binning > 1
+                  and cfg.train.unknown_type == 'delta_beta'
+                  and not geo.pure_projection
+                  and geo.slice_pos_cm_ls is None)
+        nzb = -(-nz // geo.binning) if prebin else nz
+        pos = np.round(self.probe_pos).astype(np.int64)
+        n_rows = pos.shape[0] // mb
+        y0_pad = pos[::mb, 0] + p0
+        owner = y0_pad // S_p
+        rows_by = [np.nonzero(owner == k)[0] for k in range(n_op)]
+        n_max = max((len(r) for r in rows_by), default=0) or 1
+        # Per-device chunk sizing: same working-set model as the
+        # single-chip _fuse_g, with slab-sized object buffers and
+        # per-device (mb/n_dp-wide) patch stacks.
+        mp = mb // n_dp
+        from .utils import profiling as _prof
+        hbm = _prof.hbm_limit_bytes()
+        slab_bytes = S_p * (X + px0 + px1) * nzb * 2 * 4
+        patch_dev_bytes = mp * py * px * nzb * 2 * 4
+        avail = (hbm - 6e9) - 6 * slab_bytes
+        g_rows = int(max(1, min(64, n_max,
+                                avail // max(1, self._chunk_bufs
+                                             * patch_dev_bytes))))
+        n_c = -(-n_max // g_rows)
+        R = n_c * g_rows
+        row_ids = np.zeros((n_op, R), np.int64)
+        w = np.zeros((n_op, R), np.float32)
+        for k in range(n_op):
+            rk = rows_by[k]
+            if len(rk):
+                row_ids[k, :len(rk)] = rk
+                row_ids[k, len(rk):] = rk[-1]
+                w[k, :len(rk)] = 1.0
+            # shards with no rows run row 0 at weight 0 (pure padding)
+        # Per-device patch tables: positions in the shard-LOCAL padded
+        # frame (y) / global padded frame (x), spot indices for data and
+        # probe_pos_correction.
+        spot = (row_ids[..., None] * mb
+                + np.arange(mb)).reshape(n_op, R, n_dp, mp)
+        y_loc = (y0_pad[row_ids] - np.arange(n_op)[:, None] * S_p)
+        pos_mc = np.zeros((n_c, n_op, n_dp, g_rows * mp, 2), np.float32)
+        inds_mc = np.zeros((n_c, n_op, n_dp, g_rows * mp), np.int32)
+        for k in range(n_op):
+            for c in range(n_c):
+                sl = slice(c * g_rows, (c + 1) * g_rows)
+                for d in range(n_dp):
+                    sp = spot[k, sl, d].reshape(-1)
+                    inds_mc[c, k, d] = sp
+                    pos_mc[c, k, d, :, 0] = np.repeat(y_loc[k, sl], mp)
+                    pos_mc[c, k, d, :, 1] = pos[sp, 1] + px0
+        w_mc = np.ascontiguousarray(
+            w.reshape(n_op, n_c, g_rows).transpose(1, 0, 2))
+        # Device-resident measured data in the same layout; fall back to
+        # the generic path when the per-device share cannot fit next to
+        # the working set.
+        data_dev_bytes = (self.n_theta * R * mp * py * px * 4)
+        if data_dev_bytes > (hbm - 1.5e9) - (6 * slab_bytes
+                                             + self._chunk_bufs
+                                             * patch_dev_bytes * g_rows):
+            return None
+        return dict(n_dp=n_dp, n_op=n_op, mb=mb, mp=mp, g_rows=g_rows,
+                    n_c=n_c, R=R, S_u=S_u, S_p=S_p, p0=p0, p1=p1, px0=px0,
+                    px1=px1, h1=h1, h2=h2, py=py, px=px, Y=Y, X=X, nz=nz,
+                    nzb=nzb, prebin=prebin, n_rows=n_rows,
+                    row_ids=row_ids, w=w, pos_mc=pos_mc, inds_mc=inds_mc,
+                    w_mc=w_mc, dev=None)
+
+    def _mc_device_tables(self):
+        """Lazily stage the static mc tables + the full dataset onto the
+        mesh (once per run)."""
+        mc = self._mc
+        if mc['dev'] is not None:
+            return mc['dev']
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp, op = self.cfg.parallel.axis_names
+        ns = lambda spec: NamedSharding(self.mesh, spec)
+        data_mc = np.empty((self.n_theta, mc['n_op'], mc['n_dp'],
+                            mc['R'] * mc['mp'], mc['py'], mc['px']),
+                           np.float32)
+        for k in range(mc['n_op']):
+            for d in range(mc['n_dp']):
+                data_mc[:, k, d] = self.data[:, mc['inds_mc'][:, k, d]
+                                             .reshape(-1)]
+        dev = dict(
+            pos=jax.device_put(jnp.asarray(mc['pos_mc']),
+                               ns(P(None, op, dp))),
+            inds=jax.device_put(jnp.asarray(mc['inds_mc']),
+                                ns(P(None, op, dp))),
+            w=jax.device_put(jnp.asarray(mc['w_mc']), ns(P(None, op))),
+            data=jax.device_put(jnp.asarray(data_mc), ns(P(None, op, dp))))
+        mc['dev'] = dev
+        return dev
+
     def _rehome_state(self):
-        """Move the object's optimizer state back to pinned host memory
-        (CPU backend only — see ``_rehome_after_step``)."""
-        if self._rehome_after_step:
+        """Move the object's optimizer state (and, when offloaded, the
+        object slabs) back to pinned host memory (CPU backend only — see
+        ``_rehome_after_step``)."""
+        if not self._rehome_after_step:
+            return
+        if self._off_state:
             self.opt_state['obj'] = jax.tree.map(
                 jax.device_put, self.opt_state['obj'], self._state_host_sh)
+        if self._obj_offloaded:
+            self.params['obj'] = jax.tree.map(
+                jax.device_put, self.params['obj'], self._obj_host_sh)
 
     def _print(self, msg: str):
         print(msg, flush=True)
@@ -555,7 +788,7 @@ class Reconstructor:
             # shards; no host gather of a large sharded object.
             params, state = self.params, self.opt_state
         else:
-            params = {k: np.asarray(v) for k, v in self.params.items()}
+            params = jax.tree.map(np.asarray, self.params)
             state = jax.tree.map(np.asarray, self.opt_state)
         return ckpt_lib.save_checkpoint(
             os.path.join(self.output_folder, 'checkpoint'),
@@ -587,10 +820,15 @@ class Reconstructor:
         cfg = self.cfg
         # XLA:CPU aborts when a donated input lives in pinned_host (the
         # buffer-kind check trips during aliasing); TPU handles it.  Skip
-        # opt_state donation there — it only costs a transient host copy.
-        donate = ((0, 1) if not (self._off_state
-                                 and jax.default_backend() == 'cpu')
-                  else (0,))
+        # the affected donations there — it only costs a transient host
+        # copy.
+        cpu = jax.default_backend() == 'cpu'
+        if cpu and self._obj_offloaded:
+            donate = ()
+        elif cpu and self._off_state:
+            donate = (0,)
+        else:
+            donate = (0, 1)
 
         def grad_step(params, batch, measured, weight_l1):
             return jax.value_and_grad(self.loss_fn)(params, batch, measured,
@@ -659,14 +897,25 @@ class Reconstructor:
             # buffer — a jnp.concatenate of the slabs materialized a SECOND
             # object-sized array, the difference between 768^3 fitting and
             # OOMing by 2G.
-            upd_obj = params['obj']
+            obj_offl = self._obj_offloaded
+            new_obj_slabs = {}
+            upd_obj = None if obj_offl else params['obj']
             for key, (st, sz) in zip(self._slab_keys, self._slab_ranges):
-                # Slice from the progressively-updated buffer: identical
-                # values (slabs are disjoint), but the data dependency
-                # SERIALIZES the slab chain — sliced from params, XLA
-                # overlaps every slab's m/v transfers and update temps
-                # (~4 slab-sized live buffers each, the 768^3 OOM).
-                o_k = jax.lax.slice_in_dim(upd_obj, st, st + sz, axis=0)
+                if obj_offl:
+                    # Object slab streams host -> HBM -> update -> host;
+                    # elementwise constraints apply per slab (a support
+                    # mask is excluded by eligibility).
+                    o_k = jax.device_put(params['obj'][key],
+                                         self._obj_dev_sh[key])
+                else:
+                    # Slice from the progressively-updated buffer:
+                    # identical values (slabs are disjoint), but the data
+                    # dependency SERIALIZES the slab chain — sliced from
+                    # params, XLA overlaps every slab's m/v transfers and
+                    # update temps (~4 slab-sized live buffers each, the
+                    # 768^3 OOM).
+                    o_k = jax.lax.slice_in_dim(upd_obj, st, st + sz,
+                                               axis=0)
                 g_k = (obj_slab_grad(st, sz) if obj_slab_grad is not None
                        else jax.lax.slice_in_dim(grads['obj'], st, st + sz,
                                                  axis=0))
@@ -675,12 +924,17 @@ class Reconstructor:
                         for name in opt_state['obj']}
                 o2, st2 = opt_lib.opt_apply(obj_spec, o_k, g_k, st_k,
                                             i_opt_batch)
-                upd_obj = jax.lax.dynamic_update_slice_in_dim(upd_obj, o2,
-                                                              st, axis=0)
+                if obj_offl:
+                    o2 = param_lib.apply_object_constraints(o2, cfg, None)
+                    new_obj_slabs[key] = jax.device_put(
+                        o2, self._obj_host_sh[key])
+                else:
+                    upd_obj = jax.lax.dynamic_update_slice_in_dim(
+                        upd_obj, o2, st, axis=0)
                 for name, arr in st2.items():
                     new_obj_state[name][key] = jax.device_put(
                         arr, self._state_host_sh[name][key])
-            upd_params['obj'] = upd_obj
+            upd_params['obj'] = new_obj_slabs if obj_offl else upd_obj
             new_state['obj'] = new_obj_state
             return upd_params, new_state
 
@@ -695,8 +949,11 @@ class Reconstructor:
                                                   i_opt_batch, mask,
                                                   obj_slab_grad)
             upd_params = param_lib.apply_param_constraints(upd_params, cfg)
-            upd_params['obj'] = param_lib.apply_object_constraints(
-                upd_params['obj'], cfg, support_mask)
+            if not isinstance(upd_params['obj'], dict):
+                upd_params['obj'] = param_lib.apply_object_constraints(
+                    upd_params['obj'], cfg, support_mask)
+            # (Offloaded object slabs got their elementwise constraints
+            # inside the slab loop.)
             return upd_params, opt_state
 
         # Exposed pieces for the accumulate-then-update schemes
@@ -763,13 +1020,20 @@ class Reconstructor:
             # 'auto' enables it only when the object is big enough that the
             # two saved object-sized buffers decide whether the run fits
             # (>= ~1.5 GB per channel-pair, i.e. ~576^3 and up).
-            obj_nbytes = int(np.prod(params['obj'].shape)) * 4
-            stream_rot = (prebin and not cfg.geometry.two_d_mode
-                          and (cfg.train.stream_rotation == 'on'
-                               or (cfg.train.stream_rotation == 'auto'
-                                   and obj_nbytes > 1.5e9))
-                          and not cfg.train.exact_grad_rotation
-                          and not self.reg_list)
+            obj_offl = self._obj_offloaded
+            if obj_offl:
+                # Host-resident object slabs: the fused rotate+bin below
+                # streams them through HBM one slab at a time — the
+                # stream-rotation semantics, with a host hop per slab.
+                stream_rot = True
+            else:
+                obj_nbytes = int(np.prod(params['obj'].shape)) * 4
+                stream_rot = (prebin and not cfg.geometry.two_d_mode
+                              and (cfg.train.stream_rotation == 'on'
+                                   or (cfg.train.stream_rotation == 'auto'
+                                       and obj_nbytes > 1.5e9))
+                              and not cfg.train.exact_grad_rotation
+                              and not self.reg_list)
             if cfg.geometry.two_d_mode or stream_rot:
                 p_rot = params
             else:
@@ -796,13 +1060,32 @@ class Reconstructor:
                 # per minibatch.
                 geo = cfg.geometry
                 mb = cfg.train.minibatch_size
-                nz_full = params['obj'].shape[2]
+                nz_full = geo.obj_size[2]
                 # Hoist the binning z-reduction to once per angle: patches
                 # (and their scatter-added gradients) then move 1/binning
                 # of the HBM bytes per chunk.  The chunk math is unchanged
                 # — the propagator's bin step IS this sum (delta_beta), so
                 # summing before extraction == extracting then binning.
-                if stream_rot:
+                if obj_offl:
+                    # Slab-streamed rotate+bin: each pinned-host object
+                    # slab visits HBM once; only the BINNED rotated
+                    # object (1/binning the bytes) is ever assembled on
+                    # device.
+                    Yd = int(geo.obj_size[0])
+                    nzb = -(-nz_full // geo.binning)
+                    xdim = int(geo.obj_size[1])
+                    obj_b = jnp.zeros((Yd, xdim, nzb, 2), jnp.float32)
+                    for key, (st, sz) in zip(self._slab_keys,
+                                             self._slab_ranges):
+                        slab = jax.device_put(params['obj'][key],
+                                              self._obj_dev_sh[key])
+                        obj_b = jax.lax.dynamic_update_slice_in_dim(
+                            obj_b, rotate_and_bin_z(slab, theta,
+                                                    geo.binning),
+                            st, axis=0)
+                    obj_pad = patch_ops.pad_object(obj_b, self.pad_arr,
+                                                   cfg.train.unknown_type)
+                elif stream_rot:
                     # Rotate + bin fused chunk-by-chunk: the rotated
                     # full-res object never exists.
                     obj_pad = patch_ops.pad_object(
@@ -933,6 +1216,9 @@ class Reconstructor:
 
         self._angle_step = jax.jit(angle_step, donate_argnums=donate)
 
+        if self._mc is not None:
+            self._mc_step = self._build_mc_step(apply_step, donate)
+
         def step(params, opt_state, batch, measured, weight_l1, i_opt_batch,
                  global_batch, support_mask):
             loss, grads = jax.value_and_grad(self.loss_fn)(
@@ -1030,6 +1316,165 @@ class Reconstructor:
         self._epoch_fused = jax.jit(epoch_fused, donate_argnums=donate)
         return jax.jit(step, donate_argnums=donate)
 
+    def _build_mc_step(self, apply_step, donate):
+        """Compile the mesh patch-granular angle step (layout from
+        ``_build_mc_layout``): one program per angle — shard-local rotate +
+        prebin, halo-extended patch extraction, patch-granular grad with
+        structured row-grid scatter into a slab accumulator, dp-psum, one
+        halo-add, shard-local rotate-back, then the shared ``apply_step``.
+
+        Collective budget per angle: 2 halo ``ppermute``s in, 1 out, one
+        accumulator ``psum`` over 'dp', one tiny aux-grad ``psum`` — vs the
+        reference's per-batch MPI alltoalls (``adorym/util.py:940,1056``).
+        """
+        cfg = self.cfg
+        geo = cfg.geometry
+        mc = self._mc
+        mesh = self.mesh
+        dp_ax, op_ax = cfg.parallel.axis_names
+        from jax.sharding import PartitionSpec as P
+        from .ops.rotate import (rotate, rotate_adjoint, rotate_and_bin_z,
+                                 rotate_expanded_from_binned_z)
+        from .parallel.halo import neighbor_extend
+        predict_patches = self.model.predict_from_patches
+        n_op, n_dp = mc['n_op'], mc['n_dp']
+        S_u, S_p = mc['S_u'], mc['S_p']
+        p0, px0, px1 = mc['p0'], mc['px0'], mc['px1']
+        py, px = mc['py'], mc['px']
+        gp, mp = mc['g_rows'], mc['mp']
+        Y, X, nz, nzb = mc['Y'], mc['X'], mc['nz'], mc['nzb']
+        prebin = mc['prebin']
+        stride = self._rowgrid_stride
+        two_d = geo.two_d_mode
+        real_imag = cfg.train.unknown_type == 'real_imag'
+        pad_x = np.array([[0, 0], [px0, px1]], np.int64)
+
+        def grad_body(params_l, theta, i_theta, pos_l, inds_l, w_l, data_l):
+            # Per-device blocks: squeeze the sharded op/dp axes.
+            pos_l = pos_l[:, 0, 0]
+            inds_l = inds_l[:, 0, 0]
+            w_l = w_l[:, 0]
+            meas = data_l[i_theta, 0, 0].reshape(
+                (mc['n_c'], gp * mp, py, px))
+            k = jax.lax.axis_index(op_ax)
+            obj = params_l['obj']                    # [S_u, X, nz, 2]
+            aux = {n: v for n, v in params_l.items() if n != 'obj'}
+
+            # Shard-local rotation (per-y-plane) + prebin, then x padding.
+            if two_d:
+                slab = obj
+            elif prebin:
+                slab = rotate_and_bin_z(obj, theta, geo.binning)
+            else:
+                slab = rotate(obj, theta)
+            slab = patch_ops.pad_object(slab, pad_x, cfg.train.unknown_type)
+
+            # Re-slab from the unpadded parameter grid to the padded
+            # working grid + probe-height patch halo: two tiny ppermutes,
+            # one window slice, vacuum where rows fall outside the object.
+            ext = neighbor_extend(slab, mc['h1'], mc['h2'], op_ax, n_op)
+            start = k * (S_p - S_u)
+            win = jax.lax.dynamic_slice_in_dim(ext, start, S_p + py, axis=0)
+            u = k * S_p - p0 + jnp.arange(S_p + py)
+            valid = ((u >= 0) & (u < Y)).reshape(
+                (S_p + py,) + (1,) * (win.ndim - 1))
+            if real_imag:
+                vac = jnp.zeros_like(win).at[..., 0].set(1.0)
+            else:
+                vac = jnp.zeros_like(win)
+            win = jnp.where(valid, win, vac)
+
+            def mismatch(subobj, aux_p, batch, meas_c, w_c):
+                pred = predict_patches(aux_p, batch, subobj, cfg,
+                                       prebinned_z=prebin)
+                per_item = model_base.mismatch_loss(
+                    pred, meas_c, cfg.loss.loss_function_type,
+                    cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
+                    self.beamstop_mask, per_item=True)
+                # Rows are shard-local; 'dp' holds mp of each row's mb
+                # patches, so the local per-row mean is 1/n_dp of the true
+                # one — the dp-psum of both the losses and the gradients
+                # restores the exact single-device objective.
+                per_row = per_item.reshape(gp, mp).mean(axis=1) / n_dp
+                return jnp.sum(per_row * w_c), per_row
+
+            def chunk(carry, xs):
+                acc_ext, acc_aux = carry
+                pos_c, inds_c, meas_c, w_c = xs
+                batch = {'i_theta': i_theta, 'theta': theta,
+                         'pos_batch': pos_c, 'ind_batch': inds_c}
+                posi = pos_c.astype(jnp.int32)
+                subobj = patch_ops.extract_patches(win, posi, (py, px))
+                (_, per_row), (g_sub, g_aux) = jax.value_and_grad(
+                    mismatch, argnums=(0, 1), has_aux=True)(
+                        subobj, aux, batch, meas_c, w_c)
+                for r in range(gp):
+                    acc_ext = patch_ops.scatter_rowgrid_add(
+                        acc_ext, g_sub[r * mp:(r + 1) * mp],
+                        posi[r * mp, 0], posi[r * mp, 1], stride)
+                acc_aux = jax.tree.map(jnp.add, acc_aux, g_aux)
+                return (acc_ext, acc_aux), per_row
+
+            zero = (jnp.zeros((S_p + py, X + px0 + px1, nzb, 2),
+                              jnp.float32),
+                    jax.tree.map(jnp.zeros_like, aux))
+            (acc_ext, acc_aux), losses = jax.lax.scan(
+                chunk, zero, (pos_l, inds_l, meas, w_l))
+
+            acc_ext = jax.lax.psum(acc_ext, dp_ax)
+            g_aux = jax.lax.psum(acc_aux, (dp_ax, op_ax))
+            losses = jax.lax.psum(losses, dp_ax)
+
+            # Halo-add: the bottom py overflow rows belong to the next
+            # shard's slab top (transpose of the gather halo).
+            perm_fwd = [(i, (i + 1) % n_op) for i in range(n_op)]
+            recv = jax.lax.ppermute(acc_ext[S_p:], op_ax, perm_fwd)
+            acc_slab = acc_ext[:S_p].at[:py].add(recv)
+            # Re-slab back to the unpadded parameter grid and crop x.
+            ext2 = neighbor_extend(acc_slab, mc['p1'], p0, op_ax, n_op)
+            start2 = p0 + mc['p1'] - k * (S_p - S_u)
+            g_slab = jax.lax.dynamic_slice_in_dim(ext2, start2, S_u, axis=0)
+            g_slab = g_slab[:, px0:px0 + X]
+            # Expand z + rotate back — per-y-plane, shard-local.
+            if two_d:
+                g_obj = g_slab
+            elif prebin and not cfg.train.exact_grad_rotation:
+                g_obj = rotate_expanded_from_binned_z(
+                    g_slab, -theta, geo.binning, nz)
+            else:
+                if prebin:
+                    g_obj = jnp.repeat(g_slab, geo.binning,
+                                       axis=2)[:, :, :nz]
+                else:
+                    g_obj = g_slab
+                g_obj = (rotate_adjoint(g_obj, theta)
+                         if cfg.train.exact_grad_rotation
+                         else rotate(g_obj, -theta))
+            return g_obj, g_aux, losses
+
+        spec_params = {n: (P(op_ax) if n == 'obj' else P())
+                       for n in self.params}
+        grad_fn = jax.shard_map(
+            grad_body, mesh=mesh,
+            in_specs=(spec_params, P(), P(), P(None, op_ax, dp_ax),
+                      P(None, op_ax, dp_ax), P(None, op_ax),
+                      P(None, op_ax, dp_ax)),
+            out_specs=(P(op_ax), P(), P(None, op_ax)),
+            check_vma=False)
+
+        def mc_step(params, opt_state, theta, i_theta, pos_mc, inds_mc,
+                    w_mc, data_mc, i_opt_batch, global_batch, support_mask):
+            g_obj, g_aux, losses = grad_fn(params, theta, i_theta, pos_mc,
+                                           inds_mc, w_mc, data_mc)
+            grads = dict(g_aux)
+            grads['obj'] = g_obj
+            params, opt_state = apply_step(params, opt_state, grads,
+                                           i_opt_batch, global_batch,
+                                           support_mask)
+            return params, opt_state, losses
+
+        return jax.jit(mc_step, donate_argnums=donate)
+
     # ------------------------------------------------------------------
     def make_batches(self, rng: np.random.Generator):
         """Same-angle minibatches, angles shuffled, positions in scan order
@@ -1063,9 +1508,53 @@ class Reconstructor:
             else:
                 groups.append((i_theta, [inds]))
 
+        mc = self._mc
+        if mc is not None:
+            mc_dev = self._mc_device_tables()
         losses_dev = []
         i_batch_epoch = 0  # per-epoch batch counter for shrink-wrap cadence
         for i_theta, inds_list in groups:
+            if mc is not None:
+                # Mesh patch-granular fast path: the static tables + the
+                # dataset already live sharded on the mesh — the per-angle
+                # call moves two scalars.
+                with self.timers.time('angle_step'):
+                    self.params, self.opt_state, losses = self._mc_step(
+                        self.params, self.opt_state,
+                        jnp.asarray(self.theta_ls[i_theta], jnp.float32),
+                        jnp.asarray(i_theta, jnp.int32),
+                        mc_dev['pos'], mc_dev['inds'], mc_dev['w'],
+                        mc_dev['data'],
+                        jnp.asarray(self.i_opt_batch, jnp.int32),
+                        jnp.asarray(self.global_batch, jnp.int32),
+                        self.finite_support_mask)
+                self.i_opt_batch += 1
+                self.global_batch += len(inds_list)
+                self._rehome_state()
+                prev_b = i_batch_epoch
+                i_batch_epoch += len(inds_list)
+                t_loc = self.cfg.train
+                if (self.finite_support_mask is not None
+                        and t_loc.shrink_cycle is not None
+                        and i_batch_epoch // t_loc.shrink_cycle
+                        > prev_b // t_loc.shrink_cycle):
+                    self.finite_support_mask = self._shrink_fn(
+                        self.finite_support_mask, self.params['obj'])
+                losses_dev.append(losses)
+                if (self.output_folder is not None
+                        and self.cfg.io.store_checkpoint
+                        and self.i_opt_batch % max(
+                            1, self.cfg.io.n_batch_per_checkpoint // max(
+                                1, len(inds_list))) == 0):
+                    self.save_checkpoint(i_epoch, self.i_opt_batch)
+                t_max = self.cfg.io.t_max_min
+                if (t_max is not None
+                        and (time.time() - self._t_start) / 60 > t_max):
+                    if self.output_folder is not None:
+                        self.save_checkpoint(i_epoch, self.i_opt_batch)
+                    self.stop_requested = True
+                    break
+                continue
             if self._needs_weight_l1:
                 o = self.params['obj']
                 denom = jnp.abs(o) + 1e-4 * jnp.mean(o)
@@ -1162,7 +1651,24 @@ class Reconstructor:
                 self.stop_requested = True
                 break
 
-        losses = list(np.concatenate([np.asarray(v) for v in losses_dev]))
+        if mc is not None:
+            # Map the [n_c, n_op*g_rows] per-slot losses back to scan-order
+            # rows (padding slots carry weight 0 and are dropped).
+            rid, wmask = mc['row_ids'], mc['w'] > 0
+            per_angle = []
+            for arr in losses_dev:
+                ls = np.asarray(arr).reshape(mc['n_c'], mc['n_op'],
+                                             mc['g_rows'])
+                per_shard = ls.transpose(1, 0, 2).reshape(mc['n_op'],
+                                                          mc['R'])
+                pr = np.zeros(mc['n_rows'], np.float32)
+                for k in range(mc['n_op']):
+                    pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
+                per_angle.append(pr)
+            losses = list(np.concatenate(per_angle))
+        else:
+            losses = list(np.concatenate([np.asarray(v)
+                                          for v in losses_dev]))
         if callback is not None or self._logger is not None:
             for b, l in enumerate(losses):
                 if callback is not None:
@@ -1482,13 +1988,20 @@ class Reconstructor:
 
     # ------------------------------------------------------------------
     def results(self) -> Dict[str, Any]:
-        out = {k: np.asarray(v) for k, v in self.params.items()}
+        out = {k: np.asarray(v) for k, v in self.params.items()
+               if not isinstance(v, dict)}
+        if isinstance(self.params.get('obj'), dict):
+            out['obj'] = self.obj
         out['loss_history'] = np.asarray(self.loss_history)
         return out
 
     @property
     def obj(self) -> np.ndarray:
-        return np.asarray(self.params['obj'])
+        o = self.params['obj']
+        if isinstance(o, dict):
+            return np.concatenate([np.asarray(o[k]) for k in sorted(o)],
+                                  axis=0)
+        return np.asarray(o)
 
     @property
     def probe(self) -> np.ndarray:

@@ -1,0 +1,216 @@
+"""Mesh patch-granular fast path (``_mc_step``): the multi-chip composition
+of the single-chip fast path — patch-granular accumulation, structured
+row-grid scatter, prebin hoist, device-resident data — over a (dp, op) mesh.
+
+Reference semantics: the distributed-object mode's per-slab rotation +
+alltoall chunk exchange (``adorym/util.py:889-1102``,
+``adorym/ptychography.py:930-934``)."""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adorym_tpu.config import (Geometry, ParallelConfig, ReconConfig,
+                               TrainConfig)
+from adorym_tpu.parallel.mesh import make_mesh
+from adorym_tpu.recon import Reconstructor
+from adorym_tpu.simulate import simulate
+from adorym_tpu.utils.initialize import initialize_probe
+
+
+def _setup(seed=0, nz=8, binning=2):
+    n, pn = 32, 8
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, nz), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', binning=binning),
+        train=TrainConfig(minibatch_size=4, learning_rate=1e-4,
+                          update_scheme='per angle',
+                          rotate_out_of_loop=True, seed=seed),
+    )
+    rng = np.random.default_rng(seed)
+    obj_true = np.stack([rng.random((n, n, nz)) * 1e-3,
+                         rng.random((n, n, nz)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=2,
+                             probe_phase_sigma=2, probe_phase_max=0.3)
+    # Full-grid scan table, stride 8 = probe width: 4 rows x 4 cols; each
+    # minibatch is one grid row.
+    xs = np.arange(0, n - pn + 1, 8)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 3, endpoint=False)
+    data = simulate(cfg, obj_true, probe, pos, theta_ls)
+    return cfg, obj_true, probe, pos, theta_ls, data
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+class TestMcPatch:
+    @pytest.mark.parametrize('dp,op', [(2, 4), (4, 2), (1, 4)])
+    def test_engages_and_matches_single_device(self, dp, op):
+        """The mesh takes the patch-granular path and its trajectory
+        matches the single-device fast path to f32 reduction noise."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup()
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        assert rec1._patch_mode
+        pcfg = ParallelConfig(data_axis=dp, object_axis=op)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None, 'mc path did not engage'
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-8)
+        # Per-batch losses line up row-for-row, not just in the mean.
+        np.testing.assert_allclose(rec1.loss_history, rec8.loss_history,
+                                   rtol=1e-4)
+
+    def test_probe_refinement_matches(self):
+        """Aux gradients (probe) psum over both mesh axes correctly."""
+        from adorym_tpu.config import RefineConfig
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=3)
+        refine = RefineConfig(optimize_probe=True, probe_learning_rate=1e-3)
+        cfg = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                          refine=refine)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            refine=refine, parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None
+        for ep in range(2):
+            rec1.run_epoch(ep)
+            rec8.run_epoch(ep)
+        np.testing.assert_allclose(np.asarray(rec8.params['probe']),
+                                   np.asarray(rec1.params['probe']),
+                                   rtol=1e-3, atol=1e-7)
+
+    def test_padded_geometry_matches(self):
+        """Off-edge scan positions: nonzero y/x padding exercises the
+        unpadded<->padded re-slab offsets, the vacuum masking, and the
+        divisibility rounding of the bottom pad."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=4)
+        pos2 = pos - 2.0   # windows reach 2 px past the top/left edges
+        data2 = simulate(cfg, obj_true, probe, pos2, theta_ls)
+        kw = dict(data=data2, probe_pos=pos2, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        assert rec1._patch_mode
+        pcfg = ParallelConfig(data_axis=4, object_axis=2)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None
+        assert (rec8._mc['p0'], rec8._mc['px0']) == (2, 2)
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-8)
+
+    def test_no_full_object_allgather(self):
+        """Sharded memory: the compiled mc step contains no all-gather
+        that re-materializes the full object's y extent."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=1)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), data=data,
+                            probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=(obj_true * 0.5).copy())
+        assert rec._mc is not None
+        dev = rec._mc_device_tables()
+        txt = rec._mc_step.lower(
+            rec.params, rec.opt_state,
+            jnp.asarray(0.3, jnp.float32), jnp.asarray(0, jnp.int32),
+            dev['pos'], dev['inds'], dev['w'], dev['data'],
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            None).compile().as_text()
+        ags = re.findall(r'all-gather[^\n]*', txt)
+        bad = [a for a in ags if re.search(r'\[32,32,8', a)]
+        assert bad == [], bad
+
+    def test_exact_grad_rotation_matches(self):
+        """exact_grad_rotation=True uses the exact rotation transpose in
+        the mc step too (prebin expand + adjoint, like the single-chip
+        angle step)."""
+        import dataclasses as dc
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=6)
+        cfg = ReconConfig(geometry=cfg.geometry,
+                          train=dc.replace(cfg.train,
+                                           exact_grad_rotation=True))
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-8)
+
+    def test_offloaded_moments_compose(self):
+        """Host-offloaded optimizer moments under op-sharding: each
+        device's pinned-host shard streams through HBM inside the mc step
+        (the slab IS the shard); trajectory identical to device-resident
+        state."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=5)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        recs = []
+        for off in (False, True):
+            pcfg = ParallelConfig(data_axis=2, object_axis=4,
+                                  offload_optimizer_state=off)
+            cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                                parallel=pcfg)
+            rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+            assert rec._mc is not None
+            if off:
+                assert rec._off_state
+            for ep in range(2):
+                rec.run_epoch(ep)
+            recs.append(rec)
+        np.testing.assert_allclose(np.asarray(recs[0].params['obj']),
+                                   np.asarray(recs[1].params['obj']),
+                                   rtol=0, atol=0)
+
+    def test_ineligible_configs_fall_back(self):
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=2)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        import dataclasses as dc
+        # Randomized positions break the static row-grid table.
+        cfg_m = ReconConfig(
+            geometry=cfg.geometry,
+            train=dc.replace(cfg.train, randomize_probe_pos=True),
+            parallel=pcfg)
+        rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec._mc is None
+        # Immediate updates need per-batch steps.
+        cfg_m = ReconConfig(
+            geometry=cfg.geometry,
+            train=dc.replace(cfg.train, update_scheme='immediate'),
+            parallel=pcfg)
+        rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec._mc is None

@@ -1,0 +1,116 @@
+"""Beyond-HBM objects: the object itself lives in pinned host memory as
+y-slabs, streamed through HBM slab-at-a-time (rotate+bin in, update
+in/out) — the last shared-file property (object+gradient+moments bounded
+by host/disk, not device memory; ``adorym/array_ops.py:62-73``,
+``adorym/optimizers.py:339-363``)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from adorym_tpu.config import (Geometry, ParallelConfig, ReconConfig,
+                               TrainConfig)
+from adorym_tpu.recon import Reconstructor
+from adorym_tpu.simulate import simulate
+from adorym_tpu.utils.initialize import initialize_probe
+
+
+def _problem(seed=0, n=32, nz=16, binning=4):
+    pn = 8
+    rng = np.random.default_rng(seed)
+    obj_true = np.stack([rng.random((n, n, nz)) * 1e-3,
+                         rng.random((n, n, nz)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=2,
+                             probe_phase_sigma=2, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 8)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 3, endpoint=False)
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, nz), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', binning=binning),
+        train=TrainConfig(minibatch_size=4, learning_rate=1e-4,
+                          update_scheme='per angle',
+                          rotate_out_of_loop=True, non_negativity=True,
+                          seed=seed))
+    data = simulate(cfg, obj_true, probe, pos, theta_ls)
+    return cfg, obj_true, probe, pos, theta_ls, data
+
+
+def _mk(cfg, kw, offload_object, slabs=4):
+    import dataclasses as dc
+    pcfg = ParallelConfig(offload_optimizer_state=True, offload_slabs=slabs,
+                          offload_object=offload_object)
+    return Reconstructor(dc.replace(cfg, parallel=pcfg), **kw)
+
+
+def test_offloaded_object_trajectory_identical():
+    """Slab-streamed host-resident object == device-resident object,
+    bit for bit (slab rotate+bin and slab updates are the same math on
+    the same slab boundaries)."""
+    cfg, obj_true, probe, pos, theta_ls, data = _problem()
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+    rec_dev = _mk(cfg, kw, offload_object=False)
+    rec_off = _mk(cfg, kw, offload_object=True)
+    assert rec_off._obj_offloaded
+    assert isinstance(rec_off.params['obj'], dict)
+    for ep in range(2):
+        l_dev = rec_dev.run_epoch(ep)
+        l_off = rec_off.run_epoch(ep)
+        np.testing.assert_allclose(l_dev, l_off, rtol=1e-6)
+    np.testing.assert_array_equal(rec_off.obj, np.asarray(
+        rec_dev.params['obj']))
+    # The host slabs really live in host memory (TPU reports pinned_host;
+    # CPU re-homes eagerly after each step).
+    kinds = {v.sharding.memory_kind
+             for v in rec_off.params['obj'].values()}
+    assert kinds <= {'pinned_host', None}
+
+
+def test_offloaded_object_checkpoint_roundtrip(tmp_path):
+    """Checkpoints written with a slabbed object restore into both
+    offloaded and non-offloaded runs."""
+    import dataclasses as dc
+    from adorym_tpu.config import IOConfig
+    cfg, obj_true, probe, pos, theta_ls, data = _problem(seed=1)
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+    io_cfg = IOConfig(store_checkpoint=True, use_checkpoint=True,
+                      n_batch_per_checkpoint=1)
+    pcfg = ParallelConfig(offload_optimizer_state=True, offload_slabs=4,
+                          offload_object=True)
+    cfg_o = dc.replace(cfg, parallel=pcfg, io=io_cfg)
+    rec = Reconstructor(cfg_o, output_folder=str(tmp_path / 'run'), **kw)
+    assert rec._obj_offloaded
+    rec.run_epoch(0)
+    rec.save_checkpoint(1, 0)
+    obj_after = rec.obj.copy()
+    # Resume offloaded.
+    rec2 = Reconstructor(cfg_o, output_folder=str(tmp_path / 'run'), **kw)
+    np.testing.assert_array_equal(rec2.obj, obj_after)
+    # Resume WITHOUT object offload: full array restored.
+    pcfg3 = ParallelConfig(offload_optimizer_state=True, offload_slabs=4)
+    rec3 = Reconstructor(dc.replace(cfg, parallel=pcfg3, io=io_cfg),
+                         output_folder=str(tmp_path / 'run'), **kw)
+    assert not isinstance(rec3.params['obj'], dict)
+    np.testing.assert_array_equal(np.asarray(rec3.params['obj']), obj_after)
+
+
+def test_offload_object_requires_eligible_config():
+    """offload_object=True on an ineligible run raises with the reasons;
+    'auto' falls back silently."""
+    import dataclasses as dc
+    cfg, obj_true, probe, pos, theta_ls, data = _problem(seed=2)
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+    bad = dc.replace(cfg, train=dc.replace(cfg.train,
+                                           update_scheme='immediate',
+                                           rotate_out_of_loop=False))
+    with pytest.raises(ValueError, match='offload_object requires'):
+        _mk(bad, kw, offload_object=True)
+    rec = _mk(bad, kw, offload_object='auto')
+    assert not rec._obj_offloaded

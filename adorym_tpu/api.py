@@ -302,11 +302,15 @@ def reconstruct_ptychography(
     # distribution_mode mapping: the reference's three storage/parallelism
     # branches collapse onto the mesh + memory-kind config (SURVEY §2.2).
     offload_state = False
+    offload_object = False
     if distribution_mode == 'shared_file':
         # SF kept object/gradient/moments out of device memory via parallel
         # HDF5; the TPU equivalent keeps the optimizer moments in host
-        # memory, streamed through HBM once per update.
+        # memory (streamed through HBM once per update) and — when the
+        # object itself outgrows HBM and the run qualifies — the object
+        # too, as pinned-host y-slabs ('auto').
         offload_state = True
+        offload_object = 'auto'
     elif distribution_mode == 'distributed_object':
         if parallel_object_axis <= 1:
             warnings.warn(
@@ -318,7 +322,8 @@ def reconstruct_ptychography(
                       'ignored')
     parallel = ParallelConfig(data_axis=parallel_data_axis,
                               object_axis=parallel_object_axis,
-                              offload_optimizer_state=offload_state)
+                              offload_optimizer_state=offload_state,
+                              offload_object=offload_object)
     cfg = ReconConfig(geometry=geometry, loss=loss_cfg, refine=refine,
                       train=train, parallel=parallel, io=io_cfg)
 

@@ -40,6 +40,12 @@ from .fourier import fft2, ifft2, fft2_and_shift, ifft2_and_shift, fourier_shift
 #: invertible variant's extra propagation at flagship shapes.
 DB_STORED_MAX_BYTES = 2e9
 
+#: Sparse multislice unrolls its per-slice loop up to this many slices
+#: (the intended few-slice regime, where unrolling lets XLA fuse the
+#: modulate into neighboring transforms); above it a lax.scan bounds the
+#: compile time.
+SPARSE_UNROLL_MAX = 16
+
 
 # ---------------------------------------------------------------------------
 # Frequency meshes and kernels
@@ -436,15 +442,36 @@ def sparse_multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
     k1 = 2.0 * PI * voxel_nm[2] / lmbda_nm if scale_ri_by_k else 1.0
     slice_pos_nm = jnp.asarray(slice_pos_cm_ls) * 1e7
     n_slices = delta.shape[-1]
-    for i in range(n_slices):
-        t = slice_modulator(delta[..., i], beta[..., i], k1, unknown_type,
-                            sign_convention)
-        wave = wave * t
-        if i < n_slices - 1:
-            dist_nm = slice_pos_nm[i + 1] - slice_pos_nm[i]
-            wave = fresnel_propagate(wave, dist_nm, lmbda_nm, voxel_nm,
-                                     fresnel_approx=fresnel_approx,
-                                     sign_convention=sign_convention)
+    if n_slices <= SPARSE_UNROLL_MAX:
+        # Few slices (the intended regime): unroll, letting XLA fuse the
+        # modulate into the neighboring transforms.
+        for i in range(n_slices):
+            t = slice_modulator(delta[..., i], beta[..., i], k1,
+                                unknown_type, sign_convention)
+            wave = wave * t
+            if i < n_slices - 1:
+                dist_nm = slice_pos_nm[i + 1] - slice_pos_nm[i]
+                wave = fresnel_propagate(wave, dist_nm, lmbda_nm, voxel_nm,
+                                         fresnel_approx=fresnel_approx,
+                                         sign_convention=sign_convention)
+        return wave
+    # Many slices: a lax.scan keeps the compiled program one step long
+    # instead of unrolling n_slices FFT pairs (unbounded compile time).
+    # The final step "propagates" distance 0 — an identity kernel — so
+    # the scan body has no conditional.
+    dists = jnp.concatenate([slice_pos_nm[1:] - slice_pos_nm[:-1],
+                             jnp.zeros((1,), slice_pos_nm.dtype)])
+
+    def step(wv, xs):
+        d_i, b_i, dist_nm = xs
+        t = slice_modulator(d_i, b_i, k1, unknown_type, sign_convention)
+        wv = fresnel_propagate(wv * t, dist_nm, lmbda_nm, voxel_nm,
+                               fresnel_approx=fresnel_approx,
+                               sign_convention=sign_convention)
+        return wv, None
+
+    wave, _ = jax.lax.scan(step, wave, (jnp.moveaxis(delta, -1, 0),
+                                        jnp.moveaxis(beta, -1, 0), dists))
     return wave
 
 

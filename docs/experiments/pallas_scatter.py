@@ -15,11 +15,18 @@ channel merged into the lane dimension, blocked in 128s), the x offset is
 rounded down to the sublane tile and the patch is placed at one of the 8
 possible sub-tile offsets via predicated static slices.
 
-STATUS: compiles and matches XLA exactly on hardware, but the sequential
-load-add-store round trips are latency-bound (13.8ms vs XLA's 11.2ms at
-the flagship shape) — overlapping windows forbid naive double buffering.
-The driver therefore keeps XLA's scatter; pipelining across the
-(disjoint) lane blocks of one patch is the remaining idea.
+STATUS: experiment, NOT part of the package (moved out of
+adorym_tpu.ops in round 3).  Compiles and matches XLA exactly on
+hardware, but the sequential load-add-store round trips are latency-bound
+(13.8ms vs XLA's 11.2ms at the flagship shape) — overlapping windows
+forbid naive double buffering, and pipelining across the (disjoint) lane
+blocks of one patch remains unattempted.  It was superseded outright by
+the STRUCTURED scatters that ship in ops/patches.py
+(scatter_rowgrid_add / scatter_grid2d_add): for grid scan tables they
+replace the scatter with static shifted adds + one contiguous tile
+update, which is faster than both this kernel and XLA's scatter.  The
+companion test_pallas_scatter.py here runs standalone:
+``python -m pytest docs/experiments/test_pallas_scatter.py``.
 """
 
 from __future__ import annotations
@@ -127,12 +134,12 @@ def extract_patches_fused(obj, positions, probe_size, interpret=False):
     axis 1 inside the VJP so every aligned super-window stays in range; the
     pad's gradient is discarded.
     """
-    from .patches import extract_patches
+    from adorym_tpu.ops.patches import extract_patches
     return extract_patches(obj, positions, probe_size)
 
 
 def _epf_fwd(obj, positions, probe_size, interpret):
-    from .patches import extract_patches
+    from adorym_tpu.ops.patches import extract_patches
     # The object rides as residual only for its shape/dtype (no extra
     # memory: it is alive in the caller anyway).
     return extract_patches(obj, positions, probe_size), (obj, positions)

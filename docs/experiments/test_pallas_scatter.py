@@ -1,10 +1,17 @@
-"""Pallas patch scatter-add kernel (interpret mode; see module STATUS)."""
+"""Pallas patch scatter-add kernel (interpret mode; see module STATUS).
+
+Standalone (outside tests/, no conftest): force the CPU backend before
+touching JAX — the axon site hook would otherwise dial the TPU tunnel.
+"""
 
 import numpy as np
 import jax
+jax.config.update('jax_platforms', 'cpu')
 import jax.numpy as jnp
 
-from adorym_tpu.ops.pallas_scatter import (extract_patches_fused,
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from pallas_scatter import (extract_patches_fused,
                                            scatter_patches_add_pallas)
 from adorym_tpu.ops.patches import extract_patches, scatter_patches_add
 

@@ -190,6 +190,37 @@ class TestSparseMultislice:
         np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
                                    atol=1e-5)
 
+    def test_many_slices_scan_matches_unrolled(self, rng, monkeypatch):
+        """Above SPARSE_UNROLL_MAX slices the propagator switches to a
+        lax.scan (bounded compile time); values and slice-position
+        gradients are identical to the unrolled path.  Compared in f64 —
+        f32 slice-position gradients carry large cancellation noise (the
+        terms are huge oscillatory sums), which would swamp the
+        comparison without being an implementation difference."""
+        import jax
+        n, nz = 16, 20
+        with jax.enable_x64(True):
+            delta = jnp.asarray(rng.random((1, n, n, nz)) * 1e-6)
+            beta = jnp.asarray(rng.random((1, n, n, nz)) * 1e-8)
+            wave = jnp.asarray(rng.normal(size=(1, n, n))
+                               + 1j * rng.normal(size=(1, n, n)))
+            psize = 1e-7
+            pos = jnp.asarray(np.arange(nz) * 2.5 * psize)
+
+            def out_mag(pos_v):
+                o = prop.sparse_multislice_propagate(
+                    delta, beta, wave, 5000.0, psize, pos_v)
+                return jnp.sum(jnp.abs(o) ** 2)
+
+            assert nz > prop.SPARSE_UNROLL_MAX
+            v_scan, g_scan = jax.value_and_grad(out_mag)(pos)
+            monkeypatch.setattr(prop, 'SPARSE_UNROLL_MAX', 100)
+            v_unr, g_unr = jax.value_and_grad(out_mag)(pos)
+            np.testing.assert_allclose(float(v_scan), float(v_unr),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(g_scan),
+                                       np.asarray(g_unr), rtol=1e-9)
+
 
 class TestPureProjection:
     def test_minus_logged_returns_beta_sum(self, rng):

@@ -239,3 +239,44 @@ def test_simulation_resume(tmp_path):
     resumed = simulate_to_file(path, cfg, obj, probe, pos, theta,
                                use_checkpoint=True)
     np.testing.assert_allclose(resumed, straight, atol=1e-6)
+
+
+def test_monitor_reconstruction(tmp_path):
+    """The monitor tool (CLI port of the reference's
+    monitor_reconstruction.ipynb) reports loss tail + latest intermediate
+    dumps from a live output folder, and renders the status figure."""
+    from adorym_tpu.config import Geometry, IOConfig, ReconConfig, TrainConfig
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.utils.initialize import initialize_probe
+    import dataclasses as dc
+
+    n, pn = 16, 8
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', two_d_mode=True),
+        train=TrainConfig(minibatch_size=4, learning_rate=1e-4),
+        io=IOConfig(save_intermediate=True, save_intermediate_level='epoch',
+                    store_checkpoint=False, use_checkpoint=False))
+    rng = np.random.default_rng(0)
+    obj = np.stack([rng.random((n, n, 1)) * 1e-3,
+                    rng.random((n, n, 1)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'plane')
+    pos = np.array([[0.0, 0.0], [4.0, 4.0], [8.0, 8.0], [8.0, 0.0]])
+    data = simulate(cfg, obj, probe, pos)
+    out = str(tmp_path / 'run')
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                        obj_init=np.zeros_like(obj), output_folder=out)
+    for ep in range(2):
+        rec.run_epoch(ep)
+        rec._save_intermediate(ep, -1)
+
+    mon = _load('monitor_reconstruction')
+    text, curve, obj_path, probe_path = mon.report(out)
+    assert 'last loss' in text and len(curve) == 2
+    assert obj_path is not None and os.path.exists(obj_path)
+    assert probe_path is not None and os.path.exists(probe_path)
+    png = str(tmp_path / 'status.png')
+    mon.save_figure(png, curve, obj_path, probe_path)
+    assert os.path.getsize(png) > 0

@@ -44,7 +44,7 @@ def _positions():
     return np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float64)
 
 
-def measure_ours() -> float:
+def measure_ours(run_bfloat16: bool = False, time_box: float = 240.0) -> float:
     import jax
     import jax.numpy as jnp
     from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
@@ -58,10 +58,14 @@ def measure_ours() -> float:
         # Optimized flagship configuration: rotate once per angle with
         # per-angle gradient accumulation (the reference's
         # rotate_out_of_loop mode) + the fused Pallas multislice kernel.
+        # run_bfloat16 additionally selects the bf16 MXU Pallas kernel
+        # (reference kwarg run_bfloat16; end-to-end quality validated in
+        # tests/test_bf16_quality.py: phantom recovery matches f32).
         train=TrainConfig(minibatch_size=MINIBATCH, learning_rate=1e-7,
                           optimizer='adam', rotate_out_of_loop=True,
                           update_scheme='per angle',
-                          fused_multislice='auto'),
+                          fused_multislice='auto',
+                          run_bfloat16=run_bfloat16),
     )
     pos = _positions()
     rng = np.random.default_rng(0)
@@ -85,7 +89,7 @@ def measure_ours() -> float:
     rates = []
     t_start = time.time()
     r = 0
-    while r < 7 or (time.time() - t_start < 240 and r < 24):
+    while r < 7 or (time.time() - t_start < time_box and r < 24):
         t0 = time.time()
         rec.run_epoch(1 + r)
         rates.append(n_batches * MINIBATCH / (time.time() - t0))
@@ -174,7 +178,17 @@ def get_baseline() -> dict:
 
 
 def main():
-    ours = measure_ours()
+    f32 = measure_ours(run_bfloat16=False, time_box=210.0)
+    # bf16 is the validated fastest flagship setting (quality bound in
+    # tests/test_bf16_quality.py); capture it alongside f32 and headline
+    # the better of the two.
+    try:
+        bf16 = measure_ours(run_bfloat16=True, time_box=150.0)
+    except Exception as e:
+        print(f'bf16 measurement failed: {type(e).__name__}: {e}',
+              file=sys.stderr)
+        bf16 = None
+    ours = max(f32, bf16) if bf16 else f32
     base = get_baseline()
     ref = base.get('reference_patterns_per_sec_8rank_cpu')
     vs = (ours / ref) if ref else None
@@ -183,6 +197,8 @@ def main():
         'value': round(ours, 3),
         'unit': 'patterns/s/chip',
         'vs_baseline': round(vs, 3) if vs else None,
+        'f32_patterns_per_sec': round(f32, 3),
+        'bf16_patterns_per_sec': round(bf16, 3) if bf16 else None,
     }))
 
 

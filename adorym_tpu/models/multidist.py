@@ -60,6 +60,15 @@ def compute_pad(cfg: ReconConfig, obj_size_yx, probe_pos) -> np.ndarray:
                                    (sub[0] + 2 * szw, sub[1] + 2 * szw))
 
 
+def gather_window(cfg: ReconConfig):
+    """The object window each batch element reads: a safe-zone-expanded
+    tile.  Lets the driver size the explicit halo-exchange gather for this
+    model (op-sharded objects) — safe-zone tiles are just bigger patches."""
+    szw = _safe_zone_width(cfg)
+    sub = cfg.geometry.probe_size
+    return (sub[0] + 2 * szw, sub[1] + 2 * szw)
+
+
 def expand_indices(inds: np.ndarray, n_pos: int, cfg: ReconConfig) -> np.ndarray:
     """Block indices -> measurement indices for all distances
     (``adorym/forward_model.py:1053-1056``)."""
@@ -70,7 +79,8 @@ def expand_indices(inds: np.ndarray, n_pos: int, cfg: ReconConfig) -> np.ndarray
 
 
 def predict(params: Dict, batch: Dict, cfg: ReconConfig,
-            pad_arr: Optional[np.ndarray] = None, return_wave: bool = False):
+            pad_arr: Optional[np.ndarray] = None, return_wave: bool = False,
+            gather_fn=None):
     """Predicted hologram magnitudes ``[n_dists * N, sy, sx]``.
 
     ``batch['pos_batch']``: top-left corners of the N blocks (sub-probe
@@ -108,8 +118,13 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
     tile_pos = pos + jnp.asarray([pad_arr[0][0] - szw, pad_arr[1][0] - szw],
                                  jnp.int32)
 
-    subobj = patch_ops.extract_patches(obj_p, tile_pos, tile)   # [N,ty,tx,z,2]
-    delta, beta = subobj[..., 0], subobj[..., 1]
+    if gather_fn is not None:
+        # Explicit halo-exchange gather over an op-sharded object (the
+        # driver passes it when the mesh geometry allows).
+        subobj = gather_fn(obj_p, tile_pos, tile)
+    else:
+        subobj = patch_ops.extract_patches(obj_p, tile_pos, tile)
+    delta, beta = subobj[..., 0], subobj[..., 1]  # [N,ty,tx,z(,2)]
 
     def probe_tile(pos2):
         import jax

@@ -207,12 +207,19 @@ class Reconstructor:
         # Explicit halo-exchange gather for the object-sharded axis
         # (opt-in; see parallel/halo.py).
         self._gather_fn = None
+        # Models that accept a gather_fn: ptychography (probe-size
+        # windows) and multi-dist (safe-zone tiles — just bigger patches;
+        # ``gather_window`` reports the tile size).
+        _gw = getattr(self.model, 'gather_window', None)
+        _halo_capable = self.model is ptycho_model or _gw is not None
         if (mesh is not None and cfg.parallel.object_axis > 1
                 and cfg.parallel.use_halo_gather  # 'auto' or True
-                and self.model is ptycho_model):
+                and _halo_capable):
             y_pad = geo.obj_size[0] + int(self.pad_arr[0][0] + self.pad_arr[0][1])
             n_op = cfg.parallel.object_axis
-            if y_pad % n_op == 0 and geo.probe_size[0] <= y_pad // n_op:
+            window_y = (_gw(cfg)[0] if _gw is not None
+                        else geo.probe_size[0])
+            if y_pad % n_op == 0 and window_y <= y_pad // n_op:
                 from .parallel.halo import sharded_patch_gather
                 self._gather_fn = (lambda o, p, ps:
                                    sharded_patch_gather(o, p, ps, mesh))
@@ -1758,7 +1765,9 @@ class Reconstructor:
         losses_dev = []
         batch_ids = []
         batches = self.make_batches(rng)
-        update_interval = max(1, len(batches) // 10)
+        # Reweighted-L1 weight refresh cadence: every 10 batches, exactly
+        # like the reference (``adorym/ptychography.py:998``).
+        update_interval = 10
 
         # Accumulate-then-update schemes: 'per angle' gating
         # (``adorym/ptychography.py:1095-1099``) and rotate-out-of-loop

@@ -23,70 +23,92 @@ N, PN, MB, BIN = 256, 72, 23, 8
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def cone_phantom():
-    zz, yy, xx = np.mgrid[:N, :N, :N].astype(np.float32)
-    c = (N - 1) / 2
+def cone_phantom(n=N):
+    s = n / N
+    zz, yy, xx = np.mgrid[:n, :n, :n].astype(np.float32)
+    c = (n - 1) / 2
     r = np.sqrt((yy - c) ** 2 + (xx - c) ** 2)
-    cone = ((r < (zz + 20) * 0.3) & (zz > 30) & (zz < 220)).astype(np.float32)
+    cone = ((r < (zz + 20 * s) * 0.3) & (zz > 30 * s)
+            & (zz < 220 * s)).astype(np.float32)
     from scipy.ndimage import gaussian_filter
-    cone = gaussian_filter(cone, 2)
+    cone = gaussian_filter(cone, max(1.0, 2 * s))
     return np.stack([cone * 1e-4, cone * 3e-6], -1).astype(np.float32)
 
 
-def positions():
-    xs = np.arange(23) * 8 + 4
+def geometry(scale=1):
+    """Flagship geometry, optionally shrunk by ``scale`` (CI runs the same
+    code path — angle-fused per-angle updates, binning, grid scan — at
+    scale 4 on the CPU mesh)."""
+    n = N // scale
+    pn = PN // scale if scale == 1 else 24
+    grid = (n - pn) // 8 + 1
+    xs = np.arange(grid) * 8 + (n - (grid - 1) * 8 - pn) // 2
     yy, xx = np.meshgrid(xs, xs, indexing='ij')
-    return np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    return n, pn, grid, pos
 
 
-def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument('--n-theta', type=int, default=20)
-    p.add_argument('--n-epochs', type=int, default=2)
-    p.add_argument('--data', default=os.path.join(HERE, 'cone_256',
-                                                  'data_cone_256.h5'))
-    args = p.parse_args()
-
+def main(n_theta=20, n_epochs=2, data=None, scale=1,
+         output_folder='recon_cone256'):
     from adorym_tpu import (Geometry, ReconConfig, TrainConfig,
                             reconstruct_ptychography, simulate_to_file)
     from adorym_tpu.utils.initialize import initialize_probe
 
-    if not os.path.exists(args.data):
+    n, pn, grid, pos = geometry(scale)
+    mb = grid  # one grid row per minibatch (the fast-path decomposition)
+    binning = BIN if scale == 1 else 4
+    data = data or os.path.join(HERE, 'cone_256', f'data_cone_{n}.h5')
+    phantom = cone_phantom(n)
+    sigma = 12 / scale
+    if not os.path.exists(data):
         print('simulating dataset ...')
         cfg = ReconConfig(
-            geometry=Geometry(obj_size=(N, N, N), probe_size=(PN, PN),
+            geometry=Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
                               energy_ev=5000.0, psize_cm=1e-7,
-                              free_prop_cm='inf', binning=BIN),
-            train=TrainConfig(minibatch_size=MB))
-        probe = initialize_probe((PN, PN), 'gaussian', energy_ev=5000.0,
-                                 psize_cm=1e-7, probe_mag_sigma=12,
-                                 probe_phase_sigma=12, probe_phase_max=0.4)
-        theta = np.linspace(0, 2 * np.pi, args.n_theta, endpoint=False)
-        simulate_to_file(args.data, cfg, cone_phantom(), probe, positions(),
-                         theta_ls=theta, minibatch_size=MB * 4)
+                              free_prop_cm='inf', binning=binning),
+            train=TrainConfig(minibatch_size=mb))
+        probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                                 psize_cm=1e-7, probe_mag_sigma=sigma,
+                                 probe_phase_sigma=sigma,
+                                 probe_phase_max=0.4)
+        theta = np.linspace(0, 2 * np.pi, n_theta, endpoint=False)
+        simulate_to_file(data, cfg, phantom, probe, pos,
+                         theta_ls=theta, minibatch_size=mb * 4)
 
     results = reconstruct_ptychography(
-        fname=os.path.basename(args.data),
-        save_path=os.path.dirname(args.data),
-        output_folder='recon_cone256',
-        obj_size=(N, N, N),
-        n_epochs=args.n_epochs,
+        fname=os.path.basename(data),
+        save_path=os.path.dirname(data),
+        output_folder=output_folder,
+        obj_size=(n, n, n),
+        n_epochs=n_epochs,
         learning_rate=1e-7,
         energy_ev=5000.0, psize_cm=1e-7,
-        minibatch_size=MB, binning=BIN,
+        minibatch_size=mb, binning=binning,
         free_prop_cm='inf',
-        probe_type='gaussian', probe_mag_sigma=12, probe_phase_sigma=12,
-        probe_phase_max=0.4,
+        probe_type='gaussian', probe_mag_sigma=sigma,
+        probe_phase_sigma=sigma, probe_phase_max=0.4,
         optimizer='adam',
         rotate_out_of_loop=True, update_scheme='per angle',
         use_checkpoint=False,
         # The reference's default cadence (10 batches) checkpoints every
         # angle here; a checkpoint moves ~0.5 GB device->host, which on a
         # remote-tunnel link (measured 14 MB/s D2H) dominates the epoch.
-        n_batch_per_checkpoint=23 * 30,
+        n_batch_per_checkpoint=mb * 30,
     )
     print('loss history:', results['loss_history'])
+    corr = np.corrcoef(results['obj'][..., 0].ravel(),
+                       phantom[..., 0].ravel())[0, 1]
+    print(f'phantom delta correlation: {corr:.4f}')
+    return corr
 
 
 if __name__ == '__main__':
-    main()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--n-theta', type=int, default=20)
+    p.add_argument('--n-epochs', type=int, default=2)
+    p.add_argument('--scale', type=int, default=1,
+                   help='shrink the geometry by this factor (CI: 4)')
+    p.add_argument('--data', default=None)
+    args = p.parse_args()
+    main(n_theta=args.n_theta, n_epochs=args.n_epochs, data=args.data,
+         scale=args.scale)

@@ -67,3 +67,29 @@ def test_position_correction_demo(tmp_path):
     # The demo's main() runs its own assertions via printed residuals; just
     # exercise it end-to-end with its self-simulated data.
     m.main()
+
+
+def test_multislice_tomography_64_demo(tmp_path):
+    """BASELINE config #1 (the reference CI test): 64^3 adhesin-style
+    multislice tomography with reweighted L1, CI-size epoch count."""
+    m = _load('multislice_tomography_64')
+    corr = m.main(n_epochs=10, n_theta=12,
+                  output_folder='recon_ci',
+                  data=str(tmp_path / 'd64.h5'))
+    # Measured 0.34 at this CI size (0.46 at the full 36 angles); the
+    # reference-CI reweighted-L1 weight bounds late-epoch progress.
+    assert corr > 0.25, corr
+
+
+def test_multislice_ptycho_256_demo_scaled(tmp_path):
+    """BASELINE config #5 (the flagship) at CI scale (scale 4 -> 64^3,
+    24^2 probe): same code path — angle-fused per-angle updates,
+    rotate_out_of_loop, binning, grid scan table."""
+    m = _load('multislice_ptycho_256_theta')
+    corr = m.main(n_theta=8, n_epochs=12, scale=4,
+                  data=str(tmp_path / 'cone.h5'),
+                  output_folder='recon_ci')
+    # Measured 0.35 at this CI size with the flagship's lr (1e-7 —
+    # deliberately unchanged; the point is the code path, loss decreases
+    # monotonically throughout).
+    assert corr > 0.3, corr

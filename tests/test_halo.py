@@ -112,3 +112,85 @@ def test_halo_gather_in_reconstruction(mesh):
     assert used, 'halo gather was not engaged'
     l_gspmd, _ = run(False)
     np.testing.assert_allclose(l_halo, l_gspmd, rtol=1e-3)
+
+
+def test_multidist_halo_gather_no_allgather():
+    """The halo gather also covers the multi-dist model: safe-zone tiles
+    are just bigger patches (``gather_window``).  With op>1 the compiled
+    grad step shows NO full-object all-gather, and the loss/gradient match
+    the unsharded run."""
+    import re
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from adorym_tpu.config import (Geometry, LossConfig, ParallelConfig,
+                                   ReconConfig, TrainConfig)
+    from adorym_tpu.models import multidist
+    from adorym_tpu.parallel.mesh import make_mesh
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip('needs 8 virtual devices')
+    n, sub, szw = 64, 16, 4
+    dists = (0.05, 0.12)
+    rng = np.random.default_rng(5)
+    from scipy.ndimage import gaussian_filter
+    ph = gaussian_filter(rng.normal(size=(n, n, 1)), (3, 3, 0))
+    ph = ph / np.abs(ph).max() * 0.3
+    obj_true = np.stack([np.cos(ph), np.sin(ph)], -1).astype(np.float32)
+
+    def cfg_for(pcfg):
+        return ReconConfig(
+            geometry=Geometry(obj_size=(n, n, 1), probe_size=(sub, sub),
+                              energy_ev=17500.0, psize_cm=1e-5,
+                              free_prop_cm=dists, n_dists=2,
+                              two_d_mode=True, safe_zone_width=szw),
+            loss=LossConfig(raw_data_type='intensity'),
+            train=TrainConfig(minibatch_size=4, learning_rate=1e-3,
+                              unknown_type='real_imag'),
+            parallel=pcfg)
+
+    from adorym_tpu.utils.initialize import initialize_probe
+    probe = initialize_probe((n, n), 'plane')
+    xs = np.arange(0, n, sub, dtype=float)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1)   # 16 blocks of 16^2
+    cfg1 = cfg_for(ParallelConfig())
+    data = simulate(cfg1, obj_true, probe, pos, model=multidist) ** 2
+
+    obj0 = np.stack([np.ones((n, n, 1)), np.zeros((n, n, 1))],
+                    -1).astype(np.float32)
+    kw = dict(data=data, probe_pos=pos, probe_init=probe, obj_init=obj0,
+              model=multidist)
+    rec1 = Reconstructor(cfg1, **kw)
+    pcfg = ParallelConfig(data_axis=4, object_axis=2)
+    cfg8 = cfg_for(pcfg)
+    mesh = make_mesh(pcfg)
+    rec8 = Reconstructor(cfg8, mesh=mesh, **kw)
+    assert rec8._gather_fn is not None, 'multidist halo did not engage'
+
+    inds = np.arange(4)
+    data_inds = multidist.expand_indices(inds, rec8.n_pos, cfg8)
+    batch = {'i_theta': jnp.asarray(0, jnp.int32),
+             'theta': jnp.asarray(0.0, jnp.float32),
+             'pos_batch': jnp.asarray(pos[inds], jnp.float32),
+             'ind_batch': jnp.asarray(inds, jnp.int32)}
+    meas = jnp.asarray(data[0][data_inds])
+    l1, g1 = jax.value_and_grad(rec1.loss_fn)(rec1.params, batch, meas,
+                                              None)
+    sb = {k: jax.device_put(v, NamedSharding(mesh, P('dp')))
+          if k in ('pos_batch', 'ind_batch') else v
+          for k, v in batch.items()}
+    sm = jax.device_put(meas, NamedSharding(mesh, P('dp')))
+    l8, g8 = rec8._grad_step(rec8.params, sb, sm, None)
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1['obj']),
+                               np.asarray(g8['obj']), rtol=1e-3, atol=3e-6)
+    txt = rec8._grad_step.lower(rec8.params, sb, sm,
+                                None).compile().as_text()
+    ags = re.findall(r'all-gather[^\n]*', txt)
+    bad = [a for a in ags if re.search(rf'\[{n},{n},1', a)]
+    assert bad == [], bad

@@ -23,7 +23,14 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 def _import_reference():
     if 'dxchange' not in sys.modules:
         stub = types.ModuleType('dxchange')
-        stub.read_tiff = lambda *a, **k: np.zeros((1, 1), np.float32)
+
+        def _read_tiff(path, *a, **k):
+            # Real read (the reference loads its finite-support mask
+            # through dxchange); same frames-first layout as dxchange.
+            from adorym_tpu.io.output import read_tiff
+            return read_tiff(path)
+
+        stub.read_tiff = _read_tiff
         stub.write_tiff = lambda *a, **k: None
         sys.modules['dxchange'] = stub
     if REFERENCE not in sys.path:
@@ -356,4 +363,122 @@ def test_multidist_loss_parity(tmp_path):
     for ep in range(4):
         rec.i_opt_batch = 0
         ours.append(rec.run_epoch(ep))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4)
+
+
+def test_baseline1_64cube_parity(tmp_path, monkeypatch):
+    """BASELINE #1 scale: the reference CI config — 64^3 adhesin multislice
+    tomography with its real trimmings (plane probe, finite-support mask,
+    reweighted L1 at alpha_d=1e-9*64^3) — loss curves match the actual
+    reference (``/root/reference/tests/test_multislice_tomography_64.py:
+    18-69``) at rtol 5e-4 (bounded by the reference's float16 rotation
+    lookup tables)."""
+    monkeypatch.chdir(tmp_path)  # reference writes lookup tables to CWD
+    from adorym_tpu.config import (Geometry, LossConfig, ReconConfig,
+                                   TrainConfig)
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.io.output import read_tiff
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate_to_file
+
+    n = 64
+    n_theta, n_epochs, lr = 6, 2, 1e-7
+    alpha_d, alpha_b = 1e-9 * n ** 3, 1e-10 * n ** 3
+    delta = np.load(f'{REFERENCE}/demos/adhesin/phantom/grid_delta.npy')
+    beta = np.load(f'{REFERENCE}/demos/adhesin/phantom/grid_beta.npy')
+    obj_true = np.stack([delta, beta], -1).astype(np.float32)
+    mask_path = f'{REFERENCE}/demos/adhesin/fin_sup_mask/mask.tiff'
+    mask_arr = read_tiff(mask_path)
+    probe = np.stack([np.ones((n, n)), np.zeros((n, n))], -1
+                     ).astype(np.float32)[None]
+    pos = np.array([[0.0, 0.0]])
+    theta_ls = np.linspace(0, 2 * np.pi, n_theta, endpoint=False)
+
+    geo = Geometry(obj_size=(n, n, n), probe_size=(n, n),
+                   energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm=0.0)
+    cfg_sim = ReconConfig(geometry=geo, train=TrainConfig(minibatch_size=1))
+    simulate_to_file(str(tmp_path / 'd64.h5'), cfg_sim, obj_true, probe,
+                     pos, theta_ls=theta_ls)
+
+    rng = np.random.default_rng(3)
+    obj0_d = (rng.random((n, n, n)) * 1e-4).astype(np.float64)
+    obj0_b = (rng.random((n, n, n)) * 1e-6).astype(np.float64)
+
+    ref_recon = _import_reference()
+    # The reference quantizes its rotation lookup tables to float16 on
+    # disk (``adorym/util.py:515-516``), a ~0.03 px coordinate error at 64
+    # scale that bounds as-shipped agreement to ~1e-3 on this sharp
+    # phantom (measured).  Regenerate the tables at float32 through the
+    # reference's OWN coordinate math so the comparison isolates the
+    # physics, not that storage cast.
+    import adorym.ptychography as ref_pty
+    import adorym.util as ref_util
+
+    def save_lookup_f32(array_size, theta_ls_in, dest_folder=None,
+                        override_backend=None):
+        cn = ref_util.get_cooridnates_stack_for_rotation(array_size, axis=0)
+        cn = ref_util.w.create_constant(cn, override_backend=override_backend)
+        if dest_folder is None:
+            dest_folder = 'arrsize_{}_{}_{}_ntheta_{}'.format(
+                array_size[0], array_size[1], array_size[2],
+                len(theta_ls_in))
+        os.makedirs(dest_folder, exist_ok=True)
+        th = ref_util.w.create_constant(theta_ls_in)
+        for theta in th:
+            co = ref_util.calculate_original_coordinates_for_rotation(
+                array_size, cn, theta, override_backend=override_backend)
+            ci = ref_util.calculate_original_coordinates_for_rotation(
+                array_size, cn, -theta, override_backend=override_backend)
+            np.save(os.path.join(dest_folder, '{:.5f}'.format(theta)),
+                    ref_util.w.to_numpy(co).astype('float32'))
+            np.save(os.path.join(dest_folder, '_{:.5f}'.format(theta)),
+                    ref_util.w.to_numpy(ci).astype('float32'))
+
+    monkeypatch.setattr(ref_pty, 'save_rotation_lookup', save_lookup_f32)
+    ref_recon(
+        fname='d64.h5', save_path=str(tmp_path), output_folder='ref64',
+        obj_size=(n, n, n), probe_pos=pos, theta_st=0, theta_end=2 * np.pi,
+        energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm=0.0,
+        n_epochs=n_epochs, minibatch_size=1, n_dp_batch=1, binning=1,
+        optimizer='adam', learning_rate=lr, dynamic_rate=False,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='plane',
+        alpha_d=alpha_d, alpha_b=alpha_b, reweighted_l1=True, gamma=0,
+        finite_support_mask_path=mask_path,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        precalculate_rotation_coords=True,
+    )
+    csv = os.path.join(str(tmp_path), 'ref64', 'convergence',
+                       'loss_rank_0.txt')
+    ref = np.atleast_1d(np.genfromtxt(csv, delimiter=',',
+                                      names=True)['loss'])
+
+    cfg = ReconConfig(
+        geometry=geo,
+        loss=LossConfig(alpha_d=alpha_d, alpha_b=alpha_b,
+                        reweighted_l1=True),
+        train=TrainConfig(minibatch_size=1, learning_rate=lr,
+                          optimizer='adam'))
+    ds = RawDataset(str(tmp_path / 'd64.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, theta_ls=theta_ls,
+                        # Raw mask array, used exactly as the reference
+                        # does (elementwise against obj[..., c]).
+                        finite_support_mask=mask_arr)
+
+    def batches_like_reference(_):
+        order = np.arange(n_theta)
+        np.random.seed(rec._epoch_seed)
+        np.random.shuffle(order)
+        return [(int(t), np.array([0])) for t in order]
+
+    rec.make_batches = batches_like_reference
+    ours = []
+    for ep in range(n_epochs):
+        rec._epoch_seed = ep
+        rec.i_opt_batch = 0  # reference epoch-counter-reset quirk
+        rec.run_epoch(ep, callback=lambda e, b, l: ours.append(l))
+    assert len(ref) == len(ours)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4)

@@ -60,6 +60,12 @@ def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
     return ls
 
 
+def _slab_order(keys):
+    """Numeric slab-key order ('s0', 's10', 's100' — lexicographic sort
+    scrambles above 100 slabs)."""
+    return sorted(keys, key=lambda k: int(k[1:]))
+
+
 def _deslab_obj_state(state):
     """Concatenate slab-dict object optimizer state (written by the
     slab-streamed offload path) back into full arrays."""
@@ -68,7 +74,8 @@ def _deslab_obj_state(state):
     obj_st = {}
     for name, v in state['obj'].items():
         if isinstance(v, dict) and v and all(k.startswith('s') for k in v):
-            obj_st[name] = np.concatenate([v[k] for k in sorted(v)], axis=0)
+            obj_st[name] = np.concatenate([v[k] for k in _slab_order(v)],
+                                          axis=0)
         else:
             obj_st[name] = v
     return {**state, 'obj': obj_st}
@@ -390,7 +397,8 @@ class Reconstructor:
                     if isinstance(r_params.get('obj'), dict):
                         r_params = {**r_params, 'obj': np.concatenate(
                             [r_params['obj'][k]
-                             for k in sorted(r_params['obj'])], axis=0)}
+                             for k in _slab_order(r_params['obj'])],
+                            axis=0)}
                     self.params = {k: jnp.asarray(v)
                                    for k, v in r_params.items()}
                     # Checkpoints written under slab-streamed offload store
@@ -466,7 +474,14 @@ class Reconstructor:
         want_obj_off = cfg.parallel.offload_object
         if want_obj_off == 'auto':
             want_obj_off = (self._off_slabbed and obj_bytes > 0.35 * hbm)
-        if want_obj_off and mesh is None:
+        if want_obj_off and mesh is not None:
+            if cfg.parallel.offload_object is True:
+                raise ValueError(
+                    'offload_object requires a single-chip run (under a '
+                    'mesh, shard the object over more chips instead — or '
+                    'combine offload_optimizer_state with op-sharding)')
+            want_obj_off = False
+        if want_obj_off:
             problems = []
             if not self._off_slabbed:
                 problems.append('offload_optimizer_state with '
@@ -1549,6 +1564,11 @@ class Reconstructor:
                         self.finite_support_mask, self.params['obj'])
                 losses_dev.append(losses)
                 if (self.output_folder is not None
+                        and self.cfg.io.save_intermediate
+                        and self.cfg.io.save_intermediate_level == 'batch'):
+                    # Angle granularity, like the single-chip fast path.
+                    self._save_intermediate(i_epoch, i_batch_epoch - 1)
+                if (self.output_folder is not None
                         and self.cfg.io.store_checkpoint
                         and self.i_opt_batch % max(
                             1, self.cfg.io.n_batch_per_checkpoint // max(
@@ -2008,8 +2028,8 @@ class Reconstructor:
     def obj(self) -> np.ndarray:
         o = self.params['obj']
         if isinstance(o, dict):
-            return np.concatenate([np.asarray(o[k]) for k in sorted(o)],
-                                  axis=0)
+            return np.concatenate([np.asarray(o[k])
+                                   for k in _slab_order(o)], axis=0)
         return np.asarray(o)
 
     @property

@@ -60,11 +60,14 @@ def read_loss_rows(folder):
 
 
 def status(folder, tail=5):
-    """Gather (loss rows, tail rows, latest object/probe dump paths)."""
+    """Gather (loss rows, tail rows, latest object/probe dump paths).
+    Objects dump as ``delta_*`` (delta_beta runs) or ``obj_mag_*``
+    (real_imag runs)."""
     curve = read_loss_rows(folder)
     rows = curve[-tail:] if len(curve) else curve
-    return curve, rows, latest_tiff(folder, 'delta'), latest_tiff(folder,
-                                                                  'probe_mag')
+    obj_path = (latest_tiff(folder, 'delta')
+                or latest_tiff(folder, 'obj_mag'))
+    return curve, rows, obj_path, latest_tiff(folder, 'probe_mag')
 
 
 def report(folder, tail=5):

@@ -195,7 +195,24 @@ class Reconstructor:
         self.second_order = cfg.train.optimizer in ('cg', 'curveball')
         if self.second_order:
             self.specs.pop('obj', None)
-        self.opt_state = opt_lib.tree_init(self.specs, params)
+        if ('obj' in self.specs and cfg.parallel.offload_optimizer_state
+                and mesh is None):
+            # Host-offloaded moments: never materialize them in HBM — at
+            # beyond-HBM object sizes the transient device zeros (2x the
+            # object for Adam) would OOM before the offload moves them.
+            # eval_shape gives the state structure without allocating;
+            # the offload block below device_puts the numpy zeros straight
+            # into pinned host memory.
+            aux_specs = {k: v for k, v in self.specs.items() if k != 'obj'}
+            self.opt_state = opt_lib.tree_init(aux_specs, params)
+            st_struct = jax.eval_shape(
+                lambda p: opt_lib.opt_init(self.specs['obj'], p),
+                params['obj'])
+            self.opt_state['obj'] = {
+                name: np.zeros(sd.shape, sd.dtype)
+                for name, sd in st_struct.items()}
+        else:
+            self.opt_state = opt_lib.tree_init(self.specs, params)
         if self.second_order and cfg.train.optimize_object:
             from .optim import second_order as so
             if cfg.train.optimizer == 'cg':
@@ -454,8 +471,13 @@ class Reconstructor:
                                                     self._slab_ranges)}
                     for name, arr in self.opt_state['obj'].items()}
                 self._off_slabbed = True
+            # State leaves are numpy (never-allocated-on-device) on a
+            # single chip, jax arrays under a mesh — derive the device
+            # sharding from the object param for the former.
+            _obj_sh = self.params['obj'].sharding
             self._state_dev_sh = jax.tree.map(
-                lambda x: x.sharding.with_memory_kind('device'),
+                lambda x: getattr(x, 'sharding', _obj_sh)
+                .with_memory_kind('device'),
                 self.opt_state['obj'])
             self._state_host_sh = jax.tree.map(
                 lambda s: s.with_memory_kind('pinned_host'),

@@ -559,6 +559,177 @@ class Reconstructor:
         self._mc = self._build_mc_layout()
 
         self._step = self._build_step()
+        if self._obj_offloaded:
+            self._build_offl_steps()
+
+    def _build_offl_steps(self):
+        """Jitted pieces for the host-streamed-OBJECT angle (one Python
+        dispatch per slab instead of one giant program): per-slab
+        rotate+bin into the binned buffer, the patch-chunk accumulate,
+        the aux update, and per-slab object updates.
+
+        Why separate dispatches: inside one compiled program XLA
+        schedules every slab's host<->HBM transfer and update
+        concurrently — the full beyond-HBM object in flight at once
+        (measured 28 GB scheduled at 1024^3 vs 15.75 GB HBM; an
+        optimization_barrier chain only delays consumers while transfer
+        buffers stay alive, and barriering the host side trips the
+        host-offload pass).  Per-call dispatch bounds residency to ~1
+        slab + temps by construction; the ~2x slab-count dispatches per
+        angle are noise at beyond-HBM scales."""
+        cfg = self.cfg
+        geo = cfg.geometry
+        from .ops.rotate import (rotate_and_bin_z,
+                                 rotate_expanded_from_binned_z)
+        binning = geo.binning
+        nz_full = geo.obj_size[2]
+        mb = cfg.train.minibatch_size
+        k0 = self._slab_keys[0]
+        dev_sh = self._obj_dev_sh[k0]
+        host_sh = self._obj_host_sh[k0]
+        st_dev_sh = {n: self._state_dev_sh[n][k0]
+                     for n in self._state_dev_sh}
+        st_host_sh = {n: self._state_host_sh[n][k0]
+                      for n in self._state_host_sh}
+        predict_patches = self.model.predict_from_patches
+        obj_spec = self.specs['obj']
+        cpu = jax.default_backend() == 'cpu'
+
+        def rot_slab(obj_b, host_slab, theta, st):
+            slab = jax.device_put(host_slab, dev_sh)
+            return jax.lax.dynamic_update_slice_in_dim(
+                obj_b, rotate_and_bin_z(slab, theta, binning), st, axis=0)
+
+        def accum(aux, obj_b, theta, i_theta, pos_all, inds_all,
+                  measured_all, w_all):
+            obj_pad = patch_ops.pad_object(obj_b, self.pad_arr,
+                                           cfg.train.unknown_type)
+            g = w_all.shape[1]
+            pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
+                                  jnp.int32)
+
+            def mismatch(subobj, aux_p, batch, meas, w):
+                pred = predict_patches(aux_p, batch, subobj, cfg,
+                                       prebinned_z=True)
+                per_item = model_base.mismatch_loss(
+                    pred, meas, cfg.loss.loss_function_type,
+                    cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
+                    self.beamstop_mask, per_item=True)
+                per_batch = per_item.reshape(g, -1).mean(axis=1)
+                return jnp.sum(per_batch * w), per_batch
+
+            def body(carry, xs):
+                acc_obj, acc_aux = carry
+                pos_c, inds_c, meas_c, w = xs
+                batch = {'i_theta': i_theta, 'theta': theta,
+                         'pos_batch': pos_c, 'ind_batch': inds_c}
+                pos_int = jnp.round(pos_c).astype(jnp.int32) + pad_off
+                subobj = patch_ops.extract_patches(obj_pad, pos_int,
+                                                   geo.probe_size)
+                (_, per_batch), (g_sub, g_aux) = jax.value_and_grad(
+                    mismatch, argnums=(0, 1), has_aux=True)(
+                        subobj, aux, batch, meas_c, w)
+                if self._rowgrid_stride is not None:
+                    if self._grid_scatter_rows == g:
+                        acc_obj = patch_ops.scatter_grid2d_add(
+                            acc_obj, g_sub, pos_int[0, 0], pos_int[0, 1],
+                            self._rowgrid_stride, g)
+                    else:
+                        for r in range(g):
+                            acc_obj = patch_ops.scatter_rowgrid_add(
+                                acc_obj, g_sub[r * mb:(r + 1) * mb],
+                                pos_int[r * mb, 0], pos_int[r * mb, 1],
+                                self._rowgrid_stride)
+                else:
+                    acc_obj = patch_ops.scatter_patches_add(acc_obj, g_sub,
+                                                            pos_int)
+                acc_aux = jax.tree.map(jnp.add, acc_aux, g_aux)
+                return (acc_obj, acc_aux), per_batch
+
+            zero = (jnp.zeros_like(obj_pad),
+                    jax.tree.map(jnp.zeros_like, aux))
+            (acc_obj, acc_aux), losses = jax.lax.scan(
+                body, zero, (pos_all, inds_all, measured_all, w_all))
+            p = self.pad_arr
+            g_binned = acc_obj[p[0][0]:acc_obj.shape[0] - p[0][1],
+                               p[1][0]:acc_obj.shape[1] - p[1][1]]
+            return g_binned, acc_aux, losses
+
+        def aux_apply(aux_params, aux_state, acc_aux, i_opt_batch,
+                      global_batch):
+            mask = {}
+            if 'probe' in self.specs:
+                mask['probe'] = param_lib.probe_update_gate(cfg,
+                                                            global_batch)
+            if cfg.refine.other_params_update_delay > 0:
+                gate = param_lib.aux_update_gate(cfg, global_batch)
+                for k in self.specs:
+                    if k not in ('obj', 'probe'):
+                        mask[k] = gate
+            specs_aux = {k: v for k, v in self.specs.items() if k != 'obj'}
+            upd, new_state = opt_lib.tree_apply(
+                specs_aux, aux_params, acc_aux, aux_state, i_opt_batch,
+                update_mask=mask)
+            return param_lib.apply_param_constraints(upd, cfg), new_state
+
+        def slab_update(host_o, host_st, g_binned, theta, i_opt_batch, st):
+            sz = host_o.shape[0]
+            # Just-in-time full-depth slab gradient: expand the binned
+            # accumulator rows and interp-rotate back, per y-plane.
+            g_k = rotate_expanded_from_binned_z(
+                jax.lax.dynamic_slice_in_dim(g_binned, st, sz, axis=0),
+                -theta, binning, nz_full)
+            o_k = jax.device_put(host_o, dev_sh)
+            st_k = {n: jax.device_put(host_st[n], st_dev_sh[n])
+                    for n in host_st}
+            o2, st2 = opt_lib.opt_apply(obj_spec, o_k, g_k, st_k,
+                                        i_opt_batch)
+            o2 = param_lib.apply_object_constraints(o2, cfg, None)
+            return (jax.device_put(o2, host_sh),
+                    {n: jax.device_put(v, st_host_sh[n])
+                     for n, v in st2.items()})
+
+        self._offl_rot = jax.jit(rot_slab, donate_argnums=(0,))
+        self._offl_accum = jax.jit(accum, donate_argnums=(1,))
+        self._offl_aux = jax.jit(aux_apply, donate_argnums=(1,))
+        self._offl_slab = jax.jit(slab_update,
+                                  donate_argnums=(() if cpu else (0, 1)))
+
+    def _run_offl_angle(self, i_theta, pos_all, inds_all, measured, w_all):
+        """Drive one angle of the host-streamed-OBJECT path (see
+        _build_offl_steps).  Mutates params/opt_state; returns per-batch
+        losses [n_c, g]."""
+        geo = self.cfg.geometry
+        th = jnp.asarray(self.theta_ls[i_theta], jnp.float32)
+        it = jnp.asarray(i_theta, jnp.int32)
+        iob = jnp.asarray(self.i_opt_batch, jnp.int32)
+        gb = jnp.asarray(self.global_batch, jnp.int32)
+        nzb = -(-geo.obj_size[2] // geo.binning)
+        obj_b = jnp.zeros(
+            (geo.obj_size[0], geo.obj_size[1], nzb, 2), jnp.float32)
+        for key, (st, sz) in zip(self._slab_keys, self._slab_ranges):
+            obj_b = self._offl_rot(obj_b, self.params['obj'][key], th,
+                                   jnp.asarray(st, jnp.int32))
+        aux = {k: v for k, v in self.params.items() if k != 'obj'}
+        aux_state = {k: v for k, v in self.opt_state.items() if k != 'obj'}
+        g_binned, acc_aux, losses = self._offl_accum(
+            aux, obj_b, th, it, pos_all, inds_all, measured, w_all)
+        upd_aux, new_aux_state = self._offl_aux(aux, aux_state, acc_aux,
+                                                iob, gb)
+        new_obj = {}
+        for key, (st, sz) in zip(self._slab_keys, self._slab_ranges):
+            host_st = {n: self.opt_state['obj'][n][key]
+                       for n in self.opt_state['obj']}
+            o2, st2 = self._offl_slab(self.params['obj'][key], host_st,
+                                      g_binned, th, iob,
+                                      jnp.asarray(st, jnp.int32))
+            new_obj[key] = o2
+            for n in st2:
+                self.opt_state['obj'][n][key] = st2[n]
+        self.params = dict(upd_aux)
+        self.params['obj'] = new_obj
+        self.opt_state = {**new_aux_state, 'obj': self.opt_state['obj']}
+        return losses
 
     def _build_mc_layout(self):
         """Host-side eligibility + static layout for the mesh patch-mode
@@ -941,25 +1112,14 @@ class Reconstructor:
             # buffer — a jnp.concatenate of the slabs materialized a SECOND
             # object-sized array, the difference between 768^3 fitting and
             # OOMing by 2G.
-            obj_offl = self._obj_offloaded
-            new_obj_slabs = {}
-            upd_obj = None if obj_offl else params['obj']
+            upd_obj = params['obj']
             for key, (st, sz) in zip(self._slab_keys, self._slab_ranges):
-                if obj_offl:
-                    # Object slab streams host -> HBM -> update -> host;
-                    # elementwise constraints apply per slab (a support
-                    # mask is excluded by eligibility).
-                    o_k = jax.device_put(params['obj'][key],
-                                         self._obj_dev_sh[key])
-                else:
-                    # Slice from the progressively-updated buffer:
-                    # identical values (slabs are disjoint), but the data
-                    # dependency SERIALIZES the slab chain — sliced from
-                    # params, XLA overlaps every slab's m/v transfers and
-                    # update temps (~4 slab-sized live buffers each, the
-                    # 768^3 OOM).
-                    o_k = jax.lax.slice_in_dim(upd_obj, st, st + sz,
-                                               axis=0)
+                # Slice from the progressively-updated buffer: identical
+                # values (slabs are disjoint), but the data dependency
+                # SERIALIZES the slab chain — sliced from params, XLA
+                # overlaps every slab's m/v transfers and update temps
+                # (~4 slab-sized live buffers each, the 768^3 OOM).
+                o_k = jax.lax.slice_in_dim(upd_obj, st, st + sz, axis=0)
                 g_k = (obj_slab_grad(st, sz) if obj_slab_grad is not None
                        else jax.lax.slice_in_dim(grads['obj'], st, st + sz,
                                                  axis=0))
@@ -968,17 +1128,12 @@ class Reconstructor:
                         for name in opt_state['obj']}
                 o2, st2 = opt_lib.opt_apply(obj_spec, o_k, g_k, st_k,
                                             i_opt_batch)
-                if obj_offl:
-                    o2 = param_lib.apply_object_constraints(o2, cfg, None)
-                    new_obj_slabs[key] = jax.device_put(
-                        o2, self._obj_host_sh[key])
-                else:
-                    upd_obj = jax.lax.dynamic_update_slice_in_dim(
-                        upd_obj, o2, st, axis=0)
+                upd_obj = jax.lax.dynamic_update_slice_in_dim(upd_obj, o2,
+                                                              st, axis=0)
                 for name, arr in st2.items():
                     new_obj_state[name][key] = jax.device_put(
                         arr, self._state_host_sh[name][key])
-            upd_params['obj'] = new_obj_slabs if obj_offl else upd_obj
+            upd_params['obj'] = upd_obj
             new_state['obj'] = new_obj_state
             return upd_params, new_state
 
@@ -1064,20 +1219,16 @@ class Reconstructor:
             # 'auto' enables it only when the object is big enough that the
             # two saved object-sized buffers decide whether the run fits
             # (>= ~1.5 GB per channel-pair, i.e. ~576^3 and up).
-            obj_offl = self._obj_offloaded
-            if obj_offl:
-                # Host-resident object slabs: the fused rotate+bin below
-                # streams them through HBM one slab at a time — the
-                # stream-rotation semantics, with a host hop per slab.
-                stream_rot = True
-            else:
-                obj_nbytes = int(np.prod(params['obj'].shape)) * 4
-                stream_rot = (prebin and not cfg.geometry.two_d_mode
-                              and (cfg.train.stream_rotation == 'on'
-                                   or (cfg.train.stream_rotation == 'auto'
-                                       and obj_nbytes > 1.5e9))
-                              and not cfg.train.exact_grad_rotation
-                              and not self.reg_list)
+            # (The host-streamed-OBJECT path never reaches angle_step —
+            # _run_epoch_angles drives it as per-slab jit calls instead,
+            # see _build_offl_steps.)
+            obj_nbytes = int(np.prod(params['obj'].shape)) * 4
+            stream_rot = (prebin and not cfg.geometry.two_d_mode
+                          and (cfg.train.stream_rotation == 'on'
+                               or (cfg.train.stream_rotation == 'auto'
+                                   and obj_nbytes > 1.5e9))
+                          and not cfg.train.exact_grad_rotation
+                          and not self.reg_list)
             if cfg.geometry.two_d_mode or stream_rot:
                 p_rot = params
             else:
@@ -1110,26 +1261,7 @@ class Reconstructor:
                 # of the HBM bytes per chunk.  The chunk math is unchanged
                 # — the propagator's bin step IS this sum (delta_beta), so
                 # summing before extraction == extracting then binning.
-                if obj_offl:
-                    # Slab-streamed rotate+bin: each pinned-host object
-                    # slab visits HBM once; only the BINNED rotated
-                    # object (1/binning the bytes) is ever assembled on
-                    # device.
-                    Yd = int(geo.obj_size[0])
-                    nzb = -(-nz_full // geo.binning)
-                    xdim = int(geo.obj_size[1])
-                    obj_b = jnp.zeros((Yd, xdim, nzb, 2), jnp.float32)
-                    for key, (st, sz) in zip(self._slab_keys,
-                                             self._slab_ranges):
-                        slab = jax.device_put(params['obj'][key],
-                                              self._obj_dev_sh[key])
-                        obj_b = jax.lax.dynamic_update_slice_in_dim(
-                            obj_b, rotate_and_bin_z(slab, theta,
-                                                    geo.binning),
-                            st, axis=0)
-                    obj_pad = patch_ops.pad_object(obj_b, self.pad_arr,
-                                                   cfg.train.unknown_type)
-                elif stream_rot:
+                if stream_rot:
                     # Rotate + bin fused chunk-by-chunk: the rotated
                     # full-res object never exists.
                     obj_pad = patch_ops.pad_object(
@@ -1656,14 +1788,19 @@ class Reconstructor:
                 measured = jax.device_put(
                     measured, NamedSharding(self.mesh, P(None, dp)))
             with self.timers.time('angle_step'):
-                self.params, self.opt_state, losses = self._angle_step(
-                    self.params, self.opt_state,
-                    jnp.asarray(self.theta_ls[i_theta], jnp.float32),
-                    jnp.asarray(i_theta, jnp.int32),
-                    pos_all, inds_all, measured, w_all, self.weight_l1,
-                    jnp.asarray(self.i_opt_batch, jnp.int32),
-                    jnp.asarray(self.global_batch, jnp.int32),
-                    self.finite_support_mask)
+                if self._obj_offloaded:
+                    losses = self._run_offl_angle(i_theta, pos_all,
+                                                  inds_all, measured,
+                                                  w_all)
+                else:
+                    self.params, self.opt_state, losses = self._angle_step(
+                        self.params, self.opt_state,
+                        jnp.asarray(self.theta_ls[i_theta], jnp.float32),
+                        jnp.asarray(i_theta, jnp.int32),
+                        pos_all, inds_all, measured, w_all, self.weight_l1,
+                        jnp.asarray(self.i_opt_batch, jnp.int32),
+                        jnp.asarray(self.global_batch, jnp.int32),
+                        self.finite_support_mask)
             losses = jnp.ravel(losses)[:n_b]
             self.i_opt_batch += 1
             self.global_batch += len(inds_list)

@@ -28,7 +28,8 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument('mode', choices=['offload', 'nooffload'])
+    p.add_argument('mode', choices=['offload', 'nooffload',
+                                    'offload-object'])
     p.add_argument('--n', type=int, default=704)
     p.add_argument('--pn', type=int, default=72)
     p.add_argument('--epochs', type=int, default=2)
@@ -42,35 +43,63 @@ def main(argv=None):
     from adorym_tpu.utils.profiling import device_memory_stats
 
     n, pn = args.n, args.pn
-    off = args.mode == 'offload'
+    obj_off = args.mode == 'offload-object'
+    off = args.mode == 'offload' or obj_off
+    if obj_off:
+        # Row-grid scan table (stride divides the probe) so the
+        # patch-granular fast path — required by offload_object — engages;
+        # each minibatch is one grid row.
+        stride = pn // 3
+        xs = np.arange(0, n - pn + 1, stride)
+        mb = len(xs)
+    else:
+        stride = max(1, (n - pn) // 3)
+        xs = np.arange(0, n - pn + 1, stride)
+        mb = 8
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float64)
     cfg = ReconConfig(
         geometry=Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
                           energy_ev=5000., psize_cm=1e-7,
                           free_prop_cm='inf', binning=8),
-        train=TrainConfig(minibatch_size=8, learning_rate=1e-7,
+        train=TrainConfig(minibatch_size=mb, learning_rate=1e-7,
                           rotate_out_of_loop=True,
                           update_scheme='per angle'),
-        parallel=ParallelConfig(offload_optimizer_state=off))
-    obj_true = np.zeros((n, n, n, 2), np.float32)
+        parallel=ParallelConfig(offload_optimizer_state=off,
+                                offload_object=obj_off))
     probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.,
                              psize_cm=1e-7, probe_mag_sigma=20,
                              probe_phase_sigma=20, probe_phase_max=0.3)
-    stride = max(1, (n - pn) // 3)
-    xs = np.arange(0, n - pn + 1, stride)
-    yy, xx = np.meshgrid(xs, xs, indexing='ij')
-    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float64)
     theta = np.linspace(0, np.pi, 2, endpoint=False)
-    data = simulate(cfg, obj_true, probe, pos, theta)
+    if obj_off:
+        # Synthetic measurements: a full-resolution simulation forward
+        # would itself need the beyond-HBM machinery being demonstrated.
+        rng = np.random.default_rng(0)
+        data = rng.random((len(theta), len(pos), pn, pn),
+                          dtype=np.float32) * 1e-2
+    else:
+        obj_true = np.zeros((n, n, n, 2), np.float32)
+        data = simulate(cfg, obj_true, probe, pos, theta)
+    import time
+    t0 = time.time()
     rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
-                        theta_ls=theta, obj_init=obj_true)
+                        theta_ls=theta,
+                        obj_init=np.zeros((n, n, n, 2), np.float32))
+    if obj_off:
+        assert rec._obj_offloaded, 'offload_object did not engage'
+    print(f'init {time.time() - t0:.0f}s', flush=True)
     loss = None
     for ep in range(args.epochs):
+        t0 = time.time()
         loss = rec.run_epoch(ep)
+        print(f'epoch {ep}: loss={loss:.3e} {time.time() - t0:.0f}s '
+              f'({len(pos) * len(theta) / (time.time() - t0):.0f} '
+              'patterns/s)', flush=True)
     stats = device_memory_stats()
     obj_mb = n ** 3 * 8 / 2 ** 20
     extra = (f" in_use={stats['bytes_in_use_mb']:.0f}MB "
              f"peak={stats['peak_bytes_mb']:.0f}MB" if stats else '')
-    print(f'offload={off} n={n} obj={obj_mb:.0f}MB '
+    print(f'mode={args.mode} n={n} obj={obj_mb:.0f}MB '
           f'state={3 * obj_mb:.0f}MB loss={loss:.3e}{extra}')
 
 

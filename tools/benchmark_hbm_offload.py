@@ -13,8 +13,15 @@ or without ``offload_optimizer_state``.  Measured on a v5e (15.75G HBM),
   768^3: OOM either way at 17.7G — the remaining copies are the object
     param + rotated object + gradient accumulator + adjoint, i.e. the
     transient working set, not optimizer state.
+  offload-object (round 3): the object ITSELF also lives in pinned host
+    memory as y-slabs, driven as per-slab jit calls — 1024^3 (object
+    8.2G + Adam moments 24.6G, 32.8G total vs 15.75G HBM) trains end to
+    end; steady-state epoch (2 angles x 3200 patterns) 53 s on the axon
+    tunnel (the per-angle 3x-object host traffic runs at the tunnel's
+    ~1 GB/s; datacenter PCIe is an order of magnitude faster).
 
   python tools/benchmark_hbm_offload.py offload --n 704
+  python tools/benchmark_hbm_offload.py offload-object --n 1024
 """
 
 import argparse

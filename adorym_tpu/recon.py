@@ -308,7 +308,15 @@ class Reconstructor:
         # XLA temporaries/fragmentation, 14.5e9 for data residency).
         from .utils import profiling as _prof
         hbm = _prof.hbm_limit_bytes()
-        avail = (hbm - 6e9) - 6 * obj_bytes
+        # Under object offload only BINNED object buffers persist in HBM
+        # (the full-res object lives host-side, visited slab-wise) —
+        # budget accordingly or beyond-HBM runs collapse to fuse_g=1.
+        _obj_off_likely = (mesh is None and cfg.parallel.offload_object
+                           and (cfg.parallel.offload_object is True
+                                or obj_bytes > 0.35 * hbm))
+        _obj_budget = (obj_bytes // max(1, geo.binning)
+                       if _obj_off_likely else obj_bytes)
+        avail = (hbm - 6e9) - 6 * _obj_budget
         # ~6 patch-stack-sized buffers live through fwd+bwd (patches, their
         # gradient, delta/beta splits, wave stacks) — measured at flagship
         # shapes; g=12 (3 stacks assumed) OOMed by 0.2G on a 16G chip.
@@ -353,7 +361,7 @@ class Reconstructor:
         # dataset fits alongside the working set (object buffers + fused
         # patch stacks); multi-chip keeps per-angle staging (the dataset
         # would need dp-sharding, and local links don't have the problem).
-        ws_bytes = 6 * obj_bytes + bufs * patch_bytes * self._fuse_g
+        ws_bytes = 6 * _obj_budget + bufs * patch_bytes * self._fuse_g
         self._data_dev_ok = (mesh is None
                              and self.data is not None
                              and self.data.nbytes <= (hbm - 1.5e9) - ws_bytes)

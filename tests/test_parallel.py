@@ -184,3 +184,27 @@ def test_halo_gather_avoids_full_object_allgather():
     # (documents WHY the halo gather exists; if XLA ever stops doing this,
     # the halo path can be retired).
     assert len(full_object_allgathers(False)) >= 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+@pytest.mark.parametrize('optimizer', ['cg', 'curveball'])
+def test_second_order_under_dp_mesh(optimizer):
+    """Second-order object optimizers (CG line search, Curveball GVPs)
+    run under data-parallel sharding with trajectories tracking the
+    single-device run (the reference's curveball-DO analog,
+    ``adorym/optimizers.py:214``)."""
+    import dataclasses as dc
+    cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=3)
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, optimizer=optimizer,
+                                           learning_rate=1e-4))
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+    rec1 = Reconstructor(cfg, **kw)
+    pcfg = ParallelConfig(data_axis=4, object_axis=1)
+    rec8 = Reconstructor(ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                                     parallel=pcfg),
+                         mesh=make_mesh(pcfg), **kw)
+    for ep in range(2):
+        l1 = rec1.run_epoch(ep)
+        l8 = rec8.run_epoch(ep)
+    np.testing.assert_allclose(l1, l8, rtol=2e-2)

@@ -60,6 +60,12 @@ def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
     return ls
 
 
+#: offload_object='auto' engages when the object pair exceeds this
+#: fraction of the device capacity (shared by the budget estimate and the
+#: engage gate).
+OBJ_OFFLOAD_AUTO_FRAC = 0.35
+
+
 def _slab_order(keys):
     """Numeric slab-key order ('s0', 's10', 's100' — lexicographic sort
     scrambles above 100 slabs)."""
@@ -311,9 +317,25 @@ class Reconstructor:
         # Under object offload only BINNED object buffers persist in HBM
         # (the full-res object lives host-side, visited slab-wise) —
         # budget accordingly or beyond-HBM runs collapse to fuse_g=1.
-        _obj_off_likely = (mesh is None and cfg.parallel.offload_object
-                           and (cfg.parallel.offload_object is True
-                                or obj_bytes > 0.35 * hbm))
+        # Mirrors every engage condition knowable at this point, so the
+        # optimistic budget cannot be applied to a run that then keeps
+        # the full object in HBM.
+        _obj_off_likely = (
+            mesh is None and bool(cfg.parallel.offload_object)
+            and cfg.parallel.offload_optimizer_state
+            and cfg.parallel.offload_slabs > 1
+            and self._patch_mode and self._prebin
+            and not cfg.train.exact_grad_rotation
+            and cfg.train.update_scheme == 'per angle'
+            and cfg.train.rotate_out_of_loop
+            and cfg.train.n_batch_per_update <= 1
+            and not self.second_order
+            and not cfg.refine.tilt_active
+            and finite_support_mask is None and reg_list is None
+            and not (cfg.loss.alpha_d or cfg.loss.alpha_b or cfg.loss.gamma
+                     or cfg.loss.corr_reg or cfg.loss.grad_corr_reg)
+            and (cfg.parallel.offload_object is True
+                 or obj_bytes > OBJ_OFFLOAD_AUTO_FRAC * hbm))
         _obj_budget = (obj_bytes // max(1, geo.binning)
                        if _obj_off_likely else obj_bytes)
         avail = (hbm - 6e9) - 6 * _obj_budget
@@ -424,15 +446,30 @@ class Reconstructor:
                             [r_params['obj'][k]
                              for k in _slab_order(r_params['obj'])],
                             axis=0)}
-                    self.params = {k: jnp.asarray(v)
-                                   for k, v in r_params.items()}
+                    # Beyond-HBM restores must NOT materialize the object
+                    # or its moments on device (jnp.asarray would commit
+                    # tens of GB before the offload blocks re-home them):
+                    # keep them as numpy; the offload split device_puts
+                    # slab-wise straight to pinned host.
+                    keep_host_obj = (bool(cfg.parallel.offload_object)
+                                     and mesh is None)
+                    keep_host_state = (cfg.parallel.offload_optimizer_state
+                                       and mesh is None)
+                    self.params = {
+                        k: (np.asarray(v) if k == 'obj' and keep_host_obj
+                            else jnp.asarray(v))
+                        for k, v in r_params.items()}
                     # Checkpoints written under slab-streamed offload store
                     # the obj state as y-slab dicts; normalize to full
                     # arrays (the offload block below re-splits per the
                     # CURRENT config, so slab counts may differ across
                     # runs).
                     r_state = _deslab_obj_state(r_state)
-                    self.opt_state = jax.tree.map(jnp.asarray, r_state)
+                    self.opt_state = {
+                        k: jax.tree.map(
+                            np.asarray if k == 'obj' and keep_host_state
+                            else jnp.asarray, v)
+                        for k, v in r_state.items()}
                     self._start_epoch = i_epoch
                     self.i_opt_batch = int(extra.get('i_opt_batch', 0))
                     self.global_batch = int(extra.get('global_batch', 0))
@@ -481,8 +518,10 @@ class Reconstructor:
                 self._off_slabbed = True
             # State leaves are numpy (never-allocated-on-device) on a
             # single chip, jax arrays under a mesh — derive the device
-            # sharding from the object param for the former.
-            _obj_sh = self.params['obj'].sharding
+            # sharding from the object param for the former (itself numpy
+            # after a beyond-HBM checkpoint restore).
+            _obj_sh = getattr(self.params['obj'], 'sharding', None) \
+                or jax.sharding.SingleDeviceSharding(jax.devices()[0])
             self._state_dev_sh = jax.tree.map(
                 lambda x: getattr(x, 'sharding', _obj_sh)
                 .with_memory_kind('device'),
@@ -503,7 +542,8 @@ class Reconstructor:
         self._obj_offloaded = False
         want_obj_off = cfg.parallel.offload_object
         if want_obj_off == 'auto':
-            want_obj_off = (self._off_slabbed and obj_bytes > 0.35 * hbm)
+            want_obj_off = (self._off_slabbed
+                            and obj_bytes > OBJ_OFFLOAD_AUTO_FRAC * hbm)
         if want_obj_off and mesh is not None:
             if cfg.parallel.offload_object is True:
                 raise ValueError(
@@ -550,13 +590,21 @@ class Reconstructor:
                 for key, (st, sz) in zip(self._slab_keys,
                                          self._slab_ranges):
                     sl = obj[st:st + sz]
-                    dsh = sl.sharding.with_memory_kind('device')
+                    dsh = (getattr(sl, 'sharding', None)
+                           or jax.sharding.SingleDeviceSharding(
+                               jax.devices()[0])).with_memory_kind('device')
                     self._obj_dev_sh[key] = dsh
                     self._obj_host_sh[key] = dsh.with_memory_kind(
                         'pinned_host')
                     slabs[key] = jax.device_put(sl, self._obj_host_sh[key])
                 self.params = {**self.params, 'obj': slabs}
                 self._obj_offloaded = True
+        if (not self._obj_offloaded
+                and isinstance(self.params.get('obj'), np.ndarray)):
+            # A host-kept restore whose offload declined (e.g. 'auto' at
+            # small scale): back to an ordinary device array.
+            self.params = {**self.params,
+                           'obj': jnp.asarray(self.params['obj'])}
         self._rehome_after_step = (self._rehome_after_step
                                    or (self._obj_offloaded
                                        and jax.default_backend() == 'cpu'))
@@ -591,7 +639,6 @@ class Reconstructor:
                                  rotate_expanded_from_binned_z)
         binning = geo.binning
         nz_full = geo.obj_size[2]
-        mb = cfg.train.minibatch_size
         k0 = self._slab_keys[0]
         dev_sh = self._obj_dev_sh[k0]
         host_sh = self._obj_host_sh[k0]
@@ -599,7 +646,6 @@ class Reconstructor:
                      for n in self._state_dev_sh}
         st_host_sh = {n: self._state_host_sh[n][k0]
                       for n in self._state_host_sh}
-        predict_patches = self.model.predict_from_patches
         obj_spec = self.specs['obj']
         cpu = jax.default_backend() == 'cpu'
 
@@ -612,52 +658,10 @@ class Reconstructor:
                   measured_all, w_all):
             obj_pad = patch_ops.pad_object(obj_b, self.pad_arr,
                                            cfg.train.unknown_type)
-            g = w_all.shape[1]
-            pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
-                                  jnp.int32)
-
-            def mismatch(subobj, aux_p, batch, meas, w):
-                pred = predict_patches(aux_p, batch, subobj, cfg,
-                                       prebinned_z=True)
-                per_item = model_base.mismatch_loss(
-                    pred, meas, cfg.loss.loss_function_type,
-                    cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
-                    self.beamstop_mask, per_item=True)
-                per_batch = per_item.reshape(g, -1).mean(axis=1)
-                return jnp.sum(per_batch * w), per_batch
-
-            def body(carry, xs):
-                acc_obj, acc_aux = carry
-                pos_c, inds_c, meas_c, w = xs
-                batch = {'i_theta': i_theta, 'theta': theta,
-                         'pos_batch': pos_c, 'ind_batch': inds_c}
-                pos_int = jnp.round(pos_c).astype(jnp.int32) + pad_off
-                subobj = patch_ops.extract_patches(obj_pad, pos_int,
-                                                   geo.probe_size)
-                (_, per_batch), (g_sub, g_aux) = jax.value_and_grad(
-                    mismatch, argnums=(0, 1), has_aux=True)(
-                        subobj, aux, batch, meas_c, w)
-                if self._rowgrid_stride is not None:
-                    if self._grid_scatter_rows == g:
-                        acc_obj = patch_ops.scatter_grid2d_add(
-                            acc_obj, g_sub, pos_int[0, 0], pos_int[0, 1],
-                            self._rowgrid_stride, g)
-                    else:
-                        for r in range(g):
-                            acc_obj = patch_ops.scatter_rowgrid_add(
-                                acc_obj, g_sub[r * mb:(r + 1) * mb],
-                                pos_int[r * mb, 0], pos_int[r * mb, 1],
-                                self._rowgrid_stride)
-                else:
-                    acc_obj = patch_ops.scatter_patches_add(acc_obj, g_sub,
-                                                            pos_int)
-                acc_aux = jax.tree.map(jnp.add, acc_aux, g_aux)
-                return (acc_obj, acc_aux), per_batch
-
-            zero = (jnp.zeros_like(obj_pad),
-                    jax.tree.map(jnp.zeros_like, aux))
-            (acc_obj, acc_aux), losses = jax.lax.scan(
-                body, zero, (pos_all, inds_all, measured_all, w_all))
+            # Same chunk scan as the in-step patch branch (shared code).
+            (acc_obj, acc_aux), losses = self._patch_accum(
+                obj_pad, aux, theta, i_theta, pos_all, inds_all,
+                measured_all, w_all)
             p = self.pad_arr
             g_binned = acc_obj[p[0][0]:acc_obj.shape[0] - p[0][1],
                                p[1][0]:acc_obj.shape[1] - p[1][1]]
@@ -665,19 +669,10 @@ class Reconstructor:
 
         def aux_apply(aux_params, aux_state, acc_aux, i_opt_batch,
                       global_batch):
-            mask = {}
-            if 'probe' in self.specs:
-                mask['probe'] = param_lib.probe_update_gate(cfg,
-                                                            global_batch)
-            if cfg.refine.other_params_update_delay > 0:
-                gate = param_lib.aux_update_gate(cfg, global_batch)
-                for k in self.specs:
-                    if k not in ('obj', 'probe'):
-                        mask[k] = gate
             specs_aux = {k: v for k, v in self.specs.items() if k != 'obj'}
             upd, new_state = opt_lib.tree_apply(
                 specs_aux, aux_params, acc_aux, aux_state, i_opt_batch,
-                update_mask=mask)
+                update_mask=self._update_mask(global_batch))
             return param_lib.apply_param_constraints(upd, cfg), new_state
 
         def slab_update(host_o, host_st, g_binned, theta, i_opt_batch, st):
@@ -1046,12 +1041,7 @@ class Reconstructor:
         # the affected donations there — it only costs a transient host
         # copy.
         cpu = jax.default_backend() == 'cpu'
-        if cpu and self._obj_offloaded:
-            donate = ()
-        elif cpu and self._off_state:
-            donate = (0,)
-        else:
-            donate = (0, 1)
+        donate = (0,) if (cpu and self._off_state) else (0, 1)
 
         def grad_step(params, batch, measured, weight_l1):
             return jax.value_and_grad(self.loss_fn)(params, batch, measured,
@@ -1083,6 +1073,72 @@ class Reconstructor:
                     if k not in ('obj', 'probe'):
                         mask[k] = gate
             return mask
+
+        self._update_mask = update_mask
+
+        def patch_accum(obj_pad, aux, theta, i_theta, pos_all, inds_all,
+                        measured_all, w_all):
+            """Scan the angle's minibatch chunks at PATCH granularity,
+            scatter-adding gradients into an obj_pad-shaped accumulator
+            (structured row-grid/2D-grid scatter when the table allows).
+            Shared by angle_step's patch branch and the host-streamed-
+            object driver (_build_offl_steps).  Returns
+            ((acc_obj, acc_aux), per-batch losses)."""
+            geo = cfg.geometry
+            g = w_all.shape[1]
+            mb = cfg.train.minibatch_size
+            prebin = self._prebin
+            predict_patches = self.model.predict_from_patches
+            pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
+                                  jnp.int32)
+
+            def mismatch(subobj, aux_p, batch, meas, w):
+                pred = predict_patches(aux_p, batch, subobj, cfg,
+                                       prebinned_z=prebin)
+                per_item = model_base.mismatch_loss(
+                    pred, meas, cfg.loss.loss_function_type,
+                    cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
+                    self.beamstop_mask, per_item=True)
+                per_batch = per_item.reshape(g, -1).mean(axis=1)
+                return jnp.sum(per_batch * w), per_batch
+
+            def body(carry, xs):
+                acc_obj, acc_aux = carry
+                pos_c, inds_c, meas_c, w = xs
+                batch = {'i_theta': i_theta, 'theta': theta,
+                         'pos_batch': pos_c, 'ind_batch': inds_c}
+                pos_int = jnp.round(pos_c).astype(jnp.int32) + pad_off
+                subobj = patch_ops.extract_patches(obj_pad, pos_int,
+                                                   geo.probe_size)
+                (_, per_batch), (g_sub, g_aux) = jax.value_and_grad(
+                    mismatch, argnums=(0, 1), has_aux=True)(
+                        subobj, aux, batch, meas_c, w)
+                if self._rowgrid_stride is not None:
+                    # Constant-stride grid rows: lane decomposition
+                    # instead of a scatter.  Full-grid chunks collapse
+                    # further into ONE separable 2D-grid update.
+                    if self._grid_scatter_rows == g:
+                        acc_obj = patch_ops.scatter_grid2d_add(
+                            acc_obj, g_sub, pos_int[0, 0], pos_int[0, 1],
+                            self._rowgrid_stride, g)
+                    else:
+                        for r in range(g):
+                            acc_obj = patch_ops.scatter_rowgrid_add(
+                                acc_obj, g_sub[r * mb:(r + 1) * mb],
+                                pos_int[r * mb, 0], pos_int[r * mb, 1],
+                                self._rowgrid_stride)
+                else:
+                    acc_obj = patch_ops.scatter_patches_add(acc_obj, g_sub,
+                                                            pos_int)
+                acc_aux = jax.tree.map(jnp.add, acc_aux, g_aux)
+                return (acc_obj, acc_aux), per_batch
+
+            zero = (jnp.zeros_like(obj_pad),
+                    jax.tree.map(jnp.zeros_like, aux))
+            return jax.lax.scan(body, zero,
+                                (pos_all, inds_all, measured_all, w_all))
+
+        self._patch_accum = patch_accum
 
         def apply_updates(params, grads, opt_state, i_opt_batch, mask,
                           obj_slab_grad=None):
@@ -1156,11 +1212,8 @@ class Reconstructor:
                                                   i_opt_batch, mask,
                                                   obj_slab_grad)
             upd_params = param_lib.apply_param_constraints(upd_params, cfg)
-            if not isinstance(upd_params['obj'], dict):
-                upd_params['obj'] = param_lib.apply_object_constraints(
-                    upd_params['obj'], cfg, support_mask)
-            # (Offloaded object slabs got their elementwise constraints
-            # inside the slab loop.)
+            upd_params['obj'] = param_lib.apply_object_constraints(
+                upd_params['obj'], cfg, support_mask)
             return upd_params, opt_state
 
         # Exposed pieces for the accumulate-then-update schemes
@@ -1210,8 +1263,6 @@ class Reconstructor:
                                      rotate_expanded_from_binned_z)
             g = w_all.shape[1]
 
-            predict_patches = getattr(self.model, 'predict_from_patches',
-                                      None)
             # Single source of truth with the __init__ chunk sizing.
             patch_mode = self._patch_mode
             prebin = self._prebin
@@ -1283,50 +1334,9 @@ class Reconstructor:
                         obj_pad = prop.bin_z_sum(obj_pad, geo.binning,
                                                  axis=2)
                 aux = {k: v for k, v in p_rot.items() if k != 'obj'}
-                pad_off = jnp.asarray([self.pad_arr[0][0], self.pad_arr[1][0]],
-                                      jnp.int32)
-
-                def mismatch(subobj, aux_p, batch, meas, w):
-                    pred = predict_patches(aux_p, batch, subobj, cfg,
-                                           prebinned_z=prebin)
-                    per_batch = per_batch_mismatch(pred, meas)
-                    return jnp.sum(per_batch * w), per_batch
-
-                def body(carry, xs):
-                    acc_obj, acc_aux = carry
-                    pos_c, inds_c, meas_c, w = xs
-                    batch = {'i_theta': i_theta, 'theta': theta,
-                             'pos_batch': pos_c, 'ind_batch': inds_c}
-                    pos_int = jnp.round(pos_c).astype(jnp.int32) + pad_off
-                    subobj = patch_ops.extract_patches(obj_pad, pos_int,
-                                                       geo.probe_size)
-                    (_, per_batch), (g_sub, g_aux) = jax.value_and_grad(
-                        mismatch, argnums=(0, 1), has_aux=True)(
-                            subobj, aux, batch, meas_c, w)
-                    if self._rowgrid_stride is not None:
-                        # Constant-stride grid rows: lane decomposition
-                        # instead of a scatter.  Full-grid chunks collapse
-                        # further into ONE separable 2D-grid update.
-                        if self._grid_scatter_rows == g:
-                            acc_obj = patch_ops.scatter_grid2d_add(
-                                acc_obj, g_sub, pos_int[0, 0], pos_int[0, 1],
-                                self._rowgrid_stride, g)
-                        else:
-                            for r in range(g):
-                                acc_obj = patch_ops.scatter_rowgrid_add(
-                                    acc_obj, g_sub[r * mb:(r + 1) * mb],
-                                    pos_int[r * mb, 0], pos_int[r * mb, 1],
-                                    self._rowgrid_stride)
-                    else:
-                        acc_obj = patch_ops.scatter_patches_add(
-                            acc_obj, g_sub, pos_int)
-                    acc_aux = jax.tree.map(jnp.add, acc_aux, g_aux)
-                    return (acc_obj, acc_aux), per_batch
-
-                zero = (jnp.zeros_like(obj_pad),
-                        jax.tree.map(jnp.zeros_like, aux))
-                (acc_obj, acc_aux), losses = jax.lax.scan(
-                    body, zero, (pos_all, inds_all, measured_all, w_all))
+                (acc_obj, acc_aux), losses = patch_accum(
+                    obj_pad, aux, theta, i_theta, pos_all, inds_all,
+                    measured_all, w_all)
                 # Crop the padding halo (gradients into vacuum padding drop).
                 p = self.pad_arr
                 g_rot = acc_obj[p[0][0]:acc_obj.shape[0] - p[0][1],

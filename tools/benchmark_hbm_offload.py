@@ -85,8 +85,8 @@ def main(argv=None):
         data = rng.random((len(theta), len(pos), pn, pn),
                           dtype=np.float32) * 1e-2
     else:
-        obj_true = np.zeros((n, n, n, 2), np.float32)
-        data = simulate(cfg, obj_true, probe, pos, theta)
+        data = simulate(cfg, np.zeros((n, n, n, 2), np.float32), probe,
+                        pos, theta)
     import time
     t0 = time.time()
     rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,

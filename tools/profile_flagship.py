@@ -69,6 +69,8 @@ def main():
     ap.add_argument('--chunk', type=int, default=529,
                     help='patterns per fused gradient chunk')
     ap.add_argument('--reps', type=int, default=5)
+    ap.add_argument('--bf16', action='store_true',
+                    help='profile the run_bfloat16 fast path')
     args = ap.parse_args()
 
     import jax
@@ -86,7 +88,8 @@ def main():
         geometry=Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
                           energy_ev=5000.0, psize_cm=1e-7,
                           free_prop_cm='inf', binning=b),
-        train=TrainConfig(minibatch_size=args.chunk, learning_rate=1e-7))
+        train=TrainConfig(minibatch_size=args.chunk, learning_rate=1e-7,
+                          run_bfloat16=args.bf16))
 
     rng = np.random.default_rng(0)
     obj = jnp.asarray(rng.random((n, n, n, 2), np.float32) * 1e-3)
@@ -170,6 +173,27 @@ def main():
                                          reps=args.reps)
     acc_b = jnp.zeros_like(obj_b)
 
+    # In-situ flat-layout probe: the whole chunk body (extract from a
+    # [Y,X,zb*2] object, reshape to 5D for the physics, grad, reshape the
+    # cotangent back to flat) — is the 17%-faster flat scatter eaten by
+    # reshape copies inside the scan body?
+    obj_flat2 = fence(lambda o: o.reshape(n, n, nz_b * 2))(obj_b)
+
+    def chunk_grad_flat(ob_flat, pr, meas):
+        sub_f = patch_ops.extract_patches(ob_flat, pos_d, (pn, pn))
+
+        def loss(sub_f):
+            sub = sub_f.reshape(sub_f.shape[:3] + (nz_b, 2))
+            pred = pt.predict_from_patches({'probe': pr}, batch, sub, cfg,
+                                           prebinned_z=True)
+            return jnp.mean((pred - meas) ** 2)
+
+        return jax.grad(loss)(sub_f)
+
+    cgf = fence(chunk_grad_flat)
+    results['grad_chunk_flat'] = timeit(cgf, obj_flat2, probe, meas,
+                                        reps=args.reps)
+
     def chunk_grad_obj(ob, pr, meas):
         # Variant: differentiate straight to the (binned) object — the
         # extract_patches VJP is XLA's generic scatter-add.
@@ -200,7 +224,7 @@ def main():
     results = {k_: max(0.0, v - rtt) for k_, v in results.items()}
     # The alternative scatter formulations are A/B probes of ONE pipeline
     # phase — excluded from the pipeline total.
-    ab_only = ('scatter_grid2d', 'scatter_g2d_flat', 'scatter_row_flat')
+    ab_only = ('scatter_grid2d', 'scatter_g2d_flat', 'scatter_row_flat', 'grad_chunk_flat')
     total = sum(v for k_, v in results.items() if k_ not in ab_only)
     print(f'\n{args.n}^3, probe {pn}^2, binning {b}, chunk {args.chunk} '
           f'on {jax.devices()[0].platform} '

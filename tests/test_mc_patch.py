@@ -169,6 +169,33 @@ class TestMcPatch:
                                    np.asarray(rec1.params['obj']),
                                    rtol=1e-3, atol=1e-8)
 
+    def test_probe_modes_and_bf16_compose(self):
+        """Multi-mode probes and the bf16 fast path run through the mc
+        step with trajectories matching single-device."""
+        import dataclasses as dc
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=7)
+        cfg = ReconConfig(
+            geometry=cfg.geometry,
+            train=dc.replace(cfg.train, n_probe_modes=2,
+                             run_bfloat16=True))
+        probe2 = np.concatenate([probe, probe * 0.3], axis=0)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe2,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            # bf16 forward: looser tolerance than the f32 rows.
+            np.testing.assert_allclose(l1, l8, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-2, atol=1e-7)
+
     def test_offloaded_moments_compose(self):
         """Host-offloaded optimizer moments under op-sharding: each
         device's pinned-host shard streams through HBM inside the mc step

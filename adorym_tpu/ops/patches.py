@@ -250,6 +250,21 @@ def scatter_grid2d_add(acc, cot, y0, x0, stride, rows):
     return jax.lax.dynamic_update_slice(acc, cur + tile, start)
 
 
+def scatter_grid2d_add_best(acc, cot, y0, x0, stride, rows):
+    """Route the complete-grid scatter to the Pallas streaming band
+    kernel when eligible (TPU + aligned shapes): it reads every
+    cotangent byte once instead of XLA's per-shifted-view re-reads —
+    measured 7.3 vs 22.0 ms on the flagship chunk (see
+    pallas_scatter_grid.py).  Bit-compatible fallback otherwise."""
+    import jax
+    if jax.default_backend() == 'tpu':
+        from . import pallas_scatter_grid as psg
+        if psg.supported(cot.shape, stride):
+            return psg.scatter_grid2d_add_pallas(acc, cot, y0, x0, stride,
+                                                 rows)
+    return scatter_grid2d_add(acc, cot, y0, x0, stride, rows)
+
+
 def make_grid_extractor(stride, rows, cols, probe_size):
     """Patch gather for a complete 2D grid whose VJP is
     :func:`scatter_grid2d_add` instead of XLA's generic scatter (which runs

@@ -1118,7 +1118,7 @@ class Reconstructor:
                     # instead of a scatter.  Full-grid chunks collapse
                     # further into ONE separable 2D-grid update.
                     if self._grid_scatter_rows == g:
-                        acc_obj = patch_ops.scatter_grid2d_add(
+                        acc_obj = patch_ops.scatter_grid2d_add_best(
                             acc_obj, g_sub, pos_int[0, 0], pos_int[0, 1],
                             self._rowgrid_stride, g)
                     else:

@@ -1,0 +1,41 @@
+"""Streaming band-kernel grid scatter vs the XLA separable-pass tile
+(interpret mode on CPU; Mosaic on TPU via the profiler/bench)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from adorym_tpu.ops import patches as patch_ops
+from adorym_tpu.ops import pallas_scatter_grid as psg
+
+
+@pytest.mark.parametrize('rows,cols,py,px,s,trail', [
+    (4, 4, 16, 16, 8, (8, 2)),
+    (3, 5, 24, 16, 8, (16,)),    # single trailing dim
+    (2, 2, 8, 8, 8, (16, 2)),    # stride == probe
+    (5, 3, 16, 24, 8, (32,)),
+])
+def test_tile_matches_xla(rows, cols, py, px, s, trail):
+    rng = np.random.default_rng(0)
+    N = rows * cols
+    cot = jnp.asarray(rng.normal(size=(N, py, px) + trail)
+                      .astype(np.float32))
+    assert psg.supported(cot.shape, s)
+    acc_shape = ((rows - 1) * s + py + 24,
+                 (cols - 1) * s + px + 16) + trail
+    acc = jnp.asarray(rng.normal(size=acc_shape).astype(np.float32))
+    y0, x0 = jnp.asarray(8), jnp.asarray(8)
+    ref = patch_ops.scatter_grid2d_add(acc, cot, y0, x0, s, rows)
+    got = psg.scatter_grid2d_add_pallas(acc, cot, y0, x0, s, rows,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_supported_gate():
+    # stride not a sublane multiple
+    assert not psg.supported((4, 16, 16, 4, 2), 4)
+    # lane shift not a multiple of 128: stride*C = 8*6 = 48
+    assert not psg.supported((4, 16, 16, 3, 2), 8)
+    # flagship shape: stride*C = 8*64 = 512
+    assert psg.supported((529, 72, 72, 32, 2), 8)

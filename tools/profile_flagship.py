@@ -171,6 +171,14 @@ def main():
     sc4 = fence(lambda acc, g: scatter(acc, g))
     results['scatter_row_flat'] = timeit(sc4, acc_flat, g_flat,
                                          reps=args.reps)
+    from adorym_tpu.ops import pallas_scatter_grid as psg
+    if psg.supported(g_sub.shape, stride):
+        sc5 = fence(lambda acc, g: psg.scatter_grid2d_add_pallas(
+            acc, g, jnp.asarray(pos[0, 0]), jnp.asarray(pos[0, 1]),
+            stride, len(pos) // row,
+            interpret=jax.devices()[0].platform != 'tpu'))
+        results['scatter_g2d_pallas'] = timeit(
+            sc5, jnp.zeros_like(obj_b), g_sub, reps=args.reps)
     acc_b = jnp.zeros_like(obj_b)
 
     # In-situ flat-layout probe: the whole chunk body (extract from a
@@ -224,7 +232,7 @@ def main():
     results = {k_: max(0.0, v - rtt) for k_, v in results.items()}
     # The alternative scatter formulations are A/B probes of ONE pipeline
     # phase — excluded from the pipeline total.
-    ab_only = ('scatter_grid2d', 'scatter_g2d_flat', 'scatter_row_flat', 'grad_chunk_flat')
+    ab_only = ('scatter_grid2d', 'scatter_g2d_flat', 'scatter_row_flat', 'grad_chunk_flat', 'scatter_g2d_pallas')
     total = sum(v for k_, v in results.items() if k_ not in ab_only)
     print(f'\n{args.n}^3, probe {pn}^2, binning {b}, chunk {args.chunk} '
           f'on {jax.devices()[0].platform} '

@@ -117,3 +117,20 @@ def scatter_grid2d_add_pallas(acc, cot, y0, x0, stride, rows,
     start = (y0, x0) + (0,) * (acc.ndim - 2)
     cur = jax.lax.dynamic_slice(acc, start, tile.shape[:2] + acc.shape[2:])
     return jax.lax.dynamic_update_slice(acc, cur + tile, start)
+
+
+def scatter_rowgrid_add_pallas(acc, cot, y0, x0, stride, interpret=False):
+    """Drop-in for :func:`..patches.scatter_rowgrid_add`: one grid ROW's
+    patches as a rows=1 band-kernel tile + a single RMW (each row has
+    its own traced y origin, so rows cannot share a tile).
+
+    NEGATIVE RESULT — not routed to by the driver: per-row kernel
+    launches + per-row accumulator RMWs cost 54 ms for a 23-row flagship
+    chunk vs 23 ms for the XLA shifted-add path (the full-grid
+    :func:`scatter_grid2d_add_pallas`, amortizing one launch and one RMW
+    over all rows, is the one that wins at 6-7 ms).  Kept as a tested
+    A/B probe (``tools/profile_flagship.py --bf16``)."""
+    tile = grid2d_tile(cot, stride, 1, interpret=interpret)
+    start = (y0, x0) + (0,) * (acc.ndim - 2)
+    cur = jax.lax.dynamic_slice(acc, start, tile.shape[:2] + acc.shape[2:])
+    return jax.lax.dynamic_update_slice(acc, cur + tile, start)

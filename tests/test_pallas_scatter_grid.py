@@ -39,3 +39,17 @@ def test_supported_gate():
     assert not psg.supported((4, 16, 16, 3, 2), 8)
     # flagship shape: stride*C = 8*64 = 512
     assert psg.supported((529, 72, 72, 32, 2), 8)
+
+
+def test_row_tile_matches_xla():
+    rng = np.random.default_rng(1)
+    cols, py, px, s = 5, 16, 16, 8
+    cot = jnp.asarray(rng.normal(size=(cols, py, px, 8, 2))
+                      .astype(np.float32))
+    acc = jnp.asarray(rng.normal(size=(40, 72, 8, 2)).astype(np.float32))
+    y0, x0 = jnp.asarray(8), jnp.asarray(8)
+    ref = patch_ops.scatter_rowgrid_add(acc, cot, y0, x0, s)
+    got = psg.scatter_rowgrid_add_pallas(acc, cot, y0, x0, s,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)

@@ -179,6 +179,19 @@ def main():
             interpret=jax.devices()[0].platform != 'tpu'))
         results['scatter_g2d_pallas'] = timeit(
             sc5, jnp.zeros_like(obj_b), g_sub, reps=args.reps)
+
+        def scatter_row_pallas(acc, g_sub):
+            for r in range(len(pos) // row):
+                acc = psg.scatter_rowgrid_add_pallas(
+                    acc, g_sub[r * row:(r + 1) * row],
+                    jnp.asarray(pos[r * row, 0]),
+                    jnp.asarray(pos[r * row, 1]), stride,
+                    interpret=jax.devices()[0].platform != 'tpu')
+            return acc
+
+        sc6 = fence(scatter_row_pallas)
+        results['scatter_row_pallas'] = timeit(
+            sc6, jnp.zeros_like(obj_b), g_sub, reps=args.reps)
     acc_b = jnp.zeros_like(obj_b)
 
     # In-situ flat-layout probe: the whole chunk body (extract from a
@@ -232,7 +245,7 @@ def main():
     results = {k_: max(0.0, v - rtt) for k_, v in results.items()}
     # The alternative scatter formulations are A/B probes of ONE pipeline
     # phase — excluded from the pipeline total.
-    ab_only = ('scatter_grid2d', 'scatter_g2d_flat', 'scatter_row_flat', 'grad_chunk_flat', 'scatter_g2d_pallas')
+    ab_only = ('scatter_grid2d', 'scatter_g2d_flat', 'scatter_row_flat', 'grad_chunk_flat', 'scatter_g2d_pallas', 'scatter_row_pallas')
     total = sum(v for k_, v in results.items() if k_ not in ab_only)
     print(f'\n{args.n}^3, probe {pn}^2, binning {b}, chunk {args.chunk} '
           f'on {jax.devices()[0].platform} '

@@ -222,7 +222,9 @@ class ParallelConfig:
     # Requires offload_optimizer_state + the angle-fused patch path with
     # prebin (delta_beta, binning>1, row-grid scan, per-angle updates,
     # rotate_out_of_loop, interp rotate-back, no regularizers/support
-    # mask).  'auto' enables it when the object pair exceeds ~35% of HBM
+    # mask).  'auto' enables it when the object pair exceeds ~22% of HBM
+    # (the measured device-resident fit boundary: 736^3 fits a v5e,
+    # 768^3 OOMs)
     # and the run qualifies; True raises if the run does not qualify.
     offload_object: Union[bool, str] = False
 

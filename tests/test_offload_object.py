@@ -114,3 +114,17 @@ def test_offload_object_requires_eligible_config():
         _mk(bad, kw, offload_object=True)
     rec = _mk(bad, kw, offload_object='auto')
     assert not rec._obj_offloaded
+
+
+def test_auto_threshold_covers_oom_boundary(monkeypatch):
+    """'auto' must engage right where the device-resident path stops
+    fitting (measured v5e boundary: 736^3 fits, 768^3 OOMs), leaving no
+    object-size hole where neither path works."""
+    from adorym_tpu import recon as recon_mod
+    from adorym_tpu.utils import profiling
+    monkeypatch.setattr(profiling, 'hbm_limit_bytes', lambda: 15.75e9)
+    frac = recon_mod.OBJ_OFFLOAD_AUTO_FRAC
+    fits = 736 ** 3 * 8          # device-resident, measured to fit
+    ooms = 768 ** 3 * 8          # device-resident, measured to OOM
+    assert fits <= frac * 15.75e9 * 1.15, 'auto engages far below the fit boundary'
+    assert ooms > frac * 15.75e9, 'auto would NOT engage at a size that OOMs device-resident'

@@ -9,9 +9,11 @@ re-read the cotangent stack per shifted view — measured ~21 ms for a
 
 This kernel builds the SAME tile band-by-band instead: output band ``b``
 (``stride`` tile rows) is the sum of the ``ky = py/stride`` patch-row
-slices that overlap it, so every cotangent byte is read exactly once and
-every tile byte written exactly once — no read-modify-write, no repeated
-shifted views.  Layout trick: the trailing ``(px, z, 2)`` dims flatten
+slices that overlap it — no read-modify-write, no repeated shifted
+views.  Every tile byte is written once; cotangent bytes are read once
+each plus a clipped-block overfetch on the (ky-1)*ky edge grid steps
+whose slice falls outside the grid (~(ky-1)/rows extra reads, ~35% at
+the flagship ky=9/rows=23 — still 3x faster than the XLA tile).  Layout trick: the trailing ``(px, z, 2)`` dims flatten
 into the lane axis (``px*z*2`` lanes, a multiple of 128 at flagship
 shapes), so the in-band x shift of patch ``j`` is a lane offset
 ``j*stride*z*2`` — itself a multiple of 128 — and both the streamed
@@ -130,7 +132,5 @@ def scatter_rowgrid_add_pallas(acc, cot, y0, x0, stride, interpret=False):
     :func:`scatter_grid2d_add_pallas`, amortizing one launch and one RMW
     over all rows, is the one that wins at 6-7 ms).  Kept as a tested
     A/B probe (``tools/profile_flagship.py --bf16``)."""
-    tile = grid2d_tile(cot, stride, 1, interpret=interpret)
-    start = (y0, x0) + (0,) * (acc.ndim - 2)
-    cur = jax.lax.dynamic_slice(acc, start, tile.shape[:2] + acc.shape[2:])
-    return jax.lax.dynamic_update_slice(acc, cur + tile, start)
+    return scatter_grid2d_add_pallas(acc, cot, y0, x0, stride, 1,
+                                     interpret=interpret)

@@ -256,7 +256,6 @@ def scatter_grid2d_add_best(acc, cot, y0, x0, stride, rows):
     cotangent byte once instead of XLA's per-shifted-view re-reads —
     measured 7.3 vs 22.0 ms on the flagship chunk (see
     pallas_scatter_grid.py).  Bit-compatible fallback otherwise."""
-    import jax
     if jax.default_backend() == 'tpu':
         from . import pallas_scatter_grid as psg
         if psg.supported(cot.shape, stride):

@@ -62,12 +62,12 @@ def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
 
 #: offload_object='auto' engages when the object pair exceeds this
 #: fraction of the device capacity (shared by the budget estimate and the
-#: engage gate).  Set at the measured device-resident fit boundary
-#: (v5e 15.75G: 736^3 = 3.2G fits with streaming rotation + offloaded
-#: moments, 768^3 = 3.6G OOMs -> boundary ~0.21-0.23 of HBM) so the
-#: host-streamed object takes over exactly where the device-resident
-#: path stops fitting.
-OBJ_OFFLOAD_AUTO_FRAC = 0.22
+#: engage gate).  Set at the PROVEN-FIT lower bound of the
+#: device-resident path (v5e 15.75G: 736^3 = 3.2G = 0.203 of HBM fits
+#: with streaming rotation + offloaded moments; 768^3 = 3.6G OOMs), so
+#: every size beyond what is proven to fit streams through the host —
+#: engaging slightly early only costs throughput, never an OOM.
+OBJ_OFFLOAD_AUTO_FRAC = 0.20
 
 
 def _slab_order(keys):

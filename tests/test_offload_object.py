@@ -117,14 +117,28 @@ def test_offload_object_requires_eligible_config():
 
 
 def test_auto_threshold_covers_oom_boundary(monkeypatch):
-    """'auto' must engage right where the device-resident path stops
-    fitting (measured v5e boundary: 736^3 fits, 768^3 OOMs), leaving no
-    object-size hole where neither path works."""
+    """'auto' must engage through the REAL gate right where the
+    device-resident path stops fitting (measured v5e boundary: 736^3
+    fits, 768^3 OOMs), leaving no object-size hole where neither path
+    works.  Exercised by scaling a mocked device capacity around the
+    test object's size at the measured boundary ratios."""
     from adorym_tpu import recon as recon_mod
     from adorym_tpu.utils import profiling
-    monkeypatch.setattr(profiling, 'hbm_limit_bytes', lambda: 15.75e9)
-    frac = recon_mod.OBJ_OFFLOAD_AUTO_FRAC
-    fits = 736 ** 3 * 8          # device-resident, measured to fit
-    ooms = 768 ** 3 * 8          # device-resident, measured to OOM
-    assert fits <= frac * 15.75e9 * 1.15, 'auto engages far below the fit boundary'
-    assert ooms > frac * 15.75e9, 'auto would NOT engage at a size that OOMs device-resident'
+    cfg, obj_true, probe, pos, theta_ls, data = _problem(seed=4)
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+    obj_bytes = obj_true.nbytes
+    # Largest proven-to-fit ratio on the v5e: 736^3 pair / 15.75G.
+    fit_ratio = 736 ** 3 * 8 / 15.75e9
+    oom_ratio = 768 ** 3 * 8 / 15.75e9
+    # Capacity such that the object sits at the measured OOM ratio: the
+    # gate must engage (this is the hole 0.35 left open).
+    monkeypatch.setattr(profiling, 'hbm_limit_bytes',
+                        lambda: obj_bytes / oom_ratio)
+    assert _mk(cfg, kw, offload_object='auto')._obj_offloaded
+    # The threshold never exceeds the proven-fit boundary by more than
+    # measurement slack, and a comfortably-fitting object stays resident.
+    assert recon_mod.OBJ_OFFLOAD_AUTO_FRAC <= fit_ratio + 0.02
+    monkeypatch.setattr(profiling, 'hbm_limit_bytes',
+                        lambda: obj_bytes / (0.5 * fit_ratio))
+    assert not _mk(cfg, kw, offload_object='auto')._obj_offloaded

@@ -209,7 +209,13 @@ def _bwd_kernel(t_r_ref, t_i_ref, inter_r_ref, inter_i_ref,
 # ---------------------------------------------------------------------------
 
 def _db_mod(d, b, k1, s):
-    """Slice transmission t = exp(-k1*b) * exp(-i*s*k1*d) as (re, im)."""
+    """Slice transmission t = exp(-k1*b) * exp(-i*s*k1*d) as (re, im).
+
+    The object planes stream in their NATIVE dtype (bf16 under
+    run_bfloat16 — half the HBM bytes) and upcast on the VPU here, so the
+    transcendentals always evaluate at f32."""
+    d = d.astype(jnp.float32)
+    b = b.astype(jnp.float32)
     amp = jnp.exp(-k1 * b)
     ph = -s * k1 * d
     return amp * jnp.cos(ph), amp * jnp.sin(ph)
@@ -309,16 +315,17 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
         a_r[:] = pr
         a_i[:] = pi
 
-    wr = inter_r_ref[0]
-    wi = inter_i_ref[0]
+    wr = inter_r_ref[0].astype(jnp.float32)
+    wi = inter_i_ref[0].astype(jnp.float32)
     tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
     gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
     gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
-    # Chain through t = exp(u) (see _bwd_db_kernel).
+    # Chain through t = exp(u) (see _bwd_db_kernel).  gd/gb emit in the
+    # object planes' native dtype (bf16 under run_bfloat16).
     cu_r = gt_r * tr - gt_i * ti
     cu_i = gt_r * ti + gt_i * tr
-    gb_ref[0] = -k1 * cu_r
-    gd_ref[0] = s * k1 * cu_i
+    gb_ref[0] = (-k1 * cu_r).astype(gb_ref.dtype)
+    gd_ref[0] = (s * k1 * cu_i).astype(gd_ref.dtype)
     new_r = a_r[:] * tr - a_i[:] * ti
     new_i = a_r[:] * ti + a_i[:] * tr
     a_r[:] = new_r
@@ -371,8 +378,8 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
         v_r[:] = qr
         v_i[:] = qi
 
-    d = d_ref[0]
-    b = b_ref[0]
+    d = d_ref[0].astype(jnp.float32)
+    b = b_ref[0].astype(jnp.float32)
     amp = jnp.exp(-k1 * b)
     ph = -s * k1 * d
     cph = jnp.cos(ph)
@@ -394,8 +401,8 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
     gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
     cu_r = gt_r * tr - gt_i * ti
     cu_i = gt_r * ti + gt_i * tr
-    gb_ref[0] = -k1 * cu_r
-    gd_ref[0] = s * k1 * cu_i
+    gb_ref[0] = (-k1 * cu_r).astype(gb_ref.dtype)
+    gd_ref[0] = (s * k1 * cu_i).astype(gd_ref.dtype)
     # Cotangent through the modulation (plain multiply), carry w.
     na_r = a_r[:] * tr - a_i[:] * ti
     na_i = a_r[:] * ti + a_i[:] * tr
@@ -665,8 +672,8 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
                                 memory_space=vmem)
 
         out_shapes = (
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
@@ -818,8 +825,8 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
                                 memory_space=vmem)
 
         out_shapes = (
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
+            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )

@@ -58,20 +58,25 @@ def _band_kernel(cot_ref, out_ref, acc, *, ky, cols, rows, lane_shift,
     @pl.when(valid)
     def _add():
         off = j * lane_shift
-        acc[:, pl.dslice(off, pxc)] += cot_ref[0]
+        acc[:, pl.dslice(off, pxc)] += cot_ref[0].astype(acc.dtype)
 
     @pl.when(jnp.logical_and(i == ky - 1, j == cols - 1))
     def _flush():
         out_ref[...] = acc[...]
 
 
-def grid2d_tile(cot, stride, rows, interpret=False):
+def grid2d_tile(cot, stride, rows, interpret=False, out_dtype=None):
     """The complete-grid scatter tile for ``cot[rows*cols, py, px, ...]``
     — equal to :func:`..patches.scatter_grid2d_add`'s internal tile.
 
     Returns ``[(rows+ky-1)*stride, (cols+kx-1)*stride, ...]`` with
     patch ``(r, j)`` added at ``(r*stride, j*stride)``.
+
+    ``out_dtype``: accumulation/output dtype (default ``cot.dtype``) —
+    the run_bfloat16 patch path streams bf16 cotangents (half the HBM
+    read bytes) but accumulates the ky-way band sums in f32.
     """
+    out_dtype = cot.dtype if out_dtype is None else out_dtype
     N, py, px = cot.shape[:3]
     trailing = cot.shape[3:]
     cols = N // rows
@@ -95,8 +100,8 @@ def grid2d_tile(cot, stride, rows, interpret=False):
             memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((stride, W), lambda b, i, j: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Ry * stride, W), cot.dtype),
-        scratch_shapes=[pltpu.VMEM((stride, W), cot.dtype)],
+        out_shape=jax.ShapeDtypeStruct((Ry * stride, W), out_dtype),
+        scratch_shapes=[pltpu.VMEM((stride, W), out_dtype)],
         interpret=interpret,
     )(cot3)
     return out.reshape((Ry * stride, (cols + kx - 1) * stride) + trailing)
@@ -115,7 +120,8 @@ def scatter_grid2d_add_pallas(acc, cot, y0, x0, stride, rows,
                               interpret=False):
     """Drop-in for :func:`..patches.scatter_grid2d_add` using the
     streaming band kernel for the tile."""
-    tile = grid2d_tile(cot, stride, rows, interpret=interpret)
+    tile = grid2d_tile(cot, stride, rows, interpret=interpret,
+                       out_dtype=acc.dtype)
     start = (y0, x0) + (0,) * (acc.ndim - 2)
     cur = jax.lax.dynamic_slice(acc, start, tile.shape[:2] + acc.shape[2:])
     return jax.lax.dynamic_update_slice(acc, cur + tile, start)

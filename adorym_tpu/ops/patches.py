@@ -166,9 +166,12 @@ def scatter_rowgrid_add(acc, cot, y0, x0, stride):
     # lands at column block j + b).  Measured faster than an equivalent
     # 0/1-matrix matmul formulation (tiny contraction dims starve the MXU:
     # 1630 vs 910 patterns/s at flagship shapes).
-    w_buf = jnp.zeros((N + k - 1, py, stride) + trailing, cot.dtype)
+    # Accumulate in the ACCUMULATOR's dtype: bf16 cotangents (the
+    # run_bfloat16 patch path halves the scatter's HBM read bytes) are
+    # upcast inside the fused adds, not summed at bf16 precision.
+    w_buf = jnp.zeros((N + k - 1, py, stride) + trailing, acc.dtype)
     for b in range(k):
-        w_buf = w_buf.at[b:b + N].add(z[:, :, b])
+        w_buf = w_buf.at[b:b + N].add(z[:, :, b].astype(acc.dtype))
     tile = jnp.moveaxis(w_buf, 0, 1)            # [py, N+k-1, stride, ...]
     width = (N + k - 1) * stride                # = (N-1)*stride + px
     tile = jnp.reshape(tile, (py, width) + trailing)
@@ -224,13 +227,16 @@ def scatter_grid2d_add(acc, cot, y0, x0, stride, rows):
     ntr = len(trailing)
 
     # ---- x pass: [rows, cols, py, kx, s] -> [rows, Cx, py, s] ----
+    # Sums run in the accumulator's dtype (bf16 cotangents upcast in the
+    # fused k-way adds — see scatter_rowgrid_add).
     z = jnp.reshape(cot, (rows, cols, py, kx, stride) + trailing)
     Cx = cols + kx - 1
     zp = jnp.pad(z, ((0, 0), (kx - 1, kx - 1), (0, 0), (0, 0), (0, 0))
                  + ((0, 0),) * ntr)
     xsum = jnp.stack(
         [jax.lax.slice_in_dim(zp[:, :, :, b], kx - 1 - b, kx - 1 - b + Cx,
-                              axis=1) for b in range(kx)], 0).sum(axis=0)
+                              axis=1).astype(acc.dtype)
+         for b in range(kx)], 0).sum(axis=0)
 
     # ---- y pass: [rows, Cx, ky, s, s] -> [Ry, Cx, s, s] ----
     zy = jnp.reshape(xsum, (rows, Cx, ky, stride, stride) + trailing)

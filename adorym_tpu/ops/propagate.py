@@ -352,8 +352,14 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         inter_bytes = (n_steps * wave.size * 8)
         kern = (pm.multislice_db if inter_bytes > DB_STORED_MAX_BYTES
                 else pm.multislice_db_stored)
-        return kern(delta_z.astype(jnp.float32),
-                    beta_z.astype(jnp.float32),
+        # The object planes stream in their native dtype: bf16 under
+        # run_bfloat16 (half the HBM bytes each way — the kernels upcast
+        # on the VPU and emit gd/gb back in the same dtype, so no XLA-side
+        # cast copies of the step-sized stacks).
+        if delta_z.dtype not in (jnp.float32, jnp.bfloat16):
+            delta_z = delta_z.astype(jnp.float32)
+            beta_z = beta_z.astype(jnp.float32)
+        return kern(delta_z, beta_z.astype(delta_z.dtype),
                     wave.astype(jnp.complex64),
                     kernel.astype(jnp.complex64),
                     float(k1), float(mod_sign), interpret, mxu_bf16)

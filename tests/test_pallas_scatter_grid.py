@@ -53,3 +53,46 @@ def test_row_tile_matches_xla():
                                          interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_bf16_cotangent_f32_accumulation():
+    """The run_bfloat16 patch path streams bf16 cotangents into an f32
+    accumulator: the band sums must accumulate at f32 (out_dtype follows
+    acc), matching the XLA path on the upcast cotangents."""
+    rng = np.random.default_rng(2)
+    rows, cols, py, px, s = 4, 4, 16, 16, 8
+    cot = jnp.asarray(rng.normal(size=(rows * cols, py, px, 8, 2))
+                      .astype(np.float32)).astype(jnp.bfloat16)
+    acc = jnp.asarray(rng.normal(size=(64, 64, 8, 2)).astype(np.float32))
+    y0, x0 = jnp.asarray(8), jnp.asarray(8)
+    ref = patch_ops.scatter_grid2d_add(acc, cot, y0, x0, s, rows)
+    got = psg.scatter_grid2d_add_pallas(acc, cot, y0, x0, s, rows,
+                                        interpret=True)
+    assert ref.dtype == jnp.float32 and got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5)
+    # f32 accumulation of the upcast bf16 values == numpy double-precision
+    # accumulation of those same values (no bf16 summation error).
+    dense = np.asarray(acc, np.float64)
+    cotf = np.asarray(cot.astype(jnp.float32), np.float64)
+    for i in range(rows * cols):
+        r, j = divmod(i, cols)
+        yy, xx = 8 + s * r, 8 + s * j
+        dense[yy:yy + py, xx:xx + px] += cotf[i]
+    np.testing.assert_allclose(np.asarray(got), dense, atol=1e-5)
+
+
+def test_bf16_rowgrid_f32_accumulation():
+    rng = np.random.default_rng(3)
+    cols, py, px, s = 5, 16, 16, 8
+    cot = jnp.asarray(rng.normal(size=(cols, py, px, 8, 2))
+                      .astype(np.float32)).astype(jnp.bfloat16)
+    acc = jnp.asarray(rng.normal(size=(40, 72, 8, 2)).astype(np.float32))
+    y0, x0 = jnp.asarray(8), jnp.asarray(8)
+    out = patch_ops.scatter_rowgrid_add(acc, cot, y0, x0, s)
+    assert out.dtype == jnp.float32
+    dense = np.asarray(acc, np.float64)
+    cotf = np.asarray(cot.astype(jnp.float32), np.float64)
+    for j in range(cols):
+        dense[8:8 + py, 8 + s * j:8 + s * j + px] += cotf[j]
+    np.testing.assert_allclose(np.asarray(out), dense, atol=1e-5)

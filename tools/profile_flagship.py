@@ -123,6 +123,11 @@ def main():
              'ind_batch': jnp.arange(args.chunk, dtype=jnp.int32)}
 
     def chunk_grad(ob, pr, meas):
+        # Mirrors recon.patch_accum: under run_bfloat16 the patches are
+        # extracted from a bf16 copy (value-identical, half the bytes)
+        # and the cotangent comes back bf16.
+        if args.bf16:
+            ob = ob.astype(jnp.bfloat16)
         sub = patch_ops.extract_patches(ob, pos_d, (pn, pn))
 
         def loss(sub):

@@ -42,9 +42,14 @@ def _cmatmul_right(ar, ai, br, bi):
     """
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=_DOT_PRECISION[0])
-    rr = dot(ar, br) - dot(ai, bi)
-    ri = dot(ar, bi) + dot(ai, br)
-    return rr, ri
+    # Gauss 3-multiplication form: the kernel is MXU-throughput-bound at
+    # the padded [*,128]x[128,128] tile shapes, so trading the 4th dot for
+    # three cheap VPU adds is a straight 25% MXU-work cut.  b-side combos
+    # are [k, n] (the small fixed DFT mats); a-side adds are elementwise.
+    k1 = dot(ar + ai, br)
+    k2 = dot(ar, bi - br)
+    k3 = dot(ai, br + bi)
+    return k1 - k3, k1 + k2
 
 
 # Trace-time switch consulted by the kernel bodies (Pallas kernel fns
@@ -79,11 +84,74 @@ class _dot_precision:
         _DOT_TLS.p = self.prev
 
 
-def _fft2_matmul(wr, wi, fy_r, fy_i, fx_r, fx_i):
-    """2D transform of w[..., ny, nx] via dense DFT matmuls.
+def _fold_prop_mats(h_r, h_i, ny, nx):
+    """Per-axis FOLDED propagation matrices for a SEPARABLE (paraxial)
+    transfer kernel: ``P_ax = G diag(h_ax) F``, so ONE complex matmul per
+    axis replaces the FFT -> *H -> IFFT triple (the delta_beta kernels
+    are gated on ``fresnel_approx``, where ``H[y,x] = hy[y]*hx[x]``
+    exactly, with ``hy = H[:,0]/H[0,0]``, ``hx = H[0,:]`` — index 0 is
+    the zero frequency, so ``H[0,0] = 1``).  Halves the kernels' MXU
+    work at the padded 128-tile dot shapes that bound them.
 
-    x-axis: [(B ny), nx] @ Fx^T; y-axis: transpose, [(B nx), ny] @ Fy^T.
+    Built OUTSIDE the kernel at HIGHEST precision, once per trace.
+    Returns ``(py, px)`` as complex arrays with ``P[out, in]``
+    orientation; P is unitary (|entries| <= 1, bf16-friendly).
     """
+    hi = jax.lax.Precision.HIGHEST
+    h = (h_r + 1j * h_i).astype(jnp.complex64)
+    hy = h[:, 0] / h[0, 0]
+    hx = h[0, :]
+    fy = jnp.asarray(dft_matrix(ny))
+    gy = jnp.asarray(dft_matrix(ny, inverse=True))
+    fx = jnp.asarray(dft_matrix(nx))
+    gx = jnp.asarray(dft_matrix(nx, inverse=True))
+    py = jnp.matmul(gy * hy[None, :], fy, precision=hi)
+    px = jnp.matmul(gx * hx[None, :], fx, precision=hi)
+    return py, px
+
+
+def _split_prop_variants(py, px, transpose=False, inverse=False):
+    """Real/imag pairs oriented so the kernel's ``w @ arg.T`` applies the
+    requested propagation.  Forward: ``w @ P^T`` (arg = P).  Transpose
+    (cotangent flow, JAX's unconjugated convention): ``w @ P``
+    (arg = P^T).  Inverse (wave reconstruction, |h| = 1):
+    ``G diag(conj h) F = conj(P)^T`` because the DFT mats are symmetric
+    and ``conj(G) = F/n`` — so ``w @ (P^{-1})^T = w @ conj(P)``
+    (arg = conj(P).T)."""
+    if inverse:
+        py, px = jnp.conj(py).T, jnp.conj(px).T
+    elif transpose:
+        py, px = py.T, px.T
+    return (jnp.real(py), jnp.imag(py), jnp.real(px), jnp.imag(px))
+
+
+def _apply_prop(wr, wi, my_r, my_i, mx_r, mx_i):
+    """``w <- P w`` with folded per-axis mats: x pass right-matmul by
+    ``mx.T``, ONE transpose, y pass by ``my.T``, transpose back."""
+    batch = wr.shape[:-2]
+    ny, nx = wr.shape[-2:]
+    B = int(np.prod(batch)) if batch else 1
+    ar = wr.reshape(B * ny, nx)
+    ai = wi.reshape(B * ny, nx)
+    xr, xi = _cmatmul_right(ar, ai, mx_r.T, mx_i.T)
+    tr = jnp.transpose(xr.reshape(B, ny, nx), (0, 2, 1)).reshape(B * nx, ny)
+    ti = jnp.transpose(xi.reshape(B, ny, nx), (0, 2, 1)).reshape(B * nx, ny)
+    yr, yi = _cmatmul_right(tr, ti, my_r.T, my_i.T)
+    ur = jnp.transpose(yr.reshape(B, nx, ny), (0, 2, 1)).reshape(*batch, ny, nx)
+    ui = jnp.transpose(yi.reshape(B, nx, ny), (0, 2, 1)).reshape(*batch, ny, nx)
+    return ur, ui
+
+
+def _propagate_block(wr, wi, h_r, h_i, mats):
+    """One Fresnel step: FFT2 -> *H -> IFFT2, all in VMEM.
+
+    The two transforms share the transposed intermediate: x pass,
+    ONE transpose to [B, nx, ny], y pass, H applied TRANSPOSED, inverse
+    y pass, ONE transpose back, inverse x pass — 2 wave-block transposes
+    per propagation instead of the naive 4.  Same transform to f32
+    roundoff (the inverse now associates y-then-x instead of x-then-y).
+    """
+    fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i = mats
     batch = wr.shape[:-2]
     ny, nx = wr.shape[-2:]
     B = int(np.prod(batch)) if batch else 1
@@ -91,24 +159,26 @@ def _fft2_matmul(wr, wi, fy_r, fy_i, fx_r, fx_i):
     ar = wr.reshape(B * ny, nx)
     ai = wi.reshape(B * ny, nx)
     xr, xi = _cmatmul_right(ar, ai, fx_r.T, fx_i.T)
-    xr = xr.reshape(B, ny, nx)
-    xi = xi.reshape(B, ny, nx)
-    # y axis: out[b,y,x] = sum_k Fy[y,k] t[b,k,x] -> transpose to [B, nx, ny]
-    tr = jnp.transpose(xr, (0, 2, 1)).reshape(B * nx, ny)
-    ti = jnp.transpose(xi, (0, 2, 1)).reshape(B * nx, ny)
+    # transpose once to [B, nx, ny]
+    tr = jnp.transpose(xr.reshape(B, ny, nx), (0, 2, 1)).reshape(B * nx, ny)
+    ti = jnp.transpose(xi.reshape(B, ny, nx), (0, 2, 1)).reshape(B * nx, ny)
+    # y axis in transposed layout: (B*nx, ny) @ Fy^T
     yr, yi = _cmatmul_right(tr, ti, fy_r.T, fy_i.T)
-    yr = jnp.transpose(yr.reshape(B, nx, ny), (0, 2, 1)).reshape(*batch, ny, nx)
-    yi = jnp.transpose(yi.reshape(B, nx, ny), (0, 2, 1)).reshape(*batch, ny, nx)
-    return yr, yi
-
-
-def _propagate_block(wr, wi, h_r, h_i, mats):
-    """One Fresnel step: FFT2 -> *H -> IFFT2, all in VMEM."""
-    fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i = mats
-    fr, fi = _fft2_matmul(wr, wi, fy_r, fy_i, fx_r, fx_i)
-    pr = fr * h_r - fi * h_i
-    pi = fr * h_i + fi * h_r
-    return _fft2_matmul(pr, pi, gy_r, gy_i, gx_r, gx_i)
+    # H in transposed layout: broadcast H^T [nx, ny] over B
+    ht_r = h_r.T.reshape(1, nx, ny)
+    ht_i = h_i.T.reshape(1, nx, ny)
+    y3r = yr.reshape(B, nx, ny)
+    y3i = yi.reshape(B, nx, ny)
+    pr = (y3r * ht_r - y3i * ht_i).reshape(B * nx, ny)
+    pi = (y3r * ht_i + y3i * ht_r).reshape(B * nx, ny)
+    # inverse y pass, still transposed
+    qr, qi = _cmatmul_right(pr, pi, gy_r.T, gy_i.T)
+    # transpose back to [B, ny, nx]
+    ur = jnp.transpose(qr.reshape(B, nx, ny), (0, 2, 1)).reshape(B * ny, nx)
+    ui = jnp.transpose(qi.reshape(B, nx, ny), (0, 2, 1)).reshape(B * ny, nx)
+    # inverse x pass
+    vr, vi = _cmatmul_right(ur, ui, gx_r.T, gx_i.T)
+    return (vr.reshape(*batch, ny, nx), vi.reshape(*batch, ny, nx))
 
 
 def _fwd_kernel(t_r_ref, t_i_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
@@ -221,12 +291,13 @@ def _db_mod(d, b, k1, s):
     return amp * jnp.cos(ph), amp * jnp.sin(ph)
 
 
-def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
-                   fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
+                   py_r, py_i, px_r, px_i,
                    out_r_ref, out_i_ref, w_r, w_i, *, k1, s):
     """Like _fwd_kernel but takes the two REAL object channels and computes
     the complex modulator on the VPU — half the modulator stream bytes and
-    NO intermediate-wavefield output (the backward reconstructs them)."""
+    NO intermediate-wavefield output (the backward reconstructs them).
+    Propagation via the FOLDED per-axis mats (:func:`_fold_prop_mats`)."""
     step = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
@@ -241,9 +312,7 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
 
     @pl.when(step < n_steps - 1)
     def _():
-        mats = (fy_r[:], fy_i[:], fx_r[:], fx_i[:],
-                gy_r[:], gy_i[:], gx_r[:], gx_i[:])
-        pr, pi = _propagate_block(mr, mi, h_r_ref[:], h_i_ref[:], mats)
+        pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:], px_r[:], px_i[:])
         w_r[:] = pr
         w_i[:] = pi
 
@@ -253,14 +322,15 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
         out_i_ref[:] = mi
 
 
-def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
-                      fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
+                      py_r, py_i, px_r, px_i,
                       out_r_ref, out_i_ref, inter_r_ref, inter_i_ref,
                       w_r, w_i, *, k1, s):
     """Modulator-fused forward that RECORDS the per-step entering
     wavefields (like _fwd_kernel) — pairs with _bwd_db_st_kernel's cheap
     1-propagation backward.  Streams half the modulator bytes of the
-    t_all kernel (two f32 planes instead of complex)."""
+    t_all kernel (two f32 planes instead of complex).  Propagation via
+    the FOLDED per-axis mats (:func:`_fold_prop_mats`)."""
     step = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
@@ -269,8 +339,12 @@ def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
         w_r[:] = w0_r_ref[:]
         w_i[:] = w0_i_ref[:]
 
-    inter_r_ref[0] = w_r[:]
-    inter_i_ref[0] = w_i[:]
+    # Recorded in the object planes' dtype: bf16 under run_bfloat16 —
+    # the stored stack's DMA cost is the measured gap between this and
+    # the invertible forward (~5 ms/flagship chunk at f32), and the
+    # records only feed the gt products in the backward.
+    inter_r_ref[0] = w_r[:].astype(inter_r_ref.dtype)
+    inter_i_ref[0] = w_i[:].astype(inter_i_ref.dtype)
 
     tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
     mr = w_r[:] * tr - w_i[:] * ti
@@ -278,9 +352,7 @@ def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
 
     @pl.when(step < n_steps - 1)
     def _():
-        mats = (fy_r[:], fy_i[:], fx_r[:], fx_i[:],
-                gy_r[:], gy_i[:], gx_r[:], gx_i[:])
-        pr, pi = _propagate_block(mr, mi, h_r_ref[:], h_i_ref[:], mats)
+        pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:], px_r[:], px_i[:])
         w_r[:] = pr
         w_i[:] = pi
 
@@ -291,13 +363,14 @@ def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref, h_r_ref, h_i_ref,
 
 
 def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
-                      g_r_ref, g_i_ref, h_r_ref, h_i_ref,
-                      fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                      g_r_ref, g_i_ref, ty_r, ty_i, tx_r, tx_i,
                       gd_ref, gb_ref, gw_r_ref, gw_i_ref,
                       a_r, a_i, *, k1, s):
     """Reverse sweep with stored intermediates (like _bwd_kernel) but the
-    modulator recomputed from the two f32 object planes and the cotangent
-    emitted directly as (gd, gb) — the modulator VJP fuses in-kernel."""
+    modulator recomputed from the two object planes and the cotangent
+    emitted directly as (gd, gb) — the modulator VJP fuses in-kernel.
+    ``ty/tx``: TRANSPOSE-variant folded mats (cotangent flows through
+    ``P^T``)."""
     st = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
@@ -308,10 +381,8 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
 
     @pl.when(st > 0)
     def _():
-        mats = (gy_r[:], gy_i[:], gx_r[:], gx_i[:],
-                fy_r[:], fy_i[:], fx_r[:], fx_i[:])
-        pr, pi = _propagate_block(a_r[:], a_i[:], h_r_ref[:], h_i_ref[:],
-                                  mats)
+        pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
+                             tx_r[:], tx_i[:])
         a_r[:] = pr
         a_i[:] = pi
 
@@ -338,8 +409,7 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
 
 
 def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
-                   h_r_ref, h_i_ref,
-                   fy_r, fy_i, fx_r, fx_i, gy_r, gy_i, gx_r, gx_i,
+                   ty_r, ty_i, tx_r, tx_i, iy_r, iy_i, ix_r, ix_i,
                    gd_ref, gb_ref, gw_r_ref, gw_i_ref,
                    a_r, a_i, v_r, v_i, *, k1, s):
     """Reverse sweep with NO stored intermediates: the Fresnel step is
@@ -349,7 +419,9 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
     ``m(z) = P^{-1}(w(z+1))``, ``w(z) = m(z) / t(z)``, with
     ``P^{-1} = IFFT . conj(H) . FFT`` and ``1/t = exp(+k1*b)*exp(+i*s*k1*d)``
     computed directly from the object channels (no division).
-    Cotangent flow is the plain transpose, as in _bwd_kernel."""
+    Cotangent flow is the plain transpose, as in _bwd_kernel.
+    ``ty/tx``: TRANSPOSE-variant folded mats; ``iy/ix``: INVERSE-variant
+    (:func:`_split_prop_variants`)."""
     st = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
@@ -362,19 +434,14 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
 
     @pl.when(st > 0)
     def _():
-        # Cotangent through the transpose of the following propagation:
-        # P^T = F H G (swapped transform order, H unconjugated).
-        mats_t = (gy_r[:], gy_i[:], gx_r[:], gx_i[:],
-                  fy_r[:], fy_i[:], fx_r[:], fx_i[:])
-        pr, pi = _propagate_block(a_r[:], a_i[:], h_r_ref[:], h_i_ref[:],
-                                  mats_t)
+        # Cotangent through the transpose of the following propagation.
+        pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
+                             tx_r[:], tx_i[:])
         a_r[:] = pr
         a_i[:] = pi
         # Wave reconstruction through the inverse: m(z) = P^{-1}(w(z+1)).
-        mats_f = (fy_r[:], fy_i[:], fx_r[:], fx_i[:],
-                  gy_r[:], gy_i[:], gx_r[:], gx_i[:])
-        qr, qi = _propagate_block(v_r[:], v_i[:], h_r_ref[:], -h_i_ref[:],
-                                  mats_f)
+        qr, qi = _apply_prop(v_r[:], v_i[:], iy_r[:], iy_i[:],
+                             ix_r[:], ix_i[:])
         v_r[:] = qr
         v_i[:] = qi
 
@@ -616,14 +683,13 @@ def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
                                          (0.0, 0.0, 0.0, 0.0))
         n_blocks = N // NB
-        mats = _dft_mats(ny, nx)
+        py, px = _fold_prop_mats(h_r, h_i, ny, nx)
+        fwd_mats = _split_prop_variants(py, px)
         vmem = pltpu.VMEM
         db_spec = pl.BlockSpec((1, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
                                memory_space=vmem)
         w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                                memory_space=vmem)
-        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
-                              memory_space=vmem)
 
         def m_spec(n):
             return pl.BlockSpec((n, n), lambda bk, st: (0, 0),
@@ -633,17 +699,16 @@ def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
-        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)]
         out = pl.pallas_call(
             functools.partial(_fwd_db_kernel, k1=k1, s=s),
             grid=(n_blocks, n_steps),
-            in_specs=[db_spec, db_spec, w0_spec, w0_spec, h_spec, h_spec]
-                     + mat_specs,
+            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs,
             out_specs=(w0_spec, w0_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, w_r, w_i, h_r, h_i, *mats)
+        )(d, b, w_r, w_i, *fwd_mats)
         return out
 
 
@@ -657,14 +722,14 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
             (d, b, out_r, out_i, g_r, g_i), N0, NB,
             (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
         n_blocks = N // NB
-        mats = _dft_mats(ny, nx)
+        py, px = _fold_prop_mats(h_r, h_i, ny, nx)
+        t_mats = _split_prop_variants(py, px, transpose=True)
+        i_mats = _split_prop_variants(py, px, inverse=True)
         vmem = pltpu.VMEM
         db_rev = pl.BlockSpec((1, NB, ny, nx),
                               lambda bk, st: (n_steps - 1 - st, bk, 0, 0),
                               memory_space=vmem)
         w_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
-                              memory_space=vmem)
-        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
                               memory_space=vmem)
 
         def m_spec(n):
@@ -681,13 +746,13 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
         return pl.pallas_call(
             functools.partial(_bwd_db_kernel, k1=k1, s=s),
             grid=(n_blocks, n_steps),
-            in_specs=[db_rev, db_rev, w_spec, w_spec, w_spec, w_spec,
-                      h_spec, h_spec] + mat_specs,
+            in_specs=[db_rev, db_rev, w_spec, w_spec, w_spec, w_spec]
+                     + mat_specs,
             out_specs=(db_rev, db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 4,
             interpret=interpret,
-        )(d, b, out_r, out_i, g_r, g_i, h_r, h_i, *mats)
+        )(d, b, out_r, out_i, g_r, g_i, *t_mats, *i_mats)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -759,14 +824,13 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
                                          (0.0, 0.0, 0.0, 0.0))
         n_blocks = N // NB
-        mats = _dft_mats(ny, nx)
+        py, px = _fold_prop_mats(h_r, h_i, ny, nx)
+        fwd_mats = _split_prop_variants(py, px)
         vmem = pltpu.VMEM
         db_spec = pl.BlockSpec((1, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
                                memory_space=vmem)
         w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                                memory_space=vmem)
-        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
-                              memory_space=vmem)
 
         def m_spec(n):
             return pl.BlockSpec((n, n), lambda bk, st: (0, 0),
@@ -778,20 +842,19 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         out_shapes = (
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), d.dtype),
+            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), d.dtype),
         )
-        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)]
         return pl.pallas_call(
             functools.partial(_fwd_db_st_kernel, k1=k1, s=s),
             grid=(n_blocks, n_steps),
-            in_specs=[db_spec, db_spec, w0_spec, w0_spec, h_spec, h_spec]
-                     + mat_specs,
+            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs,
             out_specs=(w0_spec, w0_spec, inter_spec, inter_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, w_r, w_i, h_r, h_i, *mats)
+        )(d, b, w_r, w_i, *fwd_mats)
 
 
 def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
@@ -806,7 +869,8 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
             (inter_r, inter_i), _ = _pad_batch(
                 (inter_r, inter_i), inter_r.shape[-3], NB, (0.0, 0.0))
         n_blocks = N // NB
-        mats = _dft_mats(ny, nx)
+        py, px = _fold_prop_mats(h_r, h_i, ny, nx)
+        t_mats = _split_prop_variants(py, px, transpose=True)
         vmem = pltpu.VMEM
         db_rev = pl.BlockSpec((1, NB, ny, nx),
                               lambda bk, st: (n_steps - 1 - st, bk, 0, 0),
@@ -816,8 +880,6 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
                                                  0, 0),
                                  memory_space=vmem)
         w_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
-                              memory_space=vmem)
-        h_spec = pl.BlockSpec((ny, nx), lambda bk, st: (0, 0),
                               memory_space=vmem)
 
         def m_spec(n):
@@ -830,17 +892,17 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
-        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)]
         return pl.pallas_call(
             functools.partial(_bwd_db_st_kernel, k1=k1, s=s),
             grid=(n_blocks, n_steps),
-            in_specs=[db_rev, db_rev, inter_rev, inter_rev, w_spec, w_spec,
-                      h_spec, h_spec] + mat_specs,
+            in_specs=[db_rev, db_rev, inter_rev, inter_rev, w_spec, w_spec]
+                     + mat_specs,
             out_specs=(db_rev, db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, *mats)
+        )(d, b, inter_r, inter_i, g_r, g_i, *t_mats)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))

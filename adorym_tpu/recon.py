@@ -1425,6 +1425,38 @@ class Reconstructor:
 
         self._angle_step = jax.jit(angle_step, donate_argnums=donate)
 
+        def angles_epoch(params, opt_state, theta_e, itheta_e, pos_e,
+                         inds_e, w_e, data_dev, weight_l1, i_opt0, gb0,
+                         n_b, support_mask):
+            """A WHOLE per-angle epoch as one program: ``lax.scan`` of
+            ``angle_step`` over the epoch's angles, measurement rows
+            gathered from the device-resident dataset inside the scan.
+            Each angle's step is the SAME traced computation as the
+            per-angle dispatch (identical trajectories), but the per-angle
+            host staging + dispatch gaps disappear — measured 57 vs 67-74
+            ms/angle at the flagship bench on the remote-dispatch tunnel
+            (chained fenced steps vs the host loop).  Eligibility:
+            :meth:`Reconstructor._angles_fused_ok`."""
+
+            def body(carry, xs):
+                p, o, i_opt, gb = carry
+                theta, i_theta, pos_all, inds_all, w_all = xs
+                rows = data_dev[i_theta]
+                measured_all = rows[inds_all.reshape(-1)].reshape(
+                    inds_all.shape + rows.shape[1:])
+                p, o, losses = angle_step(p, o, theta, i_theta, pos_all,
+                                          inds_all, measured_all, w_all,
+                                          weight_l1, i_opt, gb,
+                                          support_mask)
+                return (p, o, i_opt + 1, gb + n_b), losses
+
+            (params, opt_state, _, _), losses = jax.lax.scan(
+                body, (params, opt_state, i_opt0, gb0),
+                (theta_e, itheta_e, pos_e, inds_e, w_e))
+            return params, opt_state, losses
+
+        self._angles_epoch = jax.jit(angles_epoch, donate_argnums=donate)
+
         if self._mc is not None:
             self._mc_step = self._build_mc_step(apply_step, donate)
 
@@ -1710,6 +1742,109 @@ class Reconstructor:
                 batches.append((int(i_theta), spots[b * mb:(b + 1) * mb]))
         return batches
 
+    def _stage_angle(self, i_theta, inds_list):
+        """Chunked per-angle tables for ``angle_step``: fuse ``fuse_g``
+        minibatches per gradient chunk, padding the batch axis with
+        repeats of the last batch at weight 0 (see the angle_step
+        docstring).  Returns numpy ``(inds [n_c, g*mb] int32,
+        pos [n_c, g*mb, 2] f32, w [n_c, g] f32, n_b)``."""
+        inds_arr = np.stack(inds_list)                    # [n_b, mb]
+        n_b = len(inds_list)
+        mb = inds_arr.shape[1]
+        g = min(self._fuse_g, n_b)
+        n_c = -(-n_b // g)
+        pad_b = n_c * g - n_b
+        w_arr = np.ones(n_b, np.float32)
+        if pad_b:
+            inds_arr = np.concatenate(
+                [inds_arr, np.repeat(inds_arr[-1:], pad_b, axis=0)])
+            w_arr = np.concatenate([w_arr, np.zeros(pad_b, np.float32)])
+        pos_table = (self.probe_pos if self.probe_pos.ndim == 2
+                     else self.probe_pos[i_theta])
+        pos = pos_table[inds_arr].reshape(n_c, g * mb, 2)
+        return (inds_arr.reshape(n_c, g * mb).astype(np.int32),
+                pos.astype(np.float32), w_arr.reshape(n_c, g), n_b)
+
+    def _angles_fused_ok(self, groups) -> bool:
+        """Whole-epoch fusion of the per-angle scheme (``angles_epoch``):
+        eligible when no step needs a mid-epoch host visit — the dataset
+        is device-resident, nothing streams through the host (offload,
+        loader), no per-batch host-side state (reweighted-L1 refresh,
+        external algorithm, shrink cycle, batch-level dumps), and every
+        angle has the same batch count (uniform scan shapes).
+        Mid-epoch checkpoints collapse to epoch granularity, like
+        ``_run_epoch_fused`` (PARITY.md 'Known deviations')."""
+        return (self._mc is None and self.mesh is None
+                and not self._obj_offloaded and not self._off_state
+                and self.loader is None and self._data_dev_ok
+                and self.data is not None
+                and not self._needs_weight_l1
+                and self.external_algorithm is None
+                and self.cfg.train.shrink_cycle is None
+                and len(groups) > 1
+                and len({len(il) for _, il in groups}) == 1
+                and not (self.output_folder is not None
+                         and self.cfg.io.save_intermediate
+                         and self.cfg.io.save_intermediate_level == 'batch'))
+
+    def _run_epoch_angles_fused(self, i_epoch: int, groups,
+                                callback) -> float:
+        """One compiled program for the whole per-angle epoch (see
+        ``angles_epoch`` in _build_step): removes the per-angle host
+        staging and dispatch gaps — measured 57 vs 67-74 ms/angle at the
+        flagship bench over the remote-dispatch tunnel."""
+        t = self.cfg.train
+        staged = [self._stage_angle(i_theta, il) for i_theta, il in groups]
+        n_b = staged[0][3]
+        inds_e = np.stack([s[0] for s in staged])
+        pos_e = np.stack([s[1] for s in staged])
+        w_e = np.stack([s[2] for s in staged])
+        theta_e = np.asarray([self.theta_ls[i] for i, _ in groups],
+                             np.float32)
+        itheta_e = np.asarray([i for i, _ in groups], np.int32)
+        with self.timers.time('data_staging'):
+            if self._data_dev is None:
+                self._data_dev = jnp.asarray(self.data)
+        with self.timers.time('angle_step'):
+            self.params, self.opt_state, losses = self._angles_epoch(
+                self.params, self.opt_state, jnp.asarray(theta_e),
+                jnp.asarray(itheta_e), jnp.asarray(pos_e),
+                jnp.asarray(inds_e), jnp.asarray(w_e), self._data_dev,
+                self.weight_l1, jnp.asarray(self.i_opt_batch, jnp.int32),
+                jnp.asarray(self.global_batch, jnp.int32),
+                jnp.asarray(n_b, jnp.int32), self.finite_support_mask)
+        n_groups = len(groups)
+        self.i_opt_batch += n_groups
+        self.global_batch += n_groups * n_b
+        self._rehome_state()
+        losses = np.asarray(losses).reshape(n_groups, -1)[:, :n_b].ravel()
+        losses = [float(v) for v in losses]
+        if callback is not None or self._logger is not None:
+            for b, l in enumerate(losses):
+                if callback is not None:
+                    callback(i_epoch, b, l)
+                if self._logger is not None:
+                    self._logger.log(i_epoch, b, l)
+        # Checkpoint / walltime at epoch granularity (as _run_epoch_fused).
+        if (self.output_folder is not None and self.cfg.io.store_checkpoint
+                and len(losses) >= self.cfg.io.n_batch_per_checkpoint):
+            self.save_checkpoint(i_epoch, self.i_opt_batch)
+        t_max = self.cfg.io.t_max_min
+        if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
+            if self.output_folder is not None:
+                self.save_checkpoint(i_epoch, self.i_opt_batch)
+            self.stop_requested = True
+        mean_loss = float(np.mean(losses))
+        self.loss_history.append(mean_loss)
+        if self.verbose:
+            n_patterns = len(losses) * t.minibatch_size
+            dt = self.timers.total.get('angle_step', 0.0) or 1e-9
+            self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
+                        f'{n_patterns / dt:.1f} patterns/s (fused angles); '
+                        f'{self.timers.summary()}')
+            self.timers.reset()
+        return mean_loss
+
     def _run_epoch_angles(self, i_epoch: int, batches, callback) -> float:
         """Angle-granular epoch: every angle's minibatches run inside one
         jitted ``angle_step`` (see _build_step)."""
@@ -1722,6 +1857,8 @@ class Reconstructor:
             else:
                 groups.append((i_theta, [inds]))
 
+        if self._angles_fused_ok(groups):
+            return self._run_epoch_angles_fused(i_epoch, groups, callback)
         mc = self._mc
         if mc is not None:
             mc_dev = self._mc_device_tables()
@@ -1779,43 +1916,29 @@ class Reconstructor:
                 denom = jnp.abs(o) + 1e-4 * jnp.mean(o)
                 w = jnp.where(denom > 0, jnp.max(o) / denom, 1.0)
                 self.weight_l1 = jnp.nan_to_num(w, nan=1.0, posinf=1.0)
-            inds_arr = np.stack(inds_list)                    # [n_b, mb]
-            n_b = len(inds_list)
-            mb = inds_arr.shape[1]
-            # Fuse fuse_g minibatches per gradient chunk (see angle_step):
-            # pad the batch axis with repeats of the last batch, weighted 0.
-            g = min(self._fuse_g, n_b)
-            n_c = -(-n_b // g)
-            pad_b = n_c * g - n_b
-            w_arr = np.ones(n_b, np.float32)
-            if pad_b:
-                inds_arr = np.concatenate(
-                    [inds_arr, np.repeat(inds_arr[-1:], pad_b, axis=0)])
-                w_arr = np.concatenate([w_arr, np.zeros(pad_b, np.float32)])
-            pos_table = (self.probe_pos if self.probe_pos.ndim == 2
-                         else self.probe_pos[i_theta])
-            pos_all = jnp.asarray(
-                pos_table[inds_arr].reshape(n_c, g * mb, 2), jnp.float32)
-            inds_all = jnp.asarray(inds_arr.reshape(n_c, g * mb), jnp.int32)
-            w_all = jnp.asarray(w_arr.reshape(n_c, g))
+            inds_np, pos_np, w_np, n_b = self._stage_angle(i_theta,
+                                                           inds_list)
+            n_c = inds_np.shape[0]
+            pos_all = jnp.asarray(pos_np)
+            inds_all = jnp.asarray(inds_np)
+            w_all = jnp.asarray(w_np)
             with self.timers.time('data_staging'):
                 if self.loader is not None:
                     # Out-of-core data: the native mmap loader gathers the
                     # whole angle's rows (page-cache-hot after epoch 0).
                     measured = jnp.asarray(
-                        self.loader.gather(i_theta, inds_arr.ravel())
-                        .reshape((n_c, g * mb) + self.loader.shape[2:]))
+                        self.loader.gather(i_theta, inds_np.ravel())
+                        .reshape(inds_np.shape + self.loader.shape[2:]))
                 elif self._data_dev_ok:
                     if self._data_dev is None:
                         self._data_dev = jnp.asarray(self.data)
                     # Zero per-angle H2D: gather the angle's rows on device.
-                    measured = self._data_dev[i_theta][
-                        jnp.asarray(inds_arr)].reshape(
-                            (n_c, g * mb) + self.data.shape[2:])
+                    measured = self._data_dev[i_theta][inds_all].reshape(
+                        inds_np.shape + self.data.shape[2:])
                 else:
                     measured = jnp.asarray(
-                        self.data[i_theta][inds_arr].reshape(
-                            (n_c, g * mb) + self.data.shape[2:]))
+                        self.data[i_theta][inds_np].reshape(
+                            inds_np.shape + self.data.shape[2:]))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 dp = self.cfg.parallel.axis_names[0]

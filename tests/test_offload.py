@@ -66,6 +66,12 @@ def test_offloaded_state_matches_device_state(optimizer, scheme, rol):
         rec = Reconstructor(cfg_o, data=data, probe_pos=pos,
                             probe_init=probe, theta_ls=theta_ls,
                             obj_init=np.zeros_like(obj_true))
+        # Pin the epoch driver: offloaded state is ineligible for the
+        # fused-angles epoch, so the device-state control must use the
+        # same per-angle dispatch loop for a bit-exact comparison
+        # (the fused scan compiles angle_step in a different program,
+        # which may fuse reductions differently at the last ulp).
+        rec._data_dev_ok = False
         for ep in range(3):
             loss = rec.run_epoch(ep)
         runs[off] = (np.asarray(rec.params['obj']), loss, rec)

@@ -1356,9 +1356,19 @@ class Reconstructor:
                 p = self.pad_arr
                 g_rot = acc_obj[p[0][0]:acc_obj.shape[0] - p[0][1],
                                 p[1][0]:acc_obj.shape[1] - p[1][1]]
-                if prebin and not stream_rot:
-                    # Adjoint of the bin-sum: every physical slice gets its
-                    # bin's gradient (z-pad slices drop with the crop).
+                # Adjoint of the bin-sum: every physical slice gets its
+                # bin's gradient (z-pad slices drop with the crop).  With
+                # the interp (-theta) rotate-back and no regularizers the
+                # expansion FUSES into the rotate-back gather instead
+                # (rotate_expanded_from_binned_z — bit-exact, and ~30%
+                # faster than expand-then-rotate at the flagship: the
+                # gather is index-bound, so reading the binned source
+                # helps while the 134MB repeat materialization hurts).
+                fused_back = (prebin and not stream_rot
+                              and not self.reg_list
+                              and not cfg.train.exact_grad_rotation
+                              and not cfg.geometry.two_d_mode)
+                if prebin and not stream_rot and not fused_back:
                     g_rot = jnp.repeat(g_rot, geo.binning,
                                        axis=2)[:, :, :nz_full]
                 # Regularizers act on the (rotated) object, identically in
@@ -1417,7 +1427,12 @@ class Reconstructor:
                                                obj_slab_grad=obj_slab_grad)
                 return params, opt_state, losses
             if not cfg.geometry.two_d_mode:
-                acc = {**acc, 'obj': self._grad_back(acc['obj'], theta)}
+                if patch_mode and fused_back:
+                    acc = {**acc, 'obj': rotate_expanded_from_binned_z(
+                        acc['obj'], -theta, geo.binning, nz_full)}
+                else:
+                    acc = {**acc, 'obj': self._grad_back(acc['obj'],
+                                                         theta)}
             params, opt_state = apply_step(params, opt_state, acc,
                                            i_opt_batch, global_batch,
                                            support_mask)
@@ -1719,6 +1734,30 @@ class Reconstructor:
                                            support_mask)
             return params, opt_state, losses
 
+        def mc_angles_epoch(params, opt_state, theta_e, itheta_e, pos_mc,
+                            inds_mc, w_mc, data_mc, i_opt0, gb0, n_b,
+                            support_mask):
+            """Whole per-angle epoch of mesh steps as ONE program (the
+            multi-chip analog of ``angles_epoch``): the scan tables and
+            dataset already live sharded on the mesh, so scanning the
+            angles removes the only remaining per-angle host work — the
+            dispatch itself and its gaps."""
+
+            def body(carry, xs):
+                p, o, i_opt, gb = carry
+                theta, i_theta = xs
+                p, o, losses = mc_step(p, o, theta, i_theta, pos_mc,
+                                       inds_mc, w_mc, data_mc, i_opt, gb,
+                                       support_mask)
+                return (p, o, i_opt + 1, gb + n_b), losses
+
+            (params, opt_state, _, _), losses = jax.lax.scan(
+                body, (params, opt_state, i_opt0, gb0),
+                (theta_e, itheta_e))
+            return params, opt_state, losses
+
+        self._mc_angles_epoch = jax.jit(mc_angles_epoch,
+                                        donate_argnums=donate)
         return jax.jit(mc_step, donate_argnums=donate)
 
     # ------------------------------------------------------------------
@@ -1786,6 +1825,80 @@ class Reconstructor:
                 and not (self.output_folder is not None
                          and self.cfg.io.save_intermediate
                          and self.cfg.io.save_intermediate_level == 'batch'))
+
+    def _mc_fused_ok(self, groups) -> bool:
+        """Epoch fusion gate for the mesh fast path: like
+        :meth:`_angles_fused_ok` but the residency conditions are already
+        guaranteed by ``_build_mc_layout`` (sharded device tables, no
+        loader/offload/regularizers)."""
+        return (self._mc is not None and not self._off_state
+                and self.cfg.train.shrink_cycle is None
+                and len(groups) > 1
+                and len({len(il) for _, il in groups}) == 1
+                and not (self.output_folder is not None
+                         and self.cfg.io.save_intermediate
+                         and self.cfg.io.save_intermediate_level == 'batch'))
+
+    def _run_epoch_mc_fused(self, i_epoch: int, groups, mc_dev,
+                            callback) -> float:
+        """Whole per-angle epoch of mesh steps in one program (see
+        ``mc_angles_epoch`` in _build_mc_step)."""
+        t = self.cfg.train
+        mc = self._mc
+        n_b = len(groups[0][1])
+        theta_e = np.asarray([self.theta_ls[i] for i, _ in groups],
+                             np.float32)
+        itheta_e = np.asarray([i for i, _ in groups], np.int32)
+        with self.timers.time('angle_step'):
+            self.params, self.opt_state, losses = self._mc_angles_epoch(
+                self.params, self.opt_state, jnp.asarray(theta_e),
+                jnp.asarray(itheta_e), mc_dev['pos'], mc_dev['inds'],
+                mc_dev['w'], mc_dev['data'],
+                jnp.asarray(self.i_opt_batch, jnp.int32),
+                jnp.asarray(self.global_batch, jnp.int32),
+                jnp.asarray(n_b, jnp.int32), self.finite_support_mask)
+        n_groups = len(groups)
+        self.i_opt_batch += n_groups
+        self.global_batch += n_groups * n_b
+        self._rehome_state()
+        # Map each angle's [n_c, n_op*g_rows] slot losses back to
+        # scan-order rows (exactly as the per-angle dispatch loop does).
+        rid, wmask = mc['row_ids'], mc['w'] > 0
+        losses_np = np.asarray(losses)
+        per_angle = []
+        for a in range(n_groups):
+            ls = losses_np[a].reshape(mc['n_c'], mc['n_op'], mc['g_rows'])
+            per_shard = ls.transpose(1, 0, 2).reshape(mc['n_op'], mc['R'])
+            pr = np.zeros(mc['n_rows'], np.float32)
+            for k in range(mc['n_op']):
+                pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
+            per_angle.append(pr)
+        losses = [float(v) for v in np.concatenate(per_angle)]
+        if callback is not None or self._logger is not None:
+            for b, l in enumerate(losses):
+                if callback is not None:
+                    callback(i_epoch, b, l)
+                if self._logger is not None:
+                    self._logger.log(i_epoch, b, l)
+        # Checkpoint / walltime at epoch granularity (as _run_epoch_fused).
+        if (self.output_folder is not None and self.cfg.io.store_checkpoint
+                and len(losses) >= self.cfg.io.n_batch_per_checkpoint):
+            self.save_checkpoint(i_epoch, self.i_opt_batch)
+        t_max = self.cfg.io.t_max_min
+        if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
+            if self.output_folder is not None:
+                self.save_checkpoint(i_epoch, self.i_opt_batch)
+            self.stop_requested = True
+        mean_loss = float(np.mean(losses))
+        self.loss_history.append(mean_loss)
+        if self.verbose:
+            n_patterns = len(losses) * t.minibatch_size
+            dt = self.timers.total.get('angle_step', 0.0) or 1e-9
+            self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
+                        f'{n_patterns / dt:.1f} patterns/s (fused mesh '
+                        f'angles); {self.timers.summary()}')
+            self.timers.reset()
+        return mean_loss
 
     def _run_epoch_angles_fused(self, i_epoch: int, groups,
                                 callback) -> float:
@@ -1862,6 +1975,9 @@ class Reconstructor:
         mc = self._mc
         if mc is not None:
             mc_dev = self._mc_device_tables()
+            if self._mc_fused_ok(groups):
+                return self._run_epoch_mc_fused(i_epoch, groups, mc_dev,
+                                                callback)
         losses_dev = []
         i_batch_epoch = 0  # per-epoch batch counter for shrink-wrap cadence
         for i_theta, inds_list in groups:

@@ -62,6 +62,54 @@ def test_fused_angles_epoch_matches_loop():
     np.testing.assert_allclose(obj_fused, obj_loop, rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.skipif(len(__import__('jax').devices()) < 8,
+                    reason='needs 8 virtual devices')
+def test_mc_fused_epoch_matches_mc_loop():
+    """Mesh variant (``mc_angles_epoch``): scanning the shard_map angle
+    step must reproduce the per-angle dispatch trajectories."""
+    from adorym_tpu.config import ParallelConfig
+    from adorym_tpu.parallel.mesh import make_mesh
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.utils.initialize import initialize_probe
+
+    n, pn, nz = 32, 8, 8
+    cfg0 = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, nz), probe_size=(pn, pn),
+                          energy_ev=5000., psize_cm=1e-7,
+                          free_prop_cm='inf', binning=2),
+        train=TrainConfig(minibatch_size=4, learning_rate=1e-4,
+                          update_scheme='per angle',
+                          rotate_out_of_loop=True))
+    rng = np.random.default_rng(0)
+    obj_true = np.stack([rng.random((n, n, nz)) * 1e-3,
+                         rng.random((n, n, nz)) * 3e-5],
+                        -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.,
+                             psize_cm=1e-7, probe_mag_sigma=2,
+                             probe_phase_sigma=2, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 8)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 3, endpoint=False)
+    data = simulate(cfg0, obj_true, probe, pos, theta_ls)
+    pcfg = ParallelConfig(data_axis=2, object_axis=4)
+    cfg = ReconConfig(geometry=cfg0.geometry, train=cfg0.train,
+                      parallel=pcfg)
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+    runs = {}
+    for fused in (True, False):
+        rec = Reconstructor(cfg, mesh=make_mesh(pcfg), **kw)
+        assert rec._mc is not None
+        if not fused:
+            rec._mc_fused_ok = lambda groups: False
+        losses = [rec.run_epoch(ep) for ep in range(2)]
+        runs[fused] = (losses, np.asarray(rec.params['obj']))
+    np.testing.assert_allclose(runs[True][0], runs[False][0], rtol=1e-6)
+    np.testing.assert_allclose(runs[True][1], runs[False][1], rtol=1e-5,
+                               atol=1e-8)
+
+
 def test_fused_gate_rejects_host_visit_configs():
     cfg, data, pos, theta_ls, obj0 = _setup()
     rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,

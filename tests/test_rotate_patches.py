@@ -215,6 +215,25 @@ class TestExtractVacuum:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize('nz_full,binning', [(16, 4), (10, 3)])
+def test_rotate_expanded_from_binned_matches_expand_then_rotate(nz_full,
+                                                                binning):
+    """The fused expand+rotate gather (now the DEFAULT gradient
+    rotate-back on the prebin fast path, recon.angle_step fused_back)
+    must be EXACTLY rotate(repeat(g, binning)[..., :nz_full], theta) —
+    including the short final bin when binning does not divide nz."""
+    from adorym_tpu.ops.rotate import rotate_expanded_from_binned_z
+    rng = np.random.default_rng(0)
+    zb = -(-nz_full // binning)
+    g = jnp.asarray(rng.random((12, 12, zb, 2)).astype(np.float32))
+    for theta in (0.3, -1.2, 2.9):
+        ref = rotate(jnp.repeat(g, binning, axis=2)[:, :, :nz_full],
+                     jnp.asarray(theta, jnp.float32))
+        fused = rotate_expanded_from_binned_z(
+            g, jnp.asarray(theta, jnp.float32), binning, nz_full)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_chunked_rotation_matches_unchunked(monkeypatch):
     """Large volumes rotate chunk-by-chunk over the carried axis (bounds
     the 4 object-sized gather temporaries); results match the one-shot

@@ -107,6 +107,69 @@ def grid2d_tile(cot, stride, rows, interpret=False, out_dtype=None):
     return out.reshape((Ry * stride, (cols + kx - 1) * stride) + trailing)
 
 
+def _extract_kernel(tile_ref, out_ref, *, cols, lane_shift, pxc):
+    """One (patch-row r, slice i) cell: every column patch's i-th
+    stride-row slice is the same tile band at a 128-aligned lane
+    offset — pure copies, no arithmetic."""
+    for j in range(cols):
+        out_ref[j] = tile_ref[:, pl.dslice(j * lane_shift, pxc)]
+
+
+def grid2d_extract(tile, stride, rows, cols, probe_size, interpret=False):
+    """Inverse of :func:`grid2d_tile`: patches ``[rows*cols, py, px, ...]``
+    whose window ``(r, j)`` starts at ``(r*stride, j*stride)`` of
+    ``tile[(rows+ky-1)*stride, (cols+kx-1)*stride, ...]``.
+
+    The gather mirrors the scatter band kernel: grid cell ``(r, i)``
+    loads ONE band (``stride`` tile rows, re-read only ``ky`` times
+    total across overlapping patch rows) and emits all ``cols`` patch
+    slices as static 128-aligned lane slices.  The vmapped
+    ``dynamic_slice`` extract re-reads every tile byte ``ky*kx`` times
+    through slice machinery instead (~4-7 ms at the flagship vs ~1 ms
+    here); values are bit-identical (pure copy).
+    """
+    py, px = int(probe_size[0]), int(probe_size[1])
+    trailing = tile.shape[2:]
+    ky = py // stride
+    C = int(np.prod(trailing)) if trailing else 1
+    pxc = px * C
+    lane_shift = stride * C
+    W = tile.shape[1] * C
+    N = rows * cols
+
+    tile2 = tile.reshape(tile.shape[0], W)
+    out = pl.pallas_call(
+        functools.partial(_extract_kernel, cols=cols,
+                          lane_shift=lane_shift, pxc=pxc),
+        grid=(rows, ky),
+        in_specs=[pl.BlockSpec((stride, W), lambda r, i: (r + i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((cols, stride, pxc),
+                               lambda r, i: (r, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, py, pxc), tile.dtype),
+        interpret=interpret,
+    )(tile2)
+    return out.reshape((N, py, px) + trailing)
+
+
+def extract_grid2d_pallas(obj, y0, x0, stride, rows, cols, probe_size,
+                          interpret=False):
+    """Complete-grid patch extraction from ``obj`` with origin
+    ``(y0, x0)`` (traced ok): the band-kernel gather over one
+    ``dynamic_slice`` of the grid's full extent — the exact transpose of
+    :func:`scatter_grid2d_add_pallas`'s tile + update."""
+    py, px = int(probe_size[0]), int(probe_size[1])
+    ky = py // stride
+    kx = px // stride
+    Ty = (rows + ky - 1) * stride
+    Tx = (cols + kx - 1) * stride
+    start = (y0, x0) + (0,) * (obj.ndim - 2)
+    tile = jax.lax.dynamic_slice(obj, start, (Ty, Tx) + obj.shape[2:])
+    return grid2d_extract(tile, stride, rows, cols, probe_size,
+                          interpret=interpret)
+
+
 def supported(cot_shape, stride) -> bool:
     """Alignment gate: band rows on sublane tiles, x shifts on lane
     tiles."""

@@ -270,6 +270,26 @@ def scatter_grid2d_add_best(acc, cot, y0, x0, stride, rows):
     return scatter_grid2d_add(acc, cot, y0, x0, stride, rows)
 
 
+def extract_grid2d_best(obj, y0, x0, stride, rows, cols, probe_size):
+    """Complete-grid patch extraction routed to the Pallas band gather
+    when eligible (TPU + the same alignment gate as the scatter): reads
+    each object byte once per overlapping patch-row band instead of the
+    vmapped ``dynamic_slice``'s per-patch re-reads.  Bit-identical
+    values (pure copy); falls back to :func:`extract_patches`."""
+    py, px = int(probe_size[0]), int(probe_size[1])
+    if jax.default_backend() == 'tpu':
+        from . import pallas_scatter_grid as psg
+        shape = (rows * cols, py, px) + obj.shape[2:]
+        if psg.supported(shape, stride):
+            return psg.extract_grid2d_pallas(obj, y0, x0, stride, rows,
+                                             cols, probe_size)
+    ys = y0 + stride * jnp.arange(rows, dtype=jnp.int32)
+    xs = x0 + stride * jnp.arange(cols, dtype=jnp.int32)
+    pos = jnp.stack(jnp.meshgrid(ys, xs, indexing='ij'),
+                    -1).reshape(-1, 2)
+    return extract_patches(obj, pos, probe_size)
+
+
 def make_grid_extractor(stride, rows, cols, probe_size):
     """Patch gather for a complete 2D grid whose VJP is
     :func:`scatter_grid2d_add` instead of XLA's generic scatter (which runs

@@ -1123,8 +1123,18 @@ class Reconstructor:
                 batch = {'i_theta': i_theta, 'theta': theta,
                          'pos_batch': pos_c, 'ind_batch': inds_c}
                 pos_int = jnp.round(pos_c).astype(jnp.int32) + pad_off
-                subobj = patch_ops.extract_patches(obj_ex, pos_int,
-                                                   geo.probe_size)
+                if self._grid_scatter_rows == g:
+                    # Complete-grid chunk: band-gather extraction (the
+                    # exact transpose of the Pallas scatter below) —
+                    # bit-identical patches, one band read per
+                    # overlapping patch row instead of per-patch
+                    # dynamic-slice re-reads.
+                    subobj = patch_ops.extract_grid2d_best(
+                        obj_ex, pos_int[0, 0], pos_int[0, 1],
+                        self._rowgrid_stride, g, mb, geo.probe_size)
+                else:
+                    subobj = patch_ops.extract_patches(obj_ex, pos_int,
+                                                       geo.probe_size)
                 (_, per_batch), (g_sub, g_aux) = jax.value_and_grad(
                     mismatch, argnums=(0, 1), has_aux=True)(
                         subobj, aux, batch, meas_c, w)

@@ -96,3 +96,65 @@ def test_bf16_rowgrid_f32_accumulation():
     for j in range(cols):
         dense[8:8 + py, 8 + s * j:8 + s * j + px] += cotf[j]
     np.testing.assert_allclose(np.asarray(out), dense, atol=1e-5)
+
+
+@pytest.mark.parametrize('rows,cols,py,px,s,trail', [
+    (4, 4, 16, 16, 8, (8, 2)),
+    (3, 5, 24, 16, 8, (16,)),
+    (2, 2, 8, 8, 8, (16, 2)),    # stride == probe
+    (5, 3, 16, 24, 8, (32,)),
+])
+def test_extract_matches_dynamic_slice(rows, cols, py, px, s, trail):
+    """The band-gather extraction is a pure copy: bit-identical to the
+    vmapped dynamic-slice extract on the same grid."""
+    rng = np.random.default_rng(4)
+    obj_shape = ((rows - 1) * s + py + 24,
+                 (cols - 1) * s + px + 16) + trail
+    obj = jnp.asarray(rng.normal(size=obj_shape).astype(np.float32))
+    y0, x0 = jnp.asarray(8), jnp.asarray(8)
+    ys = 8 + s * np.arange(rows)
+    xs = 8 + s * np.arange(cols)
+    pos = jnp.asarray(np.stack(np.meshgrid(ys, xs, indexing='ij'),
+                               -1).reshape(-1, 2).astype(np.int32))
+    ref = patch_ops.extract_patches(obj, pos, (py, px))
+    got = psg.extract_grid2d_pallas(obj, y0, x0, s, rows, cols, (py, px),
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_extract_bf16_pure_copy():
+    """bf16 source (the run_bfloat16 extract path) stays a bit-exact
+    copy through the band gather."""
+    rng = np.random.default_rng(5)
+    rows, cols, py, px, s = 3, 4, 16, 16, 8
+    obj = jnp.asarray(rng.normal(size=(64, 72, 8, 2))
+                      .astype(np.float32)).astype(jnp.bfloat16)
+    y0, x0 = jnp.asarray(8), jnp.asarray(8)
+    ys = 8 + s * np.arange(rows)
+    xs = 8 + s * np.arange(cols)
+    pos = jnp.asarray(np.stack(np.meshgrid(ys, xs, indexing='ij'),
+                               -1).reshape(-1, 2).astype(np.int32))
+    ref = patch_ops.extract_patches(obj, pos, (py, px))
+    got = psg.extract_grid2d_pallas(obj, y0, x0, s, rows, cols, (py, px),
+                                    interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)),
+        np.asarray(ref.astype(jnp.float32)))
+
+
+def test_extract_best_cpu_fallback_identical():
+    """extract_grid2d_best on CPU routes to the dynamic-slice gather and
+    must match explicit positions exactly."""
+    rng = np.random.default_rng(6)
+    rows, cols, py, px, s = 4, 3, 16, 16, 8
+    obj = jnp.asarray(rng.normal(size=(72, 64, 8, 2)).astype(np.float32))
+    ys = 4 + s * np.arange(rows)
+    xs = 12 + s * np.arange(cols)
+    pos = jnp.asarray(np.stack(np.meshgrid(ys, xs, indexing='ij'),
+                               -1).reshape(-1, 2).astype(np.int32))
+    ref = patch_ops.extract_patches(obj, pos, (py, px))
+    got = patch_ops.extract_grid2d_best(obj, jnp.asarray(4),
+                                        jnp.asarray(12), s, rows, cols,
+                                        (py, px))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

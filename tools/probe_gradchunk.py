@@ -103,6 +103,20 @@ def main():
     results['extract'] = timeit(ext, obj_b, reps=args.reps)
     sub = ext(obj_b)
 
+    # A/B: band-gather grid extraction (Pallas transpose of the grid
+    # scatter) — bit-identical patches, each object byte read once per
+    # overlapping patch-row band instead of per-patch dynamic slices.
+    stride_g = int(pos[1, 1] - pos[0, 1]) if len(pos) > 1 else pn
+    k_rows = int(round(args.chunk ** 0.5))
+    if k_rows * k_rows == args.chunk:
+        extg = fence(lambda ob: patch_ops.extract_grid2d_best(
+            ob, jnp.asarray(pos[0, 0]), jnp.asarray(pos[0, 1]),
+            stride_g, k_rows, k_rows, (pn, pn)))
+        results['extract grid2d [A/B]'] = timeit(extg, obj_b,
+                                                 reps=args.reps)
+        np.testing.assert_array_equal(np.asarray(extg(obj_b)),
+                                      np.asarray(sub))
+
     fwd = fence(lambda s, pr: pt.predict_from_patches(
         {'probe': pr}, batch, s, cfg, prebinned_z=True))
     results['fwd'] = timeit(fwd, sub, probe, reps=args.reps)
@@ -175,6 +189,12 @@ def main():
         results['extract bf16 [A/B]'] = timeit(ext16, obj_b16,
                                                reps=args.reps)
         sub16 = ext16(obj_b16)
+        if k_rows * k_rows == args.chunk:
+            extg16 = fence(lambda ob: patch_ops.extract_grid2d_best(
+                ob, jnp.asarray(pos[0, 0]), jnp.asarray(pos[0, 1]),
+                stride_g, k_rows, k_rows, (pn, pn)))
+            results['extract grid2d bf16 [A/B]'] = timeit(
+                extg16, obj_b16, reps=args.reps)
         results['fwd+bwd bf16-sub [A/B]'] = timeit(
             fence(chunk_grad), sub16, probe, meas, reps=args.reps)
         g16 = fence(chunk_grad)(sub16, probe, meas)

@@ -199,6 +199,14 @@ def main():
             fence(chunk_grad), sub16, probe, meas, reps=args.reps)
         g16 = fence(chunk_grad)(sub16, probe, meas)
 
+        # Multislice alone from bf16 patches (the production layout after
+        # bf16-extraction): splits the kernel's fwd and bwd costs without
+        # the f32->bf16 cast+transpose glue the f32 rows above pay.
+        results['multislice fwd bf16-sub [A/B]'] = timeit(
+            fence(ms_only), sub16, probe, reps=args.reps)
+        results['multislice fwd+bwd bf16-sub [A/B]'] = timeit(
+            fence(ms_grad), sub16, probe, reps=args.reps)
+
         # bf16 cotangent through the scatter paths
         stride = int(pos[1, 1] - pos[0, 1]) if len(pos) > 1 else pn
         rows = k

@@ -1814,6 +1814,41 @@ class Reconstructor:
         return (inds_arr.reshape(n_c, g * mb).astype(np.int32),
                 pos.astype(np.float32), w_arr.reshape(n_c, g), n_b)
 
+    def _rol_active(self) -> bool:
+        """Rotate-out-of-loop semantics are in effect.  Tilt (refined or
+        fixed) has precedence: the model applies the 3-axis tilt rotation
+        inside AD, so the driver must neither pre-rotate by theta nor
+        rotate gradients back (``adorym/forward_model.py:265-276``)."""
+        t = self.cfg.train
+        return (t.rotate_out_of_loop and not self.cfg.geometry.two_d_mode
+                and not self.cfg.refine.tilt_active)
+
+    def _per_angle_path_ok(self) -> bool:
+        """The epoch routes to the per-angle accumulate path
+        (:meth:`_run_epoch_angles`) — see the routing comment in
+        :meth:`run_epoch`."""
+        t = self.cfg.train
+        rol = self._rol_active()
+        use_accum = ((t.update_scheme == 'per angle' or rol
+                      or t.n_batch_per_update > 1)
+                     and not self.second_order)
+        return (use_accum and t.update_scheme == 'per angle'
+                and t.n_batch_per_update <= 1
+                and (rol or self.cfg.geometry.two_d_mode)
+                and self.expand_indices is None)
+
+    @staticmethod
+    def _group_batches(batches):
+        """Group (contiguous, same-angle) batches by angle:
+        ``[(i_theta, [inds, ...]), ...]``."""
+        groups = []
+        for i_theta, inds in batches:
+            if groups and groups[-1][0] == i_theta:
+                groups[-1][1].append(inds)
+            else:
+                groups.append((i_theta, [inds]))
+        return groups
+
     def _angles_fused_ok(self, groups) -> bool:
         """Whole-epoch fusion of the per-angle scheme (``angles_epoch``):
         eligible when no step needs a mid-epoch host visit — the dataset
@@ -1910,13 +1945,12 @@ class Reconstructor:
             self.timers.reset()
         return mean_loss
 
-    def _run_epoch_angles_fused(self, i_epoch: int, groups,
-                                callback) -> float:
-        """One compiled program for the whole per-angle epoch (see
-        ``angles_epoch`` in _build_step): removes the per-angle host
-        staging and dispatch gaps — measured 57 vs 67-74 ms/angle at the
-        flagship bench over the remote-dispatch tunnel."""
-        t = self.cfg.train
+    def _fused_dispatch(self, i_epoch: int, groups) -> dict:
+        """Stage + enqueue one whole-epoch ``angles_epoch`` program and
+        return a pending handle WITHOUT fetching the losses — the D2H
+        fetch in :meth:`_fused_finish` is the only sync, so a caller may
+        dispatch the next epoch first and hide this epoch's dispatch +
+        round-trip cost behind device execution (see :meth:`run_epochs`)."""
         staged = [self._stage_angle(i_theta, il) for i_theta, il in groups]
         n_b = staged[0][3]
         inds_e = np.stack([s[0] for s in staged])
@@ -1940,7 +1974,16 @@ class Reconstructor:
         self.i_opt_batch += n_groups
         self.global_batch += n_groups * n_b
         self._rehome_state()
-        losses = np.asarray(losses).reshape(n_groups, -1)[:, :n_b].ravel()
+        return {'i_epoch': i_epoch, 'losses': losses,
+                'n_groups': n_groups, 'n_b': n_b}
+
+    def _fused_finish(self, pend: dict, callback) -> float:
+        """Fetch a pending fused epoch's losses (the sync point) and run
+        the host-side epilogue: logging, checkpoint cadence, walltime."""
+        t = self.cfg.train
+        i_epoch = pend['i_epoch']
+        losses = np.asarray(pend['losses']).reshape(
+            pend['n_groups'], -1)[:, :pend['n_b']].ravel()
         losses = [float(v) for v in losses]
         if callback is not None or self._logger is not None:
             for b, l in enumerate(losses):
@@ -1968,17 +2011,66 @@ class Reconstructor:
             self.timers.reset()
         return mean_loss
 
+    def _run_epoch_angles_fused(self, i_epoch: int, groups,
+                                callback) -> float:
+        """One compiled program for the whole per-angle epoch (see
+        ``angles_epoch`` in _build_step): removes the per-angle host
+        staging and dispatch gaps — measured 57 vs 67-74 ms/angle at the
+        flagship bench over the remote-dispatch tunnel."""
+        return self._fused_finish(self._fused_dispatch(i_epoch, groups),
+                                  callback)
+
+    def run_epochs(self, n_epochs: int, start_epoch: int = 0,
+                   callback=None) -> list:
+        """Pipelined multi-epoch driver: when consecutive epochs take the
+        fused-angles path with no mid-stream host visit, epoch ``r+1`` is
+        DISPATCHED before epoch ``r``'s losses are fetched, so the
+        per-epoch dispatch + D2H round trip (the dominant fixed cost of a
+        short epoch on a remote-dispatch link) overlaps device execution.
+        Math and trajectories are identical to sequential
+        :meth:`run_epoch` calls — only the loss fetch is deferred by one
+        epoch (``tests/test_fused_angles_epoch.py``).  Epochs that are
+        not eligible (or that must checkpoint / dump intermediates, whose
+        epilogue reads ``params`` and must not observe the next epoch's
+        update) drain the pipeline and run through :meth:`run_epoch`.
+
+        Returns the per-epoch mean losses, one per epoch."""
+        out = []
+        pending = None
+        # Checkpoints/intermediates read params at finish time; with the
+        # next epoch already dispatched they would capture ITS state, so
+        # any host-side output disables pipelining for the run.
+        may_pipeline = (self.output_folder is None
+                        or not (self.cfg.io.store_checkpoint
+                                or self.cfg.io.save_intermediate))
+        for i_epoch in range(start_epoch, start_epoch + n_epochs):
+            if self.stop_requested:  # t_max walltime exit
+                break
+            rng = np.random.default_rng(self.cfg.train.seed + i_epoch)
+            batches = self.make_batches(rng)
+            groups = self._group_batches(batches)
+            if (may_pipeline and self._per_angle_path_ok()
+                    and self._angles_fused_ok(groups)):
+                pend = self._fused_dispatch(i_epoch, groups)
+                if pending is not None:
+                    out.append(self._fused_finish(pending, callback))
+                pending = pend
+            else:
+                if pending is not None:
+                    out.append(self._fused_finish(pending, callback))
+                    pending = None
+                # run_epoch re-derives the same rng from (seed + i_epoch),
+                # reproducing the batches used for the eligibility check.
+                out.append(self.run_epoch(i_epoch, callback=callback))
+        if pending is not None:
+            out.append(self._fused_finish(pending, callback))
+        return out
+
     def _run_epoch_angles(self, i_epoch: int, batches, callback) -> float:
         """Angle-granular epoch: every angle's minibatches run inside one
         jitted ``angle_step`` (see _build_step)."""
         t = self.cfg.train
-        # Group the (contiguous, same-angle) batches by angle.
-        groups = []
-        for i_theta, inds in batches:
-            if groups and groups[-1][0] == i_theta:
-                groups[-1][1].append(inds)
-            else:
-                groups.append((i_theta, [inds]))
+        groups = self._group_batches(batches)
 
         if self._angles_fused_ok(groups):
             return self._run_epoch_angles_fused(i_epoch, groups, callback)
@@ -2249,8 +2341,7 @@ class Reconstructor:
         # driver must neither pre-rotate by theta nor rotate gradients back
         # (``adorym/forward_model.py:265-276`` — the tilt branch ignores
         # self.rotate_out_of_loop).
-        rol = (t.rotate_out_of_loop and not self.cfg.geometry.two_d_mode
-               and not self.cfg.refine.tilt_active)
+        rol = self._rol_active()
         use_accum = ((t.update_scheme == 'per angle' or rol
                       or t.n_batch_per_update > 1)
                      and not self.second_order)
@@ -2262,10 +2353,7 @@ class Reconstructor:
         # per angle; with update_scheme='immediate' the reference updates
         # per batch even under rotate_out_of_loop,
         # ``adorym/ptychography.py:1095-1099``).
-        if (use_accum and t.update_scheme == 'per angle'
-                and t.n_batch_per_update <= 1
-                and (rol or self.cfg.geometry.two_d_mode)
-                and self.expand_indices is None):
+        if self._per_angle_path_ok():
             # (Out-of-core measurement data composes: with a FastLoader the
             # angle's rows stream through the native mmap gather.)
             return self._run_epoch_angles(i_epoch, batches, callback)

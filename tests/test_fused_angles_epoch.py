@@ -110,6 +110,65 @@ def test_mc_fused_epoch_matches_mc_loop():
                                atol=1e-8)
 
 
+def test_run_epochs_pipelined_matches_sequential():
+    """run_epochs defers each epoch's loss fetch behind the next epoch's
+    dispatch; the math (losses and final object) must be identical to
+    sequential run_epoch calls, and the pipeline must actually engage
+    (dispatch count running ahead of finish count)."""
+    cfg, data, pos, theta_ls, obj0 = _setup()
+    n_epochs = 3
+
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0.copy())
+    rec._data_dev_ok = True
+    seq_losses = [rec.run_epoch(ep) for ep in range(n_epochs)]
+    seq_obj = np.asarray(rec.params['obj'])
+
+    rec2 = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0.copy())
+    rec2._data_dev_ok = True
+    overlapped = []
+    orig_dispatch = rec2._fused_dispatch
+    orig_finish = rec2._fused_finish
+    state = {'dispatched': 0, 'finished': 0}
+
+    def spy_dispatch(*a, **kw):
+        state['dispatched'] += 1
+        overlapped.append(state['dispatched'] - state['finished'])
+        return orig_dispatch(*a, **kw)
+
+    def spy_finish(*a, **kw):
+        state['finished'] += 1
+        return orig_finish(*a, **kw)
+
+    rec2._fused_dispatch = spy_dispatch
+    rec2._fused_finish = spy_finish
+    pip_losses = rec2.run_epochs(n_epochs)
+    pip_obj = np.asarray(rec2.params['obj'])
+
+    assert max(overlapped) >= 2, 'pipeline never ran an epoch ahead'
+    assert state['dispatched'] == state['finished'] == n_epochs
+    np.testing.assert_allclose(pip_losses, seq_losses, rtol=1e-6)
+    np.testing.assert_array_equal(pip_obj, seq_obj)
+
+
+def test_run_epochs_falls_back_when_ineligible():
+    """With the fused gate closed (host-resident data), run_epochs must
+    produce the same result via sequential run_epoch."""
+    cfg, data, pos, theta_ls, obj0 = _setup()
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0.copy())
+    rec._data_dev_ok = False
+    seq = [rec.run_epoch(ep) for ep in range(2)]
+    rec2 = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                         obj_init=obj0.copy())
+    rec2._data_dev_ok = False
+    pip = rec2.run_epochs(2)
+    np.testing.assert_allclose(pip, seq, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rec2.params['obj']),
+                                  np.asarray(rec.params['obj']))
+
+
 def test_fused_gate_rejects_host_visit_configs():
     cfg, data, pos, theta_ls, obj0 = _setup()
     rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,

@@ -81,19 +81,22 @@ def measure_ours(run_bfloat16: bool = False, time_box: float = 240.0) -> float:
     # the tunnel round-trip — and axon's block_until_ready is a no-op).
     rec.run_epoch(0)
     n_batches = len(rec.make_batches(np.random.default_rng(0)))
-    # Median of steady-state epochs: the shared axon pool's throughput
-    # varies ~2x WITHIN a run; time-boxed so slow-pool periods still get
-    # enough samples (min 7 epochs, up to ~4 minutes), then report the
-    # median of the later half (the pool often needs a few epochs to reach
-    # steady state).
+    # Median of steady-state epoch blocks: run_epochs pipelines epoch
+    # r+1's dispatch behind epoch r's loss fetch (the production
+    # multi-epoch driver), so a K-epoch block hides (K-1)/K of the
+    # per-epoch dispatch + D2H round trip.  The shared axon pool's
+    # throughput varies ~2x WITHIN a run; time-boxed so slow-pool periods
+    # still get enough samples, then report the median of the later half
+    # (the pool often needs a few epochs to reach steady state).
+    K = 4
     rates = []
     t_start = time.time()
     r = 0
-    while r < 7 or (time.time() - t_start < time_box and r < 24):
+    while r < 2 * K or (time.time() - t_start < time_box and r < 6 * K):
         t0 = time.time()
-        rec.run_epoch(1 + r)
-        rates.append(n_batches * MINIBATCH / (time.time() - t0))
-        r += 1
+        rec.run_epochs(K, start_epoch=1 + r)
+        rates.append(K * n_batches * MINIBATCH / (time.time() - t0))
+        r += K
     print(f'per-epoch patterns/s: {[round(x, 1) for x in rates]}',
           file=sys.stderr)
     tail = sorted(rates[len(rates) // 2:])

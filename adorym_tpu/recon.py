@@ -1888,7 +1888,11 @@ class Reconstructor:
                             callback) -> float:
         """Whole per-angle epoch of mesh steps in one program (see
         ``mc_angles_epoch`` in _build_mc_step)."""
-        t = self.cfg.train
+        return self._fused_finish(
+            self._mc_fused_dispatch(i_epoch, groups, mc_dev), callback)
+
+    def _mc_fused_dispatch(self, i_epoch: int, groups, mc_dev) -> dict:
+        """Mesh analog of :meth:`_fused_dispatch` (same pending contract)."""
         mc = self._mc
         n_b = len(groups[0][1])
         theta_e = np.asarray([self.theta_ls[i] for i, _ in groups],
@@ -1906,44 +1910,25 @@ class Reconstructor:
         self.i_opt_batch += n_groups
         self.global_batch += n_groups * n_b
         self._rehome_state()
-        # Map each angle's [n_c, n_op*g_rows] slot losses back to
-        # scan-order rows (exactly as the per-angle dispatch loop does).
-        rid, wmask = mc['row_ids'], mc['w'] > 0
-        losses_np = np.asarray(losses)
-        per_angle = []
-        for a in range(n_groups):
-            ls = losses_np[a].reshape(mc['n_c'], mc['n_op'], mc['g_rows'])
-            per_shard = ls.transpose(1, 0, 2).reshape(mc['n_op'], mc['R'])
-            pr = np.zeros(mc['n_rows'], np.float32)
-            for k in range(mc['n_op']):
-                pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
-            per_angle.append(pr)
-        losses = [float(v) for v in np.concatenate(per_angle)]
-        if callback is not None or self._logger is not None:
-            for b, l in enumerate(losses):
-                if callback is not None:
-                    callback(i_epoch, b, l)
-                if self._logger is not None:
-                    self._logger.log(i_epoch, b, l)
-        # Checkpoint / walltime at epoch granularity (as _run_epoch_fused).
-        if (self.output_folder is not None and self.cfg.io.store_checkpoint
-                and len(losses) >= self.cfg.io.n_batch_per_checkpoint):
-            self.save_checkpoint(i_epoch, self.i_opt_batch)
-        t_max = self.cfg.io.t_max_min
-        if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
-            if self.output_folder is not None:
-                self.save_checkpoint(i_epoch, self.i_opt_batch)
-            self.stop_requested = True
-        mean_loss = float(np.mean(losses))
-        self.loss_history.append(mean_loss)
-        if self.verbose:
-            n_patterns = len(losses) * t.minibatch_size
-            dt = self.timers.total.get('angle_step', 0.0) or 1e-9
-            self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
-                        f'{n_patterns / dt:.1f} patterns/s (fused mesh '
-                        f'angles); {self.timers.summary()}')
-            self.timers.reset()
-        return mean_loss
+
+        def map_losses(losses_np):
+            # Map each angle's [n_c, n_op*g_rows] slot losses back to
+            # scan-order rows (exactly as the per-angle dispatch loop does).
+            rid, wmask = mc['row_ids'], mc['w'] > 0
+            per_angle = []
+            for a in range(n_groups):
+                ls = losses_np[a].reshape(mc['n_c'], mc['n_op'],
+                                          mc['g_rows'])
+                per_shard = ls.transpose(1, 0, 2).reshape(mc['n_op'],
+                                                          mc['R'])
+                pr = np.zeros(mc['n_rows'], np.float32)
+                for k in range(mc['n_op']):
+                    pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
+                per_angle.append(pr)
+            return np.concatenate(per_angle)
+
+        return {'i_epoch': i_epoch, 'losses': losses,
+                'map_losses': map_losses, 'label': 'fused mesh angles'}
 
     def _fused_dispatch(self, i_epoch: int, groups) -> dict:
         """Stage + enqueue one whole-epoch ``angles_epoch`` program and
@@ -1975,15 +1960,16 @@ class Reconstructor:
         self.global_batch += n_groups * n_b
         self._rehome_state()
         return {'i_epoch': i_epoch, 'losses': losses,
-                'n_groups': n_groups, 'n_b': n_b}
+                'map_losses': lambda ls: ls.reshape(
+                    n_groups, -1)[:, :n_b].ravel(),
+                'label': 'fused angles'}
 
     def _fused_finish(self, pend: dict, callback) -> float:
         """Fetch a pending fused epoch's losses (the sync point) and run
         the host-side epilogue: logging, checkpoint cadence, walltime."""
         t = self.cfg.train
         i_epoch = pend['i_epoch']
-        losses = np.asarray(pend['losses']).reshape(
-            pend['n_groups'], -1)[:, :pend['n_b']].ravel()
+        losses = pend['map_losses'](np.asarray(pend['losses']))
         losses = [float(v) for v in losses]
         if callback is not None or self._logger is not None:
             for b, l in enumerate(losses):
@@ -2006,7 +1992,7 @@ class Reconstructor:
             n_patterns = len(losses) * t.minibatch_size
             dt = self.timers.total.get('angle_step', 0.0) or 1e-9
             self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
-                        f'{n_patterns / dt:.1f} patterns/s (fused angles); '
+                        f'{n_patterns / dt:.1f} patterns/s ({pend["label"]}); '
                         f'{self.timers.summary()}')
             self.timers.reset()
         return mean_loss
@@ -2049,9 +2035,17 @@ class Reconstructor:
             rng = np.random.default_rng(self.cfg.train.seed + i_epoch)
             batches = self.make_batches(rng)
             groups = self._group_batches(batches)
-            if (may_pipeline and self._per_angle_path_ok()
-                    and self._angles_fused_ok(groups)):
-                pend = self._fused_dispatch(i_epoch, groups)
+            fused_ok = (self._per_angle_path_ok()
+                        and self._angles_fused_ok(groups))
+            mc_ok = (not fused_ok and self._per_angle_path_ok()
+                     and self._mc is not None
+                     and self._mc_fused_ok(groups))
+            if may_pipeline and (fused_ok or mc_ok):
+                if fused_ok:
+                    pend = self._fused_dispatch(i_epoch, groups)
+                else:
+                    pend = self._mc_fused_dispatch(
+                        i_epoch, groups, self._mc_device_tables())
                 if pending is not None:
                     out.append(self._fused_finish(pending, callback))
                 pending = pend

@@ -108,6 +108,12 @@ def test_mc_fused_epoch_matches_mc_loop():
     np.testing.assert_allclose(runs[True][0], runs[False][0], rtol=1e-6)
     np.testing.assert_allclose(runs[True][1], runs[False][1], rtol=1e-5,
                                atol=1e-8)
+    # Pipelined run_epochs on the mesh path: identical to sequential.
+    rec = Reconstructor(cfg, mesh=make_mesh(pcfg), **kw)
+    pip = rec.run_epochs(2)
+    np.testing.assert_allclose(pip, runs[True][0], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rec.params['obj']),
+                                  runs[True][1])
 
 
 def test_run_epochs_pipelined_matches_sequential():

@@ -97,7 +97,7 @@ def measure_ours(run_bfloat16: bool = False, time_box: float = 240.0) -> float:
         rec.run_epochs(K, start_epoch=1 + r)
         rates.append(K * n_batches * MINIBATCH / (time.time() - t0))
         r += K
-    print(f'per-epoch patterns/s: {[round(x, 1) for x in rates]}',
+    print(f'per-{K}-epoch-block patterns/s: {[round(x, 1) for x in rates]}',
           file=sys.stderr)
     tail = sorted(rates[len(rates) // 2:])
     return tail[len(tail) // 2]

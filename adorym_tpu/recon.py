@@ -428,11 +428,14 @@ class Reconstructor:
         if output_folder is not None:
             if cfg.io.save_stdout:
                 # Tee progress lines to a timestamped file
-                # (``adorym/misc.py:249-257``).
+                # (``adorym/misc.py:249-257``).  The reference's
+                # print_flush always emits the progress lines save_stdout
+                # tees, so requesting the tee also turns them on here.
                 os.makedirs(output_folder, exist_ok=True)
                 ts = time.strftime('%Y%m%d_%H%M%S')
                 self._stdout_f = open(
                     os.path.join(output_folder, f'stdout_{ts}.txt'), 'a')
+                self.verbose = True
             from .io import checkpoint as ckpt_lib
             from .io import output as out_lib
             os.makedirs(output_folder, exist_ok=True)
@@ -1907,28 +1910,27 @@ class Reconstructor:
                 jnp.asarray(self.global_batch, jnp.int32),
                 jnp.asarray(n_b, jnp.int32), self.finite_support_mask)
         n_groups = len(groups)
+        gb_before = self.global_batch
         self.i_opt_batch += n_groups
         self.global_batch += n_groups * n_b
         self._rehome_state()
-
-        def map_losses(losses_np):
-            # Map each angle's [n_c, n_op*g_rows] slot losses back to
-            # scan-order rows (exactly as the per-angle dispatch loop does).
-            rid, wmask = mc['row_ids'], mc['w'] > 0
-            per_angle = []
-            for a in range(n_groups):
-                ls = losses_np[a].reshape(mc['n_c'], mc['n_op'],
-                                          mc['g_rows'])
-                per_shard = ls.transpose(1, 0, 2).reshape(mc['n_op'],
-                                                          mc['R'])
-                pr = np.zeros(mc['n_rows'], np.float32)
-                for k in range(mc['n_op']):
-                    pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
-                per_angle.append(pr)
-            return np.concatenate(per_angle)
-
         return {'i_epoch': i_epoch, 'losses': losses,
-                'map_losses': map_losses, 'label': 'fused mesh angles'}
+                'map_losses': lambda ls: np.concatenate(
+                    [self._mc_map_losses(ls[a]) for a in range(n_groups)]),
+                'label': 'fused mesh angles',
+                'gb_before': gb_before, 'gb_after': self.global_batch}
+
+    def _mc_map_losses(self, losses_np):
+        """Map one angle's mesh slot losses ``[n_c, n_op*g_rows]`` back to
+        scan-order rows (shared by the fused and per-angle mc paths)."""
+        mc = self._mc
+        rid, wmask = mc['row_ids'], mc['w'] > 0
+        ls = losses_np.reshape(mc['n_c'], mc['n_op'], mc['g_rows'])
+        per_shard = ls.transpose(1, 0, 2).reshape(mc['n_op'], mc['R'])
+        pr = np.zeros(mc['n_rows'], np.float32)
+        for k in range(mc['n_op']):
+            pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
+        return pr
 
     def _fused_dispatch(self, i_epoch: int, groups) -> dict:
         """Stage + enqueue one whole-epoch ``angles_epoch`` program and
@@ -1956,30 +1958,41 @@ class Reconstructor:
                 jnp.asarray(self.global_batch, jnp.int32),
                 jnp.asarray(n_b, jnp.int32), self.finite_support_mask)
         n_groups = len(groups)
+        gb_before = self.global_batch
         self.i_opt_batch += n_groups
         self.global_batch += n_groups * n_b
         self._rehome_state()
         return {'i_epoch': i_epoch, 'losses': losses,
                 'map_losses': lambda ls: ls.reshape(
                     n_groups, -1)[:, :n_b].ravel(),
-                'label': 'fused angles'}
+                'label': 'fused angles',
+                'gb_before': gb_before, 'gb_after': self.global_batch}
 
     def _fused_finish(self, pend: dict, callback) -> float:
         """Fetch a pending fused epoch's losses (the sync point) and run
         the host-side epilogue: logging, checkpoint cadence, walltime."""
         t = self.cfg.train
         i_epoch = pend['i_epoch']
-        losses = pend['map_losses'](np.asarray(pend['losses']))
-        losses = [float(v) for v in losses]
+        # The D2H fetch is where device execution is actually awaited —
+        # time it into angle_step so the verbose patterns/s covers
+        # execution, not just the (async) dispatch.
+        with self.timers.time('angle_step'):
+            losses_np = np.asarray(pend['losses'])
+        losses = [float(v) for v in pend['map_losses'](losses_np)]
         if callback is not None or self._logger is not None:
             for b, l in enumerate(losses):
                 if callback is not None:
                     callback(i_epoch, b, l)
                 if self._logger is not None:
                     self._logger.log(i_epoch, b, l)
-        # Checkpoint / walltime at epoch granularity (as _run_epoch_fused).
+        # Checkpoint at epoch granularity, on the reference's cross-epoch
+        # every-N-batches cadence: save when this epoch's global batch
+        # counter crossed a multiple of n_batch_per_checkpoint (a
+        # per-epoch ``len(losses) >= N`` test would never save when one
+        # epoch has fewer batches than the cadence).
+        n_ckpt = self.cfg.io.n_batch_per_checkpoint
         if (self.output_folder is not None and self.cfg.io.store_checkpoint
-                and len(losses) >= self.cfg.io.n_batch_per_checkpoint):
+                and pend['gb_after'] // n_ckpt > pend['gb_before'] // n_ckpt):
             self.save_checkpoint(i_epoch, self.i_opt_batch)
         t_max = self.cfg.io.t_max_min
         if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
@@ -2006,7 +2019,7 @@ class Reconstructor:
         return self._fused_finish(self._fused_dispatch(i_epoch, groups),
                                   callback)
 
-    def run_epochs(self, n_epochs: int, start_epoch: int = 0,
+    def run_epochs(self, n_epochs: int, start_epoch: Optional[int] = None,
                    callback=None) -> list:
         """Pipelined multi-epoch driver: when consecutive epochs take the
         fused-angles path with no mid-stream host visit, epoch ``r+1`` is
@@ -2021,14 +2034,20 @@ class Reconstructor:
         update) drain the pipeline and run through :meth:`run_epoch`.
 
         Returns the per-epoch mean losses, one per epoch."""
+        if start_epoch is None:
+            # Resume-aware like run(): continue after a restored
+            # checkpoint rather than replaying epoch labels from 0.
+            start_epoch = self._start_epoch
         out = []
         pending = None
         # Checkpoints/intermediates read params at finish time; with the
         # next epoch already dispatched they would capture ITS state, so
-        # any host-side output disables pipelining for the run.
+        # any host-side output — including the t_max emergency
+        # checkpoint — disables pipelining for the run.
         may_pipeline = (self.output_folder is None
                         or not (self.cfg.io.store_checkpoint
-                                or self.cfg.io.save_intermediate))
+                                or self.cfg.io.save_intermediate
+                                or self.cfg.io.t_max_min is not None))
         for i_epoch in range(start_epoch, start_epoch + n_epochs):
             if self.stop_requested:  # t_max walltime exit
                 break
@@ -2059,6 +2078,43 @@ class Reconstructor:
         if pending is not None:
             out.append(self._fused_finish(pending, callback))
         return out
+
+    def _angle_epilogue(self, i_epoch: int, i_batch_epoch: int,
+                        n_b_angle: int) -> int:
+        """Shared per-angle host epilogue of the per-angle dispatch paths
+        (single-chip and mesh): shrink-wrap at angle granularity — the
+        slow path updates the mask every ``shrink_cycle`` batches
+        (``adorym/ptychography.py:1220-1225``), here the check runs once
+        per angle, applying when the epoch's batch counter crossed a
+        cycle boundary inside this angle — batch-level intermediate dumps
+        (at angle granularity, one host visit per angle), checkpoint
+        cadence rounded to angle boundaries, and the t_max walltime exit
+        (sets ``stop_requested``).  Returns the advanced batch counter."""
+        prev_b = i_batch_epoch
+        i_batch_epoch += n_b_angle
+        t = self.cfg.train
+        if (self.finite_support_mask is not None
+                and t.shrink_cycle is not None
+                and i_batch_epoch // t.shrink_cycle
+                > prev_b // t.shrink_cycle):
+            self.finite_support_mask = self._shrink_fn(
+                self.finite_support_mask, self.params['obj'])
+        if (self.output_folder is not None
+                and self.cfg.io.save_intermediate
+                and self.cfg.io.save_intermediate_level == 'batch'):
+            self._save_intermediate(i_epoch, i_batch_epoch - 1)
+        if (self.output_folder is not None
+                and self.cfg.io.store_checkpoint
+                and self.i_opt_batch % max(
+                    1, self.cfg.io.n_batch_per_checkpoint
+                    // max(1, n_b_angle)) == 0):
+            self.save_checkpoint(i_epoch, self.i_opt_batch)
+        t_max = self.cfg.io.t_max_min
+        if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
+            if self.output_folder is not None:
+                self.save_checkpoint(i_epoch, self.i_opt_batch)
+            self.stop_requested = True
+        return i_batch_epoch
 
     def _run_epoch_angles(self, i_epoch: int, batches, callback) -> float:
         """Angle-granular epoch: every angle's minibatches run inside one
@@ -2094,33 +2150,10 @@ class Reconstructor:
                 self.i_opt_batch += 1
                 self.global_batch += len(inds_list)
                 self._rehome_state()
-                prev_b = i_batch_epoch
-                i_batch_epoch += len(inds_list)
-                t_loc = self.cfg.train
-                if (self.finite_support_mask is not None
-                        and t_loc.shrink_cycle is not None
-                        and i_batch_epoch // t_loc.shrink_cycle
-                        > prev_b // t_loc.shrink_cycle):
-                    self.finite_support_mask = self._shrink_fn(
-                        self.finite_support_mask, self.params['obj'])
                 losses_dev.append(losses)
-                if (self.output_folder is not None
-                        and self.cfg.io.save_intermediate
-                        and self.cfg.io.save_intermediate_level == 'batch'):
-                    # Angle granularity, like the single-chip fast path.
-                    self._save_intermediate(i_epoch, i_batch_epoch - 1)
-                if (self.output_folder is not None
-                        and self.cfg.io.store_checkpoint
-                        and self.i_opt_batch % max(
-                            1, self.cfg.io.n_batch_per_checkpoint // max(
-                                1, len(inds_list))) == 0):
-                    self.save_checkpoint(i_epoch, self.i_opt_batch)
-                t_max = self.cfg.io.t_max_min
-                if (t_max is not None
-                        and (time.time() - self._t_start) / 60 > t_max):
-                    if self.output_folder is not None:
-                        self.save_checkpoint(i_epoch, self.i_opt_batch)
-                    self.stop_requested = True
+                i_batch_epoch = self._angle_epilogue(
+                    i_epoch, i_batch_epoch, len(inds_list))
+                if self.stop_requested:
                     break
                 continue
             if self._needs_weight_l1:
@@ -2179,52 +2212,18 @@ class Reconstructor:
             self.global_batch += len(inds_list)
             self._rehome_state()
             self._apply_external_algorithm()
-            # Shrink-wrap at angle granularity: the slow path updates the
-            # mask every ``shrink_cycle`` batches
-            # (``adorym/ptychography.py:1220-1225``); here the check runs
-            # once per angle, applying when the epoch's batch counter has
-            # crossed a cycle boundary inside this angle.
-            prev_b, i_batch_epoch = i_batch_epoch, i_batch_epoch + len(inds_list)
-            if (self.finite_support_mask is not None
-                    and t.shrink_cycle is not None
-                    and i_batch_epoch // t.shrink_cycle > prev_b // t.shrink_cycle):
-                self.finite_support_mask = self._shrink_fn(
-                    self.finite_support_mask, self.params['obj'])
-            if (self.output_folder is not None
-                    and self.cfg.io.save_intermediate
-                    and self.cfg.io.save_intermediate_level == 'batch'):
-                # Angle granularity in the fused path (one host visit/angle).
-                self._save_intermediate(i_epoch, i_batch_epoch - 1)
             losses_dev.append(losses)
-            if (self.output_folder is not None
-                    and self.cfg.io.store_checkpoint
-                    and self.i_opt_batch % max(
-                        1, self.cfg.io.n_batch_per_checkpoint // max(
-                            1, len(inds_list))) == 0):
-                self.save_checkpoint(i_epoch, self.i_opt_batch)
-            t_max = self.cfg.io.t_max_min
-            if (t_max is not None
-                    and (time.time() - self._t_start) / 60 > t_max):
-                if self.output_folder is not None:
-                    self.save_checkpoint(i_epoch, self.i_opt_batch)
-                self.stop_requested = True
+            i_batch_epoch = self._angle_epilogue(i_epoch, i_batch_epoch,
+                                                 len(inds_list))
+            if self.stop_requested:
                 break
 
         if mc is not None:
             # Map the [n_c, n_op*g_rows] per-slot losses back to scan-order
             # rows (padding slots carry weight 0 and are dropped).
-            rid, wmask = mc['row_ids'], mc['w'] > 0
-            per_angle = []
-            for arr in losses_dev:
-                ls = np.asarray(arr).reshape(mc['n_c'], mc['n_op'],
-                                             mc['g_rows'])
-                per_shard = ls.transpose(1, 0, 2).reshape(mc['n_op'],
-                                                          mc['R'])
-                pr = np.zeros(mc['n_rows'], np.float32)
-                for k in range(mc['n_op']):
-                    pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
-                per_angle.append(pr)
-            losses = list(np.concatenate(per_angle))
+            losses = list(np.concatenate(
+                [self._mc_map_losses(np.asarray(arr))
+                 for arr in losses_dev]))
         else:
             losses = list(np.concatenate([np.asarray(v)
                                           for v in losses_dev]))
@@ -2277,6 +2276,7 @@ class Reconstructor:
                 self.finite_support_mask)
         if mask is not None:
             self.finite_support_mask = mask
+        gb_before = self.global_batch
         self.i_opt_batch += n_b
         self.global_batch += n_b
         self._rehome_state()
@@ -2288,9 +2288,12 @@ class Reconstructor:
                 if self._logger is not None:
                     self._logger.log(i_epoch, b, l)
         # Checkpoint / walltime at epoch granularity (the reference's
-        # per-batch cadence implies a host visit per batch).
+        # per-batch cadence implies a host visit per batch), on the
+        # cross-epoch every-N-batches schedule: save when this epoch
+        # crossed a multiple of n_batch_per_checkpoint.
+        n_ckpt = self.cfg.io.n_batch_per_checkpoint
         if (self.output_folder is not None and self.cfg.io.store_checkpoint
-                and n_b >= self.cfg.io.n_batch_per_checkpoint):
+                and self.global_batch // n_ckpt > gb_before // n_ckpt):
             self.save_checkpoint(i_epoch, n_b - 1)
         t_max = self.cfg.io.t_max_min
         if t_max is not None and (time.time() - self._t_start) / 60 > t_max:

@@ -175,6 +175,38 @@ def test_run_epochs_falls_back_when_ineligible():
                                   np.asarray(rec.params['obj']))
 
 
+def test_fused_epoch_checkpoints_on_cross_epoch_cadence(tmp_path):
+    """A fused epoch with fewer batches than n_batch_per_checkpoint must
+    still checkpoint when the CROSS-epoch batch counter crosses the
+    cadence (the reference checkpoints every N batches across epochs,
+    ``adorym/ptychography.py:879-895``); a per-epoch ``len(losses) >= N``
+    test would never save."""
+    import dataclasses
+    cfg, data, pos, theta_ls, obj0 = _setup()  # 3 angles x 4 batches = 12
+    cfg = dataclasses.replace(
+        cfg, io=dataclasses.replace(cfg.io, store_checkpoint=True,
+                                    use_checkpoint=False,
+                                    n_batch_per_checkpoint=20))
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0.copy(), output_folder=str(tmp_path))
+    rec._data_dev_ok = True
+    saved = []
+    orig = rec.save_checkpoint
+    rec.save_checkpoint = lambda *a, **kw: (saved.append(a), orig(*a, **kw))
+    took_fused = []
+    orig_fused = rec._fused_dispatch
+    rec._fused_dispatch = lambda *a, **kw: (took_fused.append(True),
+                                            orig_fused(*a, **kw))[1]
+    rec.run_epoch(0)   # gb 0->12: no crossing
+    assert took_fused and not saved
+    rec.run_epoch(1)   # gb 12->24: crosses 20 -> checkpoint
+    assert len(saved) == 1
+    rec.run_epoch(2)   # gb 24->36: no crossing
+    assert len(saved) == 1
+    rec.run_epoch(3)   # gb 36->48: crosses 40 -> checkpoint
+    assert len(saved) == 2
+
+
 def test_fused_gate_rejects_host_visit_configs():
     cfg, data, pos, theta_ls, obj0 = _setup()
     rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,

@@ -39,11 +39,12 @@ _IGNORED = {
     'fourier_disparity', 'debug',
     'optimizer_batch_number_increment',
     'n_dp_batch', 'run_float64',
-    'dynamic_rate', 'fix_object',
     # Dead in the reference itself (accepted but never read anywhere in
     # adorym/ptychography.py's body): probe_circ_mask (signature-only,
-    # :161), n_epoch_final_pass (:68).
-    'probe_circ_mask', 'n_epoch_final_pass',
+    # :161), n_epoch_final_pass (:68), fix_object (:77),
+    # dynamic_rate (:161 — the driver hardcodes dynamic_rate=True when it
+    # builds the GD optimizer, :427; this package's GD matches that).
+    'probe_circ_mask', 'n_epoch_final_pass', 'fix_object', 'dynamic_rate',
 }
 
 #: Map a reference per-parameter optimizer kwarg value (an Optimizer object

@@ -1472,9 +1472,14 @@ class Reconstructor:
                 rows = data_dev[i_theta]
                 measured_all = rows[inds_all.reshape(-1)].reshape(
                     inds_all.shape + rows.shape[1:])
+                # Reweighted-L1 weights refresh at every angle boundary,
+                # exactly like the per-angle dispatch loop — but from the
+                # scan carry, so the whole epoch still fuses.
+                wl1 = (Reconstructor._weight_l1_refresh(p['obj'])
+                       if self._needs_weight_l1 else weight_l1)
                 p, o, losses = angle_step(p, o, theta, i_theta, pos_all,
                                           inds_all, measured_all, w_all,
-                                          weight_l1, i_opt, gb,
+                                          wl1, i_opt, gb,
                                           support_mask)
                 return (p, o, i_opt + 1, gb + n_b), losses
 
@@ -1817,6 +1822,16 @@ class Reconstructor:
         return (inds_arr.reshape(n_c, g * mb).astype(np.int32),
                 pos.astype(np.float32), w_arr.reshape(n_c, g), n_b)
 
+    @staticmethod
+    def _weight_l1_refresh(obj):
+        """Reweighted-L1 weights ``max(obj) / (|obj| + 1e-4 mean(obj))``
+        (``adorym/ptychography.py:997-999``); ones until the object first
+        becomes nonzero.  Pure device math — the fused epoch recomputes it
+        in-scan at every angle boundary."""
+        denom = jnp.abs(obj) + 1e-4 * jnp.mean(obj)
+        w = jnp.where(denom > 0, jnp.max(obj) / denom, 1.0)
+        return jnp.nan_to_num(w, nan=1.0, posinf=1.0)
+
     def _rol_active(self) -> bool:
         """Rotate-out-of-loop semantics are in effect.  Tilt (refined or
         fixed) has precedence: the model applies the 3-axis tilt rotation
@@ -1856,8 +1871,9 @@ class Reconstructor:
         """Whole-epoch fusion of the per-angle scheme (``angles_epoch``):
         eligible when no step needs a mid-epoch host visit — the dataset
         is device-resident, nothing streams through the host (offload,
-        loader), no per-batch host-side state (reweighted-L1 refresh,
-        external algorithm, shrink cycle, batch-level dumps), and every
+        loader), no per-batch host-side state (external algorithm, shrink
+        cycle, batch-level dumps; the reweighted-L1 refresh is pure device
+        math and recomputes in-scan at angle boundaries), and every
         angle has the same batch count (uniform scan shapes).
         Mid-epoch checkpoints collapse to epoch granularity, like
         ``_run_epoch_fused`` (PARITY.md 'Known deviations')."""
@@ -1865,7 +1881,6 @@ class Reconstructor:
                 and not self._obj_offloaded and not self._off_state
                 and self.loader is None and self._data_dev_ok
                 and self.data is not None
-                and not self._needs_weight_l1
                 and self.external_algorithm is None
                 and self.cfg.train.shrink_cycle is None
                 and len(groups) > 1
@@ -2157,10 +2172,7 @@ class Reconstructor:
                     break
                 continue
             if self._needs_weight_l1:
-                o = self.params['obj']
-                denom = jnp.abs(o) + 1e-4 * jnp.mean(o)
-                w = jnp.where(denom > 0, jnp.max(o) / denom, 1.0)
-                self.weight_l1 = jnp.nan_to_num(w, nan=1.0, posinf=1.0)
+                self.weight_l1 = self._weight_l1_refresh(self.params['obj'])
             inds_np, pos_np, w_np, n_b = self._stage_angle(i_theta,
                                                            inds_list)
             n_c = inds_np.shape[0]
@@ -2376,14 +2388,9 @@ class Reconstructor:
 
         for i_batch, (i_theta, inds) in enumerate(batches):
             if self._needs_weight_l1 and i_batch % update_interval == 0:
-                # Reweighted-L1 weight refresh:
-                # ``max(obj) / (|obj| + 1e-4 mean(obj))``
-                # (``adorym/ptychography.py:997-999``); ones until the object
-                # first becomes nonzero.
-                o = self.params['obj']
-                denom = jnp.abs(o) + 1e-4 * jnp.mean(o)
-                w = jnp.where(denom > 0, jnp.max(o) / denom, 1.0)
-                self.weight_l1 = jnp.nan_to_num(w, nan=1.0, posinf=1.0)
+                # Reweighted-L1 weight refresh every 10 batches, exactly
+                # like the reference (``adorym/ptychography.py:997-999``).
+                self.weight_l1 = self._weight_l1_refresh(self.params['obj'])
             pos_table = (self.probe_pos if self.probe_pos.ndim == 2
                          else self.probe_pos[i_theta])
             batch = {

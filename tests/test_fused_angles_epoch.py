@@ -116,6 +116,34 @@ def test_mc_fused_epoch_matches_mc_loop():
                                   runs[True][1])
 
 
+def test_fused_angles_epoch_with_reweighted_l1():
+    """The reweighted-L1 weight refresh is recomputed IN-SCAN at every
+    angle boundary of the fused epoch; trajectories must match the
+    per-angle dispatch loop, which refreshes host-side at the same
+    boundaries."""
+    import dataclasses
+    out = {}
+    for fused in (True, False):
+        cfg, data, pos, theta_ls, obj0 = _setup()
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, alpha_d=1e-6,
+                                          reweighted_l1=True))
+        rec = Reconstructor(cfg, data=data, probe_pos=pos,
+                            theta_ls=theta_ls, obj_init=obj0.copy())
+        assert rec._needs_weight_l1
+        rec._data_dev_ok = fused
+        took = []
+        orig = rec._run_epoch_angles_fused
+        rec._run_epoch_angles_fused = lambda *a, **kw: (took.append(1),
+                                                        orig(*a, **kw))[1]
+        losses = [rec.run_epoch(ep) for ep in range(3)]
+        assert bool(took) == fused
+        out[fused] = (losses, np.asarray(rec.params['obj']))
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-6)
+    np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-5,
+                               atol=1e-8)
+
+
 def test_run_epochs_pipelined_matches_sequential():
     """run_epochs defers each epoch's loss fetch behind the next epoch's
     dispatch; the math (losses and final object) must be identical to

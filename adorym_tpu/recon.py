@@ -1556,18 +1556,27 @@ class Reconstructor:
             device-resident across epochs (``data_dev``) — each scan step
             gathers its batch rows on device, so epochs do zero H2D.
             Shrink-wrap runs in-scan on its reference cadence
-            (``adorym/ptychography.py:1220-1225``)."""
+            (``adorym/ptychography.py:1220-1225``), and so does the
+            reweighted-L1 weight refresh (every 10 batches from the
+            carried params, ``adorym/ptychography.py:994-1000``)."""
             t = cfg.train
             has_mask = support_mask is not None
+            needs_wl1 = self._needs_weight_l1
 
             def body(carry, xs):
-                params, opt_state, mask = carry
+                params, opt_state, mask, wl1 = carry
                 i_b, th, it, pos, inds = xs
                 meas = data_dev[it, inds]
                 batch = {'i_theta': it, 'theta': th, 'pos_batch': pos,
                          'ind_batch': inds}
+                if needs_wl1:
+                    wl1 = jax.lax.cond(
+                        i_b % 10 == 0,
+                        lambda o, _: Reconstructor._weight_l1_refresh(o),
+                        lambda _, w: w, params['obj'], wl1)
                 params, opt_state, loss = step(
-                    params, opt_state, batch, meas, weight_l1,
+                    params, opt_state, batch, meas,
+                    wl1 if needs_wl1 else weight_l1,
                     i_opt_batch0 + i_b, global_batch0 + i_b,
                     mask if has_mask else None)
                 if has_mask and t.shrink_cycle is not None:
@@ -1576,12 +1585,14 @@ class Reconstructor:
                     shrunk = mask * (params['obj'][..., 0]
                                      >= t.shrink_threshold)
                     mask = jnp.where(gate, shrunk, mask)
-                return (params, opt_state, mask), loss
+                return (params, opt_state, mask, wl1), loss
 
             n_b = theta_b.shape[0]
+            zero = jnp.zeros((), jnp.float32)
             carry0 = (params, opt_state,
-                      support_mask if has_mask else jnp.zeros((), jnp.float32))
-            (params, opt_state, mask), losses = jax.lax.scan(
+                      support_mask if has_mask else zero,
+                      weight_l1 if needs_wl1 else zero)
+            (params, opt_state, mask, _), losses = jax.lax.scan(
                 body, carry0,
                 (jnp.arange(n_b, dtype=jnp.int32), theta_b, itheta_b,
                  pos_b, inds_b))
@@ -2375,7 +2386,7 @@ class Reconstructor:
         if (not use_accum and not self.second_order
                 and self.external_algorithm is None
                 and self.loader is None and self.expand_indices is None
-                and self.mesh is None and not self._needs_weight_l1
+                and self.mesh is None
                 and not (self.output_folder is not None
                          and self.cfg.io.save_intermediate
                          and self.cfg.io.save_intermediate_level == 'batch')

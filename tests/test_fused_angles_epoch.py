@@ -144,6 +144,45 @@ def test_fused_angles_epoch_with_reweighted_l1():
                                atol=1e-8)
 
 
+def test_immediate_fused_epoch_with_reweighted_l1(tmp_path):
+    """The immediate-update whole-epoch fusion refreshes reweighted-L1
+    weights in-scan every 10 batches (the reference cadence,
+    ``adorym/ptychography.py:994-1000``); with 12 batches/epoch the
+    refresh fires mid-epoch (i_b=0 and 10) and the trajectory must match
+    the slow per-batch dispatch loop (forced in the control run via the
+    batch-level-dump gate, which only adds file I/O)."""
+    import dataclasses
+    out = {}
+    for fused in (True, False):
+        cfg, data, pos, theta_ls, obj0 = _setup()
+        cfg = dataclasses.replace(
+            cfg,
+            loss=dataclasses.replace(cfg.loss, alpha_d=1e-6,
+                                     reweighted_l1=True),
+            train=dataclasses.replace(cfg.train, rotate_out_of_loop=False,
+                                      update_scheme='immediate'))
+        kw = {}
+        if not fused:
+            cfg = dataclasses.replace(
+                cfg, io=dataclasses.replace(cfg.io, save_intermediate=True,
+                                            save_intermediate_level='batch',
+                                            store_checkpoint=False))
+            kw['output_folder'] = str(tmp_path / 'slow')
+        rec = Reconstructor(cfg, data=data, probe_pos=pos,
+                            theta_ls=theta_ls, obj_init=obj0.copy(), **kw)
+        assert rec._needs_weight_l1
+        took = []
+        orig = rec._run_epoch_fused
+        rec._run_epoch_fused = lambda *a, **kw2: (took.append(1),
+                                                  orig(*a, **kw2))[1]
+        losses = [rec.run_epoch(ep) for ep in range(3)]
+        assert bool(took) == fused
+        out[fused] = (losses, np.asarray(rec.params['obj']))
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-6)
+    np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-5,
+                               atol=1e-8)
+
+
 def test_run_epochs_pipelined_matches_sequential():
     """run_epochs defers each epoch's loss fetch behind the next epoch's
     dispatch; the math (losses and final object) must be identical to

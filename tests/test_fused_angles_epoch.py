@@ -225,6 +225,38 @@ def test_run_epochs_pipelined_matches_sequential():
     np.testing.assert_array_equal(pip_obj, seq_obj)
 
 
+def test_run_epochs_does_not_pipeline_with_host_outputs(tmp_path):
+    """With store_checkpoint on, run_epochs must NOT run an epoch ahead:
+    the checkpoint epilogue reads params and would otherwise serialize the
+    next epoch's state under the finished epoch's label."""
+    import dataclasses
+    cfg, data, pos, theta_ls, obj0 = _setup()
+    cfg = dataclasses.replace(
+        cfg, io=dataclasses.replace(cfg.io, store_checkpoint=True,
+                                    use_checkpoint=False,
+                                    n_batch_per_checkpoint=5))
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0.copy(), output_folder=str(tmp_path))
+    rec._data_dev_ok = True
+    state = {'d': 0, 'f': 0, 'max_ahead': 0}
+    od, of = rec._fused_dispatch, rec._fused_finish
+
+    def sd(*a, **kw):
+        state['d'] += 1
+        state['max_ahead'] = max(state['max_ahead'],
+                                 state['d'] - state['f'])
+        return od(*a, **kw)
+
+    def sf(*a, **kw):
+        state['f'] += 1
+        return of(*a, **kw)
+
+    rec._fused_dispatch, rec._fused_finish = sd, sf
+    rec.run_epochs(3)
+    assert state['d'] == state['f'] == 3
+    assert state['max_ahead'] == 1, state
+
+
 def test_run_epochs_falls_back_when_ineligible():
     """With the fused gate closed (host-resident data), run_epochs must
     produce the same result via sequential run_epoch."""

@@ -180,7 +180,48 @@ def get_baseline() -> dict:
     return entry
 
 
+def wait_for_pool(max_wait_s: float = 2400.0, probe_timeout_s: float = 120.0,
+                  retry_s: float = 60.0) -> bool:
+    """Gate on device-pool liveness before dispatching the long run.
+
+    The shared axon pool can be down for an hour+ (``jax.devices()`` hangs;
+    backend init raises UNAVAILABLE).  Probe a trivial op in a SUBPROCESS
+    with a hard timeout (an in-process hang is unrecoverable) and retry for
+    up to ``max_wait_s`` so a transient outage at bench time still produces
+    a real measurement instead of an indefinite hang.
+    """
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((4, 4)); print(float((x @ x).sum()))")
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run([sys.executable, '-c', probe],
+                               timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+            msg = r.stderr.decode(errors='replace').strip().splitlines()
+            detail = msg[-1] if msg else 'nonzero exit'
+        except subprocess.TimeoutExpired:
+            detail = f'probe timed out after {probe_timeout_s:.0f}s'
+        waited = time.time() - t0
+        if waited + retry_s > max_wait_s:
+            return False
+        print(f'device pool not responding ({detail}); retrying '
+              f'({waited:.0f}s/{max_wait_s:.0f}s elapsed)', file=sys.stderr)
+        time.sleep(retry_s)
+
+
 def main():
+    if not wait_for_pool():
+        print(json.dumps({
+            'metric': 'ptychotomo_256_patterns_per_sec_per_chip',
+            'value': None,
+            'unit': 'patterns/s/chip',
+            'vs_baseline': None,
+            'error': 'device pool unavailable (probe timed out for 40 min)',
+        }))
+        return
     f32 = measure_ours(run_bfloat16=False, time_box=210.0)
     # bf16 is the validated fastest flagship setting (quality bound in
     # tests/test_bf16_quality.py); capture it alongside f32 and headline

@@ -2069,11 +2069,14 @@ class Reconstructor:
         # Checkpoints/intermediates read params at finish time; with the
         # next epoch already dispatched they would capture ITS state, so
         # any host-side output — including the t_max emergency
-        # checkpoint — disables pipelining for the run.
-        may_pipeline = (self.output_folder is None
-                        or not (self.cfg.io.store_checkpoint
-                                or self.cfg.io.save_intermediate
-                                or self.cfg.io.t_max_min is not None))
+        # checkpoint — disables pipelining for the run.  A user callback
+        # might do the same (it is invoked at finish time and can touch
+        # ``rec.params``), so it disables pipelining too.
+        may_pipeline = (callback is None
+                        and (self.output_folder is None
+                             or not (self.cfg.io.store_checkpoint
+                                     or self.cfg.io.save_intermediate
+                                     or self.cfg.io.t_max_min is not None)))
         for i_epoch in range(start_epoch, start_epoch + n_epochs):
             if self.stop_requested:  # t_max walltime exit
                 break

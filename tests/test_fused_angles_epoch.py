@@ -257,6 +257,34 @@ def test_run_epochs_does_not_pipeline_with_host_outputs(tmp_path):
     assert state['max_ahead'] == 1, state
 
 
+def test_run_epochs_does_not_pipeline_with_callback():
+    """A user callback runs at finish time and may read ``rec.params``;
+    with one passed, run_epochs must stay one-epoch-at-a-time so the
+    callback never observes the next epoch's in-flight state."""
+    cfg, data, pos, theta_ls, obj0 = _setup()
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0.copy())
+    rec._data_dev_ok = True
+    state = {'d': 0, 'f': 0, 'max_ahead': 0}
+    od, of = rec._fused_dispatch, rec._fused_finish
+
+    def sd(*a, **kw):
+        state['d'] += 1
+        state['max_ahead'] = max(state['max_ahead'], state['d'] - state['f'])
+        return od(*a, **kw)
+
+    def sf(*a, **kw):
+        state['f'] += 1
+        return of(*a, **kw)
+
+    rec._fused_dispatch, rec._fused_finish = sd, sf
+    seen = []
+    rec.run_epochs(3, callback=lambda ep, b, l: seen.append((ep, b)))
+    assert state['d'] == state['f'] == 3
+    assert state['max_ahead'] == 1, state
+    assert seen, 'callback never invoked'
+
+
 def test_run_epochs_falls_back_when_ineligible():
     """With the fused gate closed (host-resident data), run_epochs must
     produce the same result via sequential run_epoch."""

@@ -217,6 +217,121 @@ def test_3d_multislice_rotation_parity(tmp_path, monkeypatch):
                                rtol=5e-4)
 
 
+def _patch_f32_rotation_tables(monkeypatch):
+    """Regenerate the reference's rotation lookup tables at float32
+    through its OWN coordinate math (it quantizes them to float16 on
+    disk, ``adorym/util.py:515-516``, which bounds agreement to ~1e-3);
+    see test_baseline1_64cube_parity for the rationale."""
+    import adorym.ptychography as ref_pty
+    import adorym.util as ref_util
+
+    def save_lookup_f32(array_size, theta_ls_in, dest_folder=None,
+                        override_backend=None):
+        cn = ref_util.get_cooridnates_stack_for_rotation(array_size, axis=0)
+        cn = ref_util.w.create_constant(cn, override_backend=override_backend)
+        if dest_folder is None:
+            dest_folder = 'arrsize_{}_{}_{}_ntheta_{}'.format(
+                array_size[0], array_size[1], array_size[2],
+                len(theta_ls_in))
+        os.makedirs(dest_folder, exist_ok=True)
+        th = ref_util.w.create_constant(theta_ls_in)
+        for theta in th:
+            co = ref_util.calculate_original_coordinates_for_rotation(
+                array_size, cn, theta, override_backend=override_backend)
+            ci = ref_util.calculate_original_coordinates_for_rotation(
+                array_size, cn, -theta, override_backend=override_backend)
+            np.save(os.path.join(dest_folder, '{:.5f}'.format(theta)),
+                    ref_util.w.to_numpy(co).astype('float32'))
+            np.save(os.path.join(dest_folder, '_{:.5f}'.format(theta)),
+                    ref_util.w.to_numpy(ci).astype('float32'))
+
+    monkeypatch.setattr(ref_pty, 'save_rotation_lookup', save_lookup_f32)
+
+
+def test_perangle_rol_parity(tmp_path, monkeypatch):
+    """The FLAGSHIP mode — ``update_scheme='per angle'`` +
+    ``rotate_out_of_loop`` — against the actual reference
+    (``adorym/ptychography.py:918-937`` pre-rotation, ``:1069-1078``
+    interp gradient rotate-back at -theta, ``:1096`` per-angle update).
+
+    One batch per angle: with several batches the reference re-rotates
+    the whole accumulator after EVERY batch (its own TODO at
+    ``adorym/ptychography.py:1077`` — earlier batches get rotated
+    multiple times), so multi-batch trajectories diverge for a
+    reference-bug reason.  Single-batch angles exercise everything the
+    flagship path does (pre-rotation, gradient at theta, interp
+    rotate-back, per-angle update) with the bug inert."""
+    monkeypatch.chdir(tmp_path)  # reference writes lookup tables to CWD
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate_to_file
+
+    n, pn, n_theta, n_epochs, lr = 16, 16, 3, 3, 1e-6
+    rng = np.random.default_rng(11)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = np.stack([np.ones((pn, pn)), np.zeros((pn, pn))], -1
+                     ).astype(np.float32)[None]
+    pos = np.array([[0.0, 0.0]])
+    theta_ls = np.linspace(0, np.pi, n_theta, endpoint=False)
+
+    geo = Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
+                   energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm='inf')
+    cfg_sim = ReconConfig(geometry=geo, train=TrainConfig(minibatch_size=1))
+    simulate_to_file(str(tmp_path / 'rol.h5'), cfg_sim, obj_true, probe,
+                     pos, theta_ls=theta_ls)
+
+    obj0_d = (rng.random((n, n, n)) * 1e-4).astype(np.float64)
+    obj0_b = (rng.random((n, n, n)) * 1e-6).astype(np.float64)
+
+    ref_recon = _import_reference()
+    _patch_f32_rotation_tables(monkeypatch)
+    ref_recon(
+        fname='rol.h5', save_path=str(tmp_path), output_folder='refrol',
+        obj_size=(n, n, n), probe_pos=pos, theta_st=0, theta_end=np.pi,
+        energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm='inf',
+        n_epochs=n_epochs, minibatch_size=1, n_dp_batch=1,
+        optimizer='gd', learning_rate=lr, dynamic_rate=False,
+        update_scheme='per angle', rotate_out_of_loop=True,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied',
+        probe_initial=[np.ones((pn, pn)), np.zeros((pn, pn))],
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        precalculate_rotation_coords=True,
+    )
+    csv = os.path.join(str(tmp_path), 'refrol', 'convergence',
+                       'loss_rank_0.txt')
+    ref_losses = np.atleast_1d(np.genfromtxt(csv, delimiter=',',
+                                             names=True)['loss'])
+
+    cfg = ReconConfig(
+        geometry=geo,
+        train=TrainConfig(minibatch_size=1, learning_rate=lr,
+                          optimizer='gd', update_scheme='per angle',
+                          rotate_out_of_loop=True))
+    ds = RawDataset(str(tmp_path / 'rol.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, theta_ls=theta_ls)
+
+    def batches_like_reference(_):
+        order = np.arange(n_theta)
+        np.random.seed(rec._epoch_seed)
+        np.random.shuffle(order)
+        return [(int(t), np.array([0])) for t in order]
+
+    rec.make_batches = batches_like_reference
+    ours = []
+    for ep in range(n_epochs):
+        rec._epoch_seed = ep
+        rec.run_epoch(ep, callback=lambda e, b, l: ours.append(l))
+    assert len(ref_losses) == len(ours)
+    np.testing.assert_allclose(np.asarray(ours), ref_losses, rtol=5e-4)
+
+
 @pytest.mark.parametrize('loss_type,extra_ref,extra_ours', [
     # Poisson NLL (``adorym/forward_model.py:94-102``)
     ('poisson', {}, {}),
@@ -411,30 +526,7 @@ def test_baseline1_64cube_parity(tmp_path, monkeypatch):
     # phantom (measured).  Regenerate the tables at float32 through the
     # reference's OWN coordinate math so the comparison isolates the
     # physics, not that storage cast.
-    import adorym.ptychography as ref_pty
-    import adorym.util as ref_util
-
-    def save_lookup_f32(array_size, theta_ls_in, dest_folder=None,
-                        override_backend=None):
-        cn = ref_util.get_cooridnates_stack_for_rotation(array_size, axis=0)
-        cn = ref_util.w.create_constant(cn, override_backend=override_backend)
-        if dest_folder is None:
-            dest_folder = 'arrsize_{}_{}_{}_ntheta_{}'.format(
-                array_size[0], array_size[1], array_size[2],
-                len(theta_ls_in))
-        os.makedirs(dest_folder, exist_ok=True)
-        th = ref_util.w.create_constant(theta_ls_in)
-        for theta in th:
-            co = ref_util.calculate_original_coordinates_for_rotation(
-                array_size, cn, theta, override_backend=override_backend)
-            ci = ref_util.calculate_original_coordinates_for_rotation(
-                array_size, cn, -theta, override_backend=override_backend)
-            np.save(os.path.join(dest_folder, '{:.5f}'.format(theta)),
-                    ref_util.w.to_numpy(co).astype('float32'))
-            np.save(os.path.join(dest_folder, '_{:.5f}'.format(theta)),
-                    ref_util.w.to_numpy(ci).astype('float32'))
-
-    monkeypatch.setattr(ref_pty, 'save_rotation_lookup', save_lookup_f32)
+    _patch_f32_rotation_tables(monkeypatch)
     ref_recon(
         fname='d64.h5', save_path=str(tmp_path), output_folder='ref64',
         obj_size=(n, n, n), probe_pos=pos, theta_st=0, theta_end=2 * np.pi,

@@ -78,10 +78,10 @@ def parity_setup(tmp_path_factory):
     return (root, n, pn, pos, probe_mag, probe_phase, obj0_delta, obj0_beta)
 
 
-def run_reference(setup, n_epochs, lr, optimizer):
+def run_reference(setup, n_epochs, lr, optimizer, extra=None, tag=''):
     root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = setup
     ref_recon = _import_reference()
-    out = f'ref_out_{optimizer}'
+    out = f'ref_out_{optimizer}{tag}'
     ref_recon(
         fname='data.h5', save_path=str(root), output_folder=out,
         obj_size=(n, n, 1), two_d_mode=True,
@@ -95,13 +95,14 @@ def run_reference(setup, n_epochs, lr, optimizer):
         use_checkpoint=False, store_checkpoint=False,
         save_intermediate=False, backend='pytorch', cpu_only=True,
         dynamic_rate=False,
+        **(extra or {}),
     )
     csv = os.path.join(str(root), out, 'convergence', 'loss_rank_0.txt')
     rows = np.genfromtxt(csv, delimiter=',', names=True)
     return np.atleast_1d(rows['loss'])
 
 
-def run_ours(setup, n_epochs, lr, optimizer):
+def run_ours(setup, n_epochs, lr, optimizer, refine=None):
     from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
     from adorym_tpu.io.data import RawDataset
     from adorym_tpu.recon import Reconstructor
@@ -112,7 +113,8 @@ def run_ours(setup, n_epochs, lr, optimizer):
                           energy_ev=5000.0, psize_cm=1e-7,
                           free_prop_cm='inf', two_d_mode=True),
         train=TrainConfig(minibatch_size=len(pos), learning_rate=lr,
-                          optimizer=optimizer))
+                          optimizer=optimizer),
+        **({'refine': refine} if refine is not None else {}))
     obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
     probe0 = np.stack([probe_mag * np.cos(probe_phase),
                        probe_mag * np.sin(probe_phase)], -1
@@ -139,6 +141,26 @@ def test_loss_curve_matches_reference(parity_setup, optimizer, lr):
     ref = run_reference(parity_setup, n_epochs, lr, optimizer)
     assert len(ref) == n_epochs, ref
     # float32 forward + different FFT implementations bound agreement
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_probe_optimization_parity(parity_setup):
+    """Joint object + probe refinement against the live reference: the
+    probe's default Adam at ``probe_learning_rate``
+    (``adorym/optimizers.py:812-820``) updates every batch from the
+    stacked real/imag gradients; its step counter is the same
+    reset-per-epoch ``i_opt_batch`` the object uses
+    (``optimizers.py:update_parameters`` ``i_full_angle``)."""
+    from adorym_tpu.config import RefineConfig
+    n_epochs, lr = 5, 1e-3
+    ours = run_ours(parity_setup, n_epochs, lr, 'gd',
+                    refine=RefineConfig(optimize_probe=True,
+                                        probe_learning_rate=1e-4))
+    ref = run_reference(parity_setup, n_epochs, lr, 'gd',
+                        extra=dict(optimize_probe=True,
+                                   probe_learning_rate=1e-4),
+                        tag='_probe')
+    assert len(ref) == n_epochs, ref
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 

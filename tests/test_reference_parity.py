@@ -164,6 +164,25 @@ def test_probe_optimization_parity(parity_setup):
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
+def test_position_refinement_parity(parity_setup):
+    """Per-spot position refinement (``optimize_all_probe_pos``) against
+    the live reference: probe_pos_correction [n_theta, n_pos, 2] updated
+    by its default Adam with the position-drift mean subtraction
+    (``adorym/optimizers.py:update_parameters`` probe_pos_correction
+    branch)."""
+    from adorym_tpu.config import RefineConfig
+    n_epochs, lr = 5, 1e-3
+    ours = run_ours(parity_setup, n_epochs, lr, 'gd',
+                    refine=RefineConfig(optimize_all_probe_pos=True,
+                                        all_probe_pos_learning_rate=1e-2))
+    ref = run_reference(parity_setup, n_epochs, lr, 'gd',
+                        extra=dict(optimize_all_probe_pos=True,
+                                   all_probe_pos_learning_rate=1e-2),
+                        tag='_pos')
+    assert len(ref) == n_epochs, ref
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
 def test_3d_multislice_rotation_parity(tmp_path, monkeypatch):
     """Full 3D path — rotation + multislice + Fraunhofer — against the
     reference, multiple angles, one batch per angle.

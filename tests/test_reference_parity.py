@@ -183,6 +183,47 @@ def test_position_refinement_parity(parity_setup):
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
+def test_probe_defocus_parity(parity_setup, monkeypatch):
+    """Probe defocus refinement (``optimize_probe_defocusing``): the
+    scalar defocus propagates the probe by a TF kernel before the
+    exit-wave product (``adorym/forward_model.py:249-253``), updated by
+    its default Adam.
+
+    The reference CRASHES here as shipped on the torch backend:
+    ``get_kernel`` computes ``np.exp`` on the grad-requiring
+    ``probe_defocus_mm`` tensor (``adorym/propagate.py:72``) — numpy
+    conversion of a graph tensor raises.  Like the MultiDist-init
+    parity row, the test patches the kernel to the torch equivalent of
+    the same formula so the physics can be compared."""
+    import torch as tc
+    _import_reference()  # sys.path + dxchange stub before adorym imports
+    import adorym.forward_model as ref_fm
+    from adorym.propagate import gen_freq_mesh
+
+    def get_kernel_torch(dist_nm, lmbda_nm, voxel_nm, grid_shape,
+                         fresnel_approx=True, sign_convention=1):
+        u, v = gen_freq_mesh(voxel_nm, grid_shape[0:2])
+        if not isinstance(dist_nm, tc.Tensor):
+            dist_nm = tc.tensor(float(dist_nm))
+        quad = tc.tensor((u ** 2 + v ** 2))
+        # exp(-i s pi lambda d q) with d differentiable
+        phase = -sign_convention * np.pi * lmbda_nm * dist_nm * quad
+        return tc.complex(tc.cos(phase), tc.sin(phase))
+
+    monkeypatch.setattr(ref_fm, 'get_kernel', get_kernel_torch)
+    from adorym_tpu.config import RefineConfig
+    n_epochs, lr = 5, 1e-3
+    ours = run_ours(parity_setup, n_epochs, lr, 'gd',
+                    refine=RefineConfig(optimize_probe_defocusing=True,
+                                        probe_defocusing_learning_rate=1e-4))
+    ref = run_reference(parity_setup, n_epochs, lr, 'gd',
+                        extra=dict(optimize_probe_defocusing=True,
+                                   probe_defocusing_learning_rate=1e-4),
+                        tag='_defoc')
+    assert len(ref) == n_epochs, ref
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
 def test_3d_multislice_rotation_parity(tmp_path, monkeypatch):
     """Full 3D path — rotation + multislice + Fraunhofer — against the
     reference, multiple angles, one batch per angle.

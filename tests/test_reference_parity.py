@@ -224,6 +224,22 @@ def test_probe_defocus_parity(parity_setup, monkeypatch):
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
+def test_probe_pos_offset_parity(parity_setup):
+    """Per-angle global position offset (``optimize_probe_pos_offset``,
+    ``adorym/forward_model.py`` probe_pos_offset branch shifts every
+    spot of the angle by one refinable [n_theta, 2] vector, default
+    Adam at 1e-2)."""
+    from adorym_tpu.config import RefineConfig
+    n_epochs, lr = 5, 1e-3
+    ours = run_ours(parity_setup, n_epochs, lr, 'gd',
+                    refine=RefineConfig(optimize_probe_pos_offset=True))
+    ref = run_reference(parity_setup, n_epochs, lr, 'gd',
+                        extra=dict(optimize_probe_pos_offset=True),
+                        tag='_posoff')
+    assert len(ref) == n_epochs, ref
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
 def test_3d_multislice_rotation_parity(tmp_path, monkeypatch):
     """Full 3D path — rotation + multislice + Fraunhofer — against the
     reference, multiple angles, one batch per angle.

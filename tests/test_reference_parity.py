@@ -39,6 +39,14 @@ def _import_reference():
     return ref_recon
 
 
+@pytest.fixture(autouse=True)
+def _run_in_tmp(tmp_path, monkeypatch):
+    """The reference writes rotation-lookup folders (``arrsize_*``) to
+    CWD; keep them out of the repo root.  All paths in this module are
+    absolute, so the chdir is inert otherwise."""
+    monkeypatch.chdir(tmp_path)
+
+
 @pytest.fixture(scope='module')
 def parity_setup(tmp_path_factory):
     """Shared dataset + inits: 2D ptychography, 3x3 positions, one batch

@@ -323,6 +323,28 @@ def test_3d_multislice_rotation_parity(tmp_path, monkeypatch):
                                rtol=5e-4)
 
 
+def _patch_forwardmodel_init():
+    """Reference bug: the driver passes run_bfloat16/run_float64 to every
+    model (``adorym/ptychography.py:526-532``); MultiDistModel and
+    SparseMultisliceModel forward their **kwargs to
+    ``ForwardModel.__init__`` (``forward_model.py:813``, ``:593``) which
+    doesn't accept them — both paths crash as shipped.  Patch the base
+    init to tolerate the extras so the physics can be compared."""
+    import adorym.forward_model as ref_fm
+    if getattr(ref_fm.ForwardModel.__init__, '_patched', False):
+        return
+    orig_init = ref_fm.ForwardModel.__init__
+
+    def patched(self, loss_function_type='lsq', distribution_mode=None,
+                device=None, common_vars_dict=None,
+                raw_data_type='magnitude', simulation_mode=False,
+                **_ignored):
+        orig_init(self, loss_function_type, distribution_mode, device,
+                  common_vars_dict, raw_data_type, simulation_mode)
+    patched._patched = True
+    ref_fm.ForwardModel.__init__ = patched
+
+
 def _patch_f32_rotation_tables(monkeypatch):
     """Regenerate the reference's rotation lookup tables at float32
     through its OWN coordinate math (it quantizes them to float16 on
@@ -618,6 +640,89 @@ def test_fixed_tilt_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(ours), ref_losses, rtol=5e-4)
 
 
+def test_sparse_multislice_parity(tmp_path, monkeypatch):
+    """SparseMultisliceModel against the live reference: slices at
+    arbitrary ``slice_pos_cm_ls`` depths propagate with per-gap Fresnel
+    kernels (``adorym/forward_model.py:589-707``,
+    ``adorym/propagate.py sparse_multislice_propagate_batch``).
+
+    16 slices so the rotation plane is CUBIC: the reference's
+    precalculated rotation tables subtract the wrong axis's center from
+    each in-plane coordinate (loop-variable leak in
+    ``adorym/util.get_cooridnates_stack_for_rotation`` — ``coord -
+    image_center[i]`` uses the OTHER axis's ``i``), so any nx != nz
+    volume is sheared+clipped even at theta=0 (measured: x -> x+6.5,
+    z -> z-6.5 for a (16,16,3) volume).  The two wrong centers cancel
+    exactly when the in-plane axes have equal size."""
+    monkeypatch.chdir(tmp_path)
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate_to_file
+
+    n, pn, n_sl, n_epochs, lr = 16, 8, 16, 3, 1e-6
+    # Irregular ascending depths (voxel units 0..45 at psize 1e-7)
+    gaps = np.array([1, 2, 5, 1, 3, 8, 2, 1, 4, 6, 2, 3, 1, 5, 1], float)
+    slice_pos_cm = tuple(np.concatenate([[0.0], np.cumsum(gaps)]) * 1e-7)
+    rng = np.random.default_rng(23)
+    obj_true = np.stack([rng.random((n, n, n_sl)) * 1e-3,
+                         rng.random((n, n, n_sl)) * 3e-5],
+                        -1).astype(np.float32)
+    probe = np.stack([np.ones((pn, pn)), np.zeros((pn, pn))], -1
+                     ).astype(np.float32)[None]
+    pos = np.array([[0.0, 0.0], [0.0, 8.0], [8.0, 0.0], [8.0, 8.0]],
+                   dtype=float)
+    theta_ls = np.zeros(1)
+
+    geo = Geometry(obj_size=(n, n, n_sl), probe_size=(pn, pn),
+                   energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf',
+                   slice_pos_cm_ls=slice_pos_cm)
+    cfg_sim = ReconConfig(geometry=geo, train=TrainConfig(minibatch_size=1))
+    simulate_to_file(str(tmp_path / 'sparse.h5'), cfg_sim, obj_true, probe,
+                     pos, theta_ls=theta_ls)
+
+    obj0_d = (rng.random((n, n, n_sl)) * 1e-4).astype(np.float64)
+    obj0_b = (rng.random((n, n, n_sl)) * 1e-6).astype(np.float64)
+
+    ref_recon = _import_reference()
+    _patch_f32_rotation_tables(monkeypatch)
+    _patch_forwardmodel_init()  # SparseMultisliceModel crashes as shipped
+    ref_recon(
+        fname='sparse.h5', save_path=str(tmp_path), output_folder='refsp',
+        obj_size=(n, n, n_sl), probe_pos=pos, theta_st=0, theta_end=0,
+        n_theta=1,
+        energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf',
+        slice_pos_cm_ls=np.asarray(slice_pos_cm),
+        n_epochs=n_epochs, minibatch_size=len(pos), n_dp_batch=len(pos),
+        optimizer='gd', learning_rate=lr, dynamic_rate=False,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied',
+        probe_initial=[np.ones((pn, pn)), np.zeros((pn, pn))],
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        precalculate_rotation_coords=True,
+    )
+    csv = os.path.join(str(tmp_path), 'refsp', 'convergence',
+                       'loss_rank_0.txt')
+    ref_losses = np.atleast_1d(np.genfromtxt(csv, delimiter=',',
+                                             names=True)['loss'])
+
+    cfg = ReconConfig(
+        geometry=geo,
+        train=TrainConfig(minibatch_size=len(pos), learning_rate=lr,
+                          optimizer='gd'))
+    ds = RawDataset(str(tmp_path / 'sparse.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, theta_ls=theta_ls)
+    ours = []
+    for ep in range(n_epochs):
+        rec.run_epoch(ep, callback=lambda e, b, l: ours.append(l))
+    assert len(ref_losses) == len(ours)
+    np.testing.assert_allclose(np.asarray(ours), ref_losses, rtol=1e-4)
+
+
 @pytest.mark.parametrize('loss_type,extra_ref,extra_ours', [
     # Poisson NLL (``adorym/forward_model.py:94-102``)
     ('poisson', {}, {}),
@@ -718,24 +823,7 @@ def test_multidist_loss_parity(tmp_path):
     obj0_i = rng.normal(size=(n, n, 1)) * 0.01
 
     ref_recon = _import_reference()
-    # Reference bug: the driver passes run_bfloat16/run_float64 to every
-    # model (``adorym/ptychography.py:526-532``); MultiDistModel forwards
-    # its **kwargs to ForwardModel.__init__ (``forward_model.py:813``)
-    # which doesn't accept them — the reference's multidist path crashes
-    # as shipped.  Patch the base init to tolerate the extras so the
-    # physics can be compared.
-    import adorym.forward_model as ref_fm
-    if not getattr(ref_fm.ForwardModel.__init__, '_patched', False):
-        orig_init = ref_fm.ForwardModel.__init__
-
-        def patched(self, loss_function_type='lsq', distribution_mode=None,
-                    device=None, common_vars_dict=None,
-                    raw_data_type='magnitude', simulation_mode=False,
-                    **_ignored):
-            orig_init(self, loss_function_type, distribution_mode, device,
-                      common_vars_dict, raw_data_type, simulation_mode)
-        patched._patched = True
-        ref_fm.ForwardModel.__init__ = patched
+    _patch_forwardmodel_init()
     ref_recon(
         fname='md.h5', save_path=str(tmp_path), output_folder='refmd',
         obj_size=(n, n, 1), two_d_mode=True, probe_pos=pos,

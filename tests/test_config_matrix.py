@@ -74,6 +74,44 @@ CASES = [
 ]
 
 
+MESH_CASES = [
+    ('mesh_perangle_rol_shrink',
+     dict(update_scheme='per angle', rotate_out_of_loop=True,
+          shrink_cycle=2, shrink_threshold=1e-9), {}, {}),
+    ('mesh_offload_state_probe_opt',
+     dict(), dict(optimize_probe=True), {}),
+    ('mesh_rwl1_immediate',
+     dict(), {}, dict(alpha_d=1e-8, alpha_b=1e-9, reweighted_l1=True)),
+]
+
+
+@pytest.mark.parametrize('label,train_kw,refine_kw,loss_kw',
+                         MESH_CASES, ids=[c[0] for c in MESH_CASES])
+def test_feature_combination_mesh(drive, label, train_kw, refine_kw,
+                                  loss_kw):
+    """The same interaction guard under a (dp=2, op=2) mesh (+ offloaded
+    moments in one case)."""
+    from adorym_tpu.config import ParallelConfig
+    from adorym_tpu.parallel.mesh import make_mesh
+    geo, data, pos, probe, theta_ls = drive
+    pcfg = ParallelConfig(data_axis=2, object_axis=2,
+                          offload_optimizer_state='offload' in label)
+    cfg = ReconConfig(
+        geometry=geo,
+        train=TrainConfig(minibatch_size=2, learning_rate=1e-6,
+                          **train_kw),
+        refine=RefineConfig(**refine_kw),
+        loss=LossConfig(**loss_kw),
+        parallel=pcfg)
+    rec = Reconstructor(cfg, mesh=make_mesh(pcfg), data=data,
+                        probe_pos=pos, probe_init=probe,
+                        theta_ls=theta_ls,
+                        obj_init=np.zeros((N, N, N, 2), np.float32))
+    losses = [float(np.mean(rec.run_epoch(ep))) for ep in range(8)]
+    assert np.all(np.isfinite(losses)), (label, losses)
+    assert losses[-1] < losses[0], (label, losses)
+
+
 @pytest.mark.parametrize('label,train_kw,refine_kw,loss_kw',
                          CASES, ids=[c[0] for c in CASES])
 def test_feature_combination(drive, label, train_kw, refine_kw, loss_kw):

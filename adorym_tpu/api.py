@@ -27,7 +27,7 @@ import numpy as np
 
 from .config import (Geometry, IOConfig, LossConfig, ParallelConfig,
                      ReconConfig, RefineConfig, TrainConfig)
-from .constants import PI, wavelength_nm
+from .constants import PI
 from .recon import Reconstructor
 
 

@@ -9,7 +9,6 @@ from explicit pytrees, so the whole loss is one jittable function of
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax

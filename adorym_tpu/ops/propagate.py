@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import PI, wavelength_nm
-from .fourier import fft2, ifft2, fft2_and_shift, ifft2_and_shift, fourier_shift
+from .fourier import fft2, ifft2, fft2_and_shift, ifft2_and_shift
 
 #: Fused delta_beta multislice variant switch: below this many bytes of
 #: per-chunk forward intermediates, the STORED-intermediates backward

@@ -18,13 +18,10 @@ for objects that do not fit one chip.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def sharded_patch_gather(obj, positions, probe_size, mesh: Mesh,

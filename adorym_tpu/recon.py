@@ -21,7 +21,6 @@ MPI allreduce (see ``adorym_tpu.parallel``).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Any, Dict, List, Optional, Sequence

@@ -8,7 +8,7 @@ layout, so simulated datasets are interchangeable between frameworks.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from ..constants import wavelength_nm
-from ..ops.image import (generate_disk, generate_gaussian_map,
-                         mag_phase_to_real_imag, upsample_2x)
+from ..ops.image import generate_disk, generate_gaussian_map, upsample_2x
 
 
 def initialize_object(obj_size: Tuple[int, int, int],

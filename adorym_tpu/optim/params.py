@@ -35,7 +35,7 @@ def build_aux_params(cfg: ReconConfig, n_theta: int, n_pos: int,
                      probe_pos_correction_init=None,
                      slice_pos_cm_ls=None, free_prop_cm=None,
                      tilt_init=None, prj_affine_init=None,
-                     ctf_lg_kappa_init=2.0) -> Dict[str, jnp.ndarray]:
+                     ctf_lg_kappa_init=None) -> Dict[str, jnp.ndarray]:
     """Create the auxiliary refinable parameters (excluding obj/probe)."""
     r = cfg.refine
     geo = cfg.geometry
@@ -74,6 +74,11 @@ def build_aux_params(cfg: ReconConfig, n_theta: int, n_pos: int,
             eye = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
             params['prj_affine_ls'] = jnp.tile(eye[None], (geo.n_dists, 1, 1))
     if r.optimize_ctf_lg_kappa:
+        # Default: start at log10 of the configured CTF kappa — a bare
+        # Reconstructor(ctf_kappa=K) then refines from K exactly like
+        # the api's ctf_lg_kappa kwarg (``adorym/ptychography.py:733``).
+        if ctf_lg_kappa_init is None:
+            ctf_lg_kappa_init = float(np.log10(cfg.train.ctf_kappa))
         params['ctf_lg_kappa'] = jnp.full((1,), ctf_lg_kappa_init, jnp.float32)
     return params
 

@@ -931,6 +931,108 @@ def test_multidist_ctf_forward_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4)
 
 
+def _multidist_fixture(tmp_path, seed=11):
+    """Shared 4-distance holography dataset for multidist refinement
+    rows (mirrors test_multidist_loss_parity's setup)."""
+    from adorym_tpu.config import (Geometry, LossConfig, ReconConfig,
+                                   TrainConfig)
+    from adorym_tpu.models import multidist
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.io.data import write_data_file
+    from adorym_tpu.utils.initialize import initialize_probe
+
+    n = 32
+    dists = (0.05, 0.12, 0.3, 0.7)
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+    ph = gaussian_filter(rng.normal(size=(n, n, 1)), (2, 2, 0))
+    ph = ph / np.abs(ph).max() * 0.4
+    obj_true = np.stack([np.cos(ph), np.sin(ph)], -1).astype(np.float32)
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, 1), probe_size=(n, n),
+                          energy_ev=17500.0, psize_cm=1e-5,
+                          free_prop_cm=dists, n_dists=4, two_d_mode=True,
+                          safe_zone_width=0),
+        loss=LossConfig(raw_data_type='intensity'),
+        train=TrainConfig(minibatch_size=1, learning_rate=1e-3,
+                          optimizer='adam', unknown_type='real_imag'))
+    probe = initialize_probe((n, n), 'plane')
+    pos = np.array([[0.0, 0.0]])
+    data = simulate(cfg, obj_true, probe, pos, model=multidist)
+    write_data_file(str(tmp_path / 'mdr.h5'), data ** 2, probe_pos=pos,
+                    energy_ev=17500.0, psize_cm=1e-5, free_prop_cm=dists)
+    obj0_r = np.ones((n, n, 1), np.float64)
+    obj0_i = rng.normal(size=(n, n, 1)) * 0.01
+    return n, dists, cfg, probe, pos, data, obj0_r, obj0_i
+
+
+def _run_multidist_pair(tmp_path, ref_extra, our_refine, tag):
+    """Run reference + ours on the multidist fixture with a refinement
+    enabled; return (ref_losses, our_losses)."""
+    from adorym_tpu.config import RefineConfig
+    import dataclasses
+    from adorym_tpu.models import multidist
+    from adorym_tpu.recon import Reconstructor
+
+    n, dists, cfg, probe, pos, data, obj0_r, obj0_i = _multidist_fixture(
+        tmp_path)
+    ref_recon = _import_reference()
+    _patch_forwardmodel_init()
+    ref_recon(
+        fname='mdr.h5', save_path=str(tmp_path), output_folder=f'ref{tag}',
+        obj_size=(n, n, 1), two_d_mode=True, probe_pos=pos,
+        energy_ev=17500.0, psize_cm=1e-5, free_prop_cm=list(dists),
+        safe_zone_width=0,
+        n_epochs=4, minibatch_size=1, n_dp_batch=1,
+        optimizer='adam', learning_rate=1e-3,
+        unknown_type='real_imag', raw_data_type='intensity',
+        initial_guess=[obj0_r, obj0_i],
+        probe_type='plane',
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        dynamic_rate=False, **ref_extra)
+    csv = os.path.join(str(tmp_path), f'ref{tag}', 'convergence',
+                       'loss_rank_0.txt')
+    ref = np.atleast_1d(np.genfromtxt(csv, delimiter=',',
+                                      names=True)['loss'])
+    cfg = dataclasses.replace(cfg, refine=RefineConfig(**our_refine))
+    obj0 = np.stack([obj0_r * np.cos(obj0_i),
+                     obj0_r * np.sin(obj0_i)], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=data ** 2, probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, model=multidist)
+    ours = []
+    for ep in range(4):
+        rec.i_opt_batch = 0
+        ours.append(rec.run_epoch(ep))
+    return ref, np.asarray(ours)
+
+
+def test_free_prop_refinement_parity(tmp_path):
+    """Refinable propagation distances (``optimize_free_prop``,
+    ``adorym/ptychography.py:722-723``): gradients flow into the
+    per-distance Fresnel kernels, default Adam at 1e-2."""
+    ref, ours = _run_multidist_pair(
+        tmp_path,
+        dict(optimize_free_prop=True, free_prop_learning_rate=1e-2),
+        dict(optimize_free_prop=True, free_prop_learning_rate=1e-2),
+        'fp')
+    assert len(ref) == len(ours)
+    np.testing.assert_allclose(ours, ref, rtol=5e-4)
+
+
+def test_prj_affine_refinement_parity(tmp_path):
+    """Refinable per-distance affines on the measured data
+    (``optimize_prj_affine``; distance 0 pinned to identity)."""
+    ref, ours = _run_multidist_pair(
+        tmp_path,
+        dict(optimize_prj_affine=True, prj_affine_learning_rate=1e-4),
+        dict(optimize_prj_affine=True, prj_affine_learning_rate=1e-4),
+        'aff')
+    assert len(ref) == len(ours)
+    np.testing.assert_allclose(ours, ref, rtol=5e-4)
+
+
 def test_baseline1_64cube_parity(tmp_path, monkeypatch):
     """BASELINE #1 scale: the reference CI config — 64^3 adhesin multislice
     tomography with its real trimmings (plane probe, finite-support mask,

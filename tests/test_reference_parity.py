@@ -723,6 +723,82 @@ def test_sparse_multislice_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(ours), ref_losses, rtol=1e-4)
 
 
+def test_slice_pos_refinement_parity(tmp_path, monkeypatch):
+    """Refinable slice positions in the sparse multislice model
+    (``optimize_slice_pos``: gradients flow into the per-gap Fresnel
+    distances; slice 0 anchored)."""
+    monkeypatch.chdir(tmp_path)
+    from adorym_tpu.config import (Geometry, ReconConfig, RefineConfig,
+                                   TrainConfig)
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate_to_file
+
+    n, pn, n_sl, n_epochs, lr = 16, 8, 16, 3, 1e-6
+    gaps = np.array([1, 2, 5, 1, 3, 8, 2, 1, 4, 6, 2, 3, 1, 5, 1], float)
+    slice_pos_cm = tuple(np.concatenate([[0.0], np.cumsum(gaps)]) * 1e-7)
+    rng = np.random.default_rng(31)
+    obj_true = np.stack([rng.random((n, n, n_sl)) * 1e-3,
+                         rng.random((n, n, n_sl)) * 3e-5],
+                        -1).astype(np.float32)
+    probe = np.stack([np.ones((pn, pn)), np.zeros((pn, pn))], -1
+                     ).astype(np.float32)[None]
+    pos = np.array([[0.0, 0.0], [0.0, 8.0], [8.0, 0.0], [8.0, 8.0]],
+                   dtype=float)
+    theta_ls = np.zeros(1)
+
+    geo = Geometry(obj_size=(n, n, n_sl), probe_size=(pn, pn),
+                   energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf',
+                   slice_pos_cm_ls=slice_pos_cm)
+    cfg_sim = ReconConfig(geometry=geo, train=TrainConfig(minibatch_size=1))
+    simulate_to_file(str(tmp_path / 'spr.h5'), cfg_sim, obj_true, probe,
+                     pos, theta_ls=theta_ls)
+    obj0_d = (rng.random((n, n, n_sl)) * 1e-4).astype(np.float64)
+    obj0_b = (rng.random((n, n, n_sl)) * 1e-6).astype(np.float64)
+
+    ref_recon = _import_reference()
+    _patch_f32_rotation_tables(monkeypatch)
+    _patch_forwardmodel_init()
+    ref_recon(
+        fname='spr.h5', save_path=str(tmp_path), output_folder='refspr',
+        obj_size=(n, n, n_sl), probe_pos=pos, theta_st=0, theta_end=0,
+        n_theta=1,
+        energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf',
+        slice_pos_cm_ls=np.asarray(slice_pos_cm),
+        optimize_slice_pos=True, slice_pos_learning_rate=1e-9,
+        n_epochs=n_epochs, minibatch_size=len(pos), n_dp_batch=len(pos),
+        optimizer='gd', learning_rate=lr, dynamic_rate=False,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied',
+        probe_initial=[np.ones((pn, pn)), np.zeros((pn, pn))],
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        precalculate_rotation_coords=True,
+    )
+    csv = os.path.join(str(tmp_path), 'refspr', 'convergence',
+                       'loss_rank_0.txt')
+    ref_losses = np.atleast_1d(np.genfromtxt(csv, delimiter=',',
+                                             names=True)['loss'])
+
+    cfg = ReconConfig(
+        geometry=geo,
+        train=TrainConfig(minibatch_size=len(pos), learning_rate=lr,
+                          optimizer='gd'),
+        refine=RefineConfig(optimize_slice_pos=True,
+                            slice_pos_learning_rate=1e-9))
+    ds = RawDataset(str(tmp_path / 'spr.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, theta_ls=theta_ls)
+    ours = []
+    for ep in range(n_epochs):
+        rec.i_opt_batch = 0
+        rec.run_epoch(ep, callback=lambda e, b, l: ours.append(l))
+    assert len(ref_losses) == len(ours)
+    np.testing.assert_allclose(np.asarray(ours), ref_losses, rtol=1e-4)
+
+
 @pytest.mark.parametrize('loss_type,extra_ref,extra_ours', [
     # Poisson NLL (``adorym/forward_model.py:94-102``)
     ('poisson', {}, {}),

@@ -191,6 +191,22 @@ def test_position_refinement_parity(parity_setup):
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
+def test_prj_pos_offset_parity(parity_setup):
+    """Per-angle projection (exit-wave) offset refinement
+    (``optimize_prj_pos_offset``: the refined shift is applied to the
+    exit wave in Fourier space, ``shift_exit_wave`` in
+    ``adorym/propagate.py:multislice_propagate_batch``)."""
+    from adorym_tpu.config import RefineConfig
+    n_epochs, lr = 5, 1e-3
+    ours = run_ours(parity_setup, n_epochs, lr, 'gd',
+                    refine=RefineConfig(optimize_prj_pos_offset=True))
+    ref = run_reference(parity_setup, n_epochs, lr, 'gd',
+                        extra=dict(optimize_prj_pos_offset=True),
+                        tag='_prjoff')
+    assert len(ref) == n_epochs, ref
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
 def test_probe_defocus_parity(parity_setup, monkeypatch):
     """Probe defocus refinement (``optimize_probe_defocusing``): the
     scalar defocus propagates the probe by a TF kernel before the

@@ -656,6 +656,84 @@ def test_fixed_tilt_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(ours), ref_losses, rtol=5e-4)
 
 
+def test_tilt_refinement_parity(tmp_path, monkeypatch):
+    """Refined tilt (``optimize_tilt``): gradients flow through the
+    3-axis ``w.rotate`` chain into tilt_ls (initialized at the nominal
+    view angles, ``adorym/ptychography.py:681-682``), default Adam at
+    tilt_learning_rate.  Two positions force PtychographyModel (the
+    full-field model ignores tilt — see test_fixed_tilt_parity)."""
+    monkeypatch.chdir(tmp_path)
+    from adorym_tpu.config import (Geometry, ReconConfig, RefineConfig,
+                                   TrainConfig)
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate_to_file
+
+    n, pn, n_theta, n_epochs, lr = 16, 8, 3, 3, 1e-6
+    rng = np.random.default_rng(37)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = np.stack([np.ones((pn, pn)), np.zeros((pn, pn))], -1
+                     ).astype(np.float32)[None]
+    pos = np.array([[0.0, 0.0], [8.0, 0.0]])
+    theta_ls = np.linspace(0, np.pi, n_theta, endpoint=False)
+
+    geo = Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
+                   energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm='inf')
+    cfg_sim = ReconConfig(geometry=geo, train=TrainConfig(minibatch_size=1))
+    simulate_to_file(str(tmp_path / 'tr.h5'), cfg_sim, obj_true, probe,
+                     pos, theta_ls=theta_ls)
+    obj0_d = (rng.random((n, n, n)) * 1e-4).astype(np.float64)
+    obj0_b = (rng.random((n, n, n)) * 1e-6).astype(np.float64)
+
+    ref_recon = _import_reference()
+    _patch_f32_rotation_tables(monkeypatch)
+    ref_recon(
+        fname='tr.h5', save_path=str(tmp_path), output_folder='reftr',
+        obj_size=(n, n, n), probe_pos=pos, theta_st=0, theta_end=np.pi,
+        energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm='inf',
+        n_epochs=n_epochs, minibatch_size=2, n_dp_batch=2,
+        optimizer='gd', learning_rate=lr, dynamic_rate=False,
+        optimize_tilt=True, tilt_learning_rate=1e-5,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied',
+        probe_initial=[np.ones((pn, pn)), np.zeros((pn, pn))],
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        precalculate_rotation_coords=True,
+    )
+    csv = os.path.join(str(tmp_path), 'reftr', 'convergence',
+                       'loss_rank_0.txt')
+    ref_losses = np.atleast_1d(np.genfromtxt(csv, delimiter=',',
+                                             names=True)['loss'])
+
+    cfg = ReconConfig(
+        geometry=geo,
+        train=TrainConfig(minibatch_size=2, learning_rate=lr,
+                          optimizer='gd'),
+        refine=RefineConfig(optimize_tilt=True, tilt_learning_rate=1e-5))
+    ds = RawDataset(str(tmp_path / 'tr.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, theta_ls=theta_ls)
+
+    def batches_like_reference(_):
+        order = np.arange(n_theta)
+        np.random.seed(rec._epoch_seed)
+        np.random.shuffle(order)
+        return [(int(t), np.array([0, 1])) for t in order]
+
+    rec.make_batches = batches_like_reference
+    ours = []
+    for ep in range(n_epochs):
+        rec._epoch_seed = ep
+        rec.i_opt_batch = 0
+        rec.run_epoch(ep, callback=lambda e, b, l: ours.append(l))
+    assert len(ref_losses) == len(ours)
+    np.testing.assert_allclose(np.asarray(ours), ref_losses, rtol=5e-4)
+
+
 def test_sparse_multislice_parity(tmp_path, monkeypatch):
     """SparseMultisliceModel against the live reference: slices at
     arbitrary ``slice_pos_cm_ls`` depths propagate with per-gap Fresnel

@@ -110,7 +110,22 @@ def run_reference(setup, n_epochs, lr, optimizer, extra=None, tag=''):
     return np.atleast_1d(rows['loss'])
 
 
-def run_ours(setup, n_epochs, lr, optimizer, refine=None):
+def test_beamstop_parity(parity_setup):
+    """Beamstop-masked loss (``adorym/forward_model.py:128-140``: pixels
+    under the stop are excluded from the data term; the mask is
+    binarized at 1e-5)."""
+    root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = parity_setup
+    yy, xx = np.mgrid[:pn, :pn] - (pn - 1) / 2
+    beamstop = (yy ** 2 + xx ** 2 > 3.0 ** 2).astype(np.float32)
+    n_epochs, lr = 5, 1e-3
+    ours = run_ours(parity_setup, n_epochs, lr, 'gd', beamstop=beamstop)
+    ref = run_reference(parity_setup, n_epochs, lr, 'gd',
+                        extra=dict(beamstop=beamstop), tag='_bs')
+    assert len(ref) == n_epochs, ref
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def run_ours(setup, n_epochs, lr, optimizer, refine=None, beamstop=None):
     from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
     from adorym_tpu.io.data import RawDataset
     from adorym_tpu.recon import Reconstructor
@@ -128,7 +143,8 @@ def run_ours(setup, n_epochs, lr, optimizer, refine=None):
                        probe_mag * np.sin(probe_phase)], -1
                       ).astype(np.float32)[None]
     rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
-                        probe_init=probe0, obj_init=obj0)
+                        probe_init=probe0, obj_init=obj0,
+                        beamstop=beamstop)
     losses = []
     for ep in range(n_epochs):
         # Reproduce a reference quirk for the comparison: the reference

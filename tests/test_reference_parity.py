@@ -916,6 +916,9 @@ def test_slice_pos_refinement_parity(tmp_path, monkeypatch):
     # weight refresh ``adorym/ptychography.py:994-1000``)
     ('lsq', dict(alpha_d=5e-5, alpha_b=5e-6, reweighted_l1=True),
      dict(alpha_d=5e-5, alpha_b=5e-6, reweighted_l1=True)),
+    # lsq + total variation (``adorym/regularizers.py`` TV on delta)
+    ('lsq', dict(gamma=1e-6, alpha_d=None, alpha_b=None),
+     dict(gamma=1e-6)),
 ])
 def test_loss_parity_poisson_and_rwl1(parity_setup, loss_type, extra_ref,
                                       extra_ours):
@@ -938,10 +941,11 @@ def test_loss_parity_poisson_and_rwl1(parity_setup, loss_type, extra_ref,
         loss_function_type=loss_type, poisson_multiplier=1.0,
         initial_guess=[obj0_d, obj0_b],
         probe_type='supplied', probe_initial=[probe_mag, probe_phase],
-        gamma=0, use_checkpoint=False, store_checkpoint=False,
+        use_checkpoint=False, store_checkpoint=False,
         save_intermediate=False, backend='pytorch', cpu_only=True,
         dynamic_rate=False,
-        **({'alpha_d': None, 'alpha_b': None} if not extra_ref else extra_ref))
+        **{'gamma': 0, **({'alpha_d': None, 'alpha_b': None}
+                          if not extra_ref else extra_ref)})
     csv = os.path.join(str(root), out, 'convergence', 'loss_rank_0.txt')
     ref = np.atleast_1d(np.genfromtxt(csv, delimiter=',', names=True)['loss'])
 
@@ -949,6 +953,7 @@ def test_loss_parity_poisson_and_rwl1(parity_setup, loss_type, extra_ref,
                           poisson_multiplier=1.0,
                           alpha_d=extra_ours.get('alpha_d', 0.0) or 0.0,
                           alpha_b=extra_ours.get('alpha_b', 0.0) or 0.0,
+                          gamma=extra_ours.get('gamma', 0.0) or 0.0,
                           reweighted_l1=extra_ours.get('reweighted_l1', False))
     cfg = ReconConfig(
         geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),

@@ -86,8 +86,11 @@ def parity_setup(tmp_path_factory):
     return (root, n, pn, pos, probe_mag, probe_phase, obj0_delta, obj0_beta)
 
 
-def run_reference(setup, n_epochs, lr, optimizer, extra=None, tag=''):
+def run_reference(setup, n_epochs, lr, optimizer, extra=None, tag='',
+                  probe_override=None):
     root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = setup
+    if probe_override is not None:
+        probe_mag, probe_phase = probe_override
     ref_recon = _import_reference()
     out = f'ref_out_{optimizer}{tag}'
     ref_recon(
@@ -125,23 +128,28 @@ def test_beamstop_parity(parity_setup):
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
-def run_ours(setup, n_epochs, lr, optimizer, refine=None, beamstop=None):
+def run_ours(setup, n_epochs, lr, optimizer, refine=None, beamstop=None,
+             probe_override=None, n_probe_modes=1):
     from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
     from adorym_tpu.io.data import RawDataset
     from adorym_tpu.recon import Reconstructor
     root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = setup
+    if probe_override is not None:
+        probe_mag, probe_phase = probe_override
     ds = RawDataset(str(root / 'data.h5'))
     cfg = ReconConfig(
         geometry=Geometry(obj_size=(n, n, 1), probe_size=(pn, pn),
                           energy_ev=5000.0, psize_cm=1e-7,
                           free_prop_cm='inf', two_d_mode=True),
         train=TrainConfig(minibatch_size=len(pos), learning_rate=lr,
-                          optimizer=optimizer),
+                          optimizer=optimizer, n_probe_modes=n_probe_modes),
         **({'refine': refine} if refine is not None else {}))
     obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
     probe0 = np.stack([probe_mag * np.cos(probe_phase),
                        probe_mag * np.sin(probe_phase)], -1
-                      ).astype(np.float32)[None]
+                      ).astype(np.float32)
+    if probe0.ndim == 3:
+        probe0 = probe0[None]
     rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
                         probe_init=probe0, obj_init=obj0,
                         beamstop=beamstop)
@@ -184,6 +192,28 @@ def test_probe_optimization_parity(parity_setup):
                         extra=dict(optimize_probe=True,
                                    probe_learning_rate=1e-4),
                         tag='_probe')
+    assert len(ref) == n_epochs, ref
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_probe_modes_parity(parity_setup):
+    """Incoherent probe-mode sum (``n_probe_modes=2``): per-mode exit
+    waves propagate independently and the detector magnitude is
+    sqrt(sum_i |psi_i|^2) (``adorym/forward_model.py`` i_mode loop).
+    Supplied 3D probe arrays pass through verbatim
+    (``adorym/ptychography.py:630-633``)."""
+    root, n, pn, pos, probe_mag, probe_phase, obj0_d, obj0_b = parity_setup
+    y, x = np.mgrid[:pn, :pn] - (pn - 1) / 2
+    mag2 = 0.4 * np.exp(-(x ** 2 + y ** 2) / (2 * 2.5 ** 2))
+    ph2 = -0.2 * np.exp(-((x - 1) ** 2 + y ** 2) / (2 * 3.0 ** 2))
+    mags = np.stack([probe_mag, mag2])
+    phases = np.stack([probe_phase, ph2])
+    n_epochs, lr = 5, 1e-3
+    ours = run_ours(parity_setup, n_epochs, lr, 'gd',
+                    probe_override=(mags, phases), n_probe_modes=2)
+    ref = run_reference(parity_setup, n_epochs, lr, 'gd',
+                        extra=dict(n_probe_modes=2), tag='_modes',
+                        probe_override=(mags, phases))
     assert len(ref) == n_epochs, ref
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 

@@ -424,6 +424,7 @@ class Reconstructor:
         self._logger = None
         self._stdout_f = None
         self._start_epoch = 0
+        self._start_batch = 0
         if output_folder is not None:
             if cfg.io.save_stdout:
                 # Tee progress lines to a timestamped file
@@ -476,14 +477,20 @@ class Reconstructor:
                             np.asarray if k == 'obj' and keep_host_state
                             else jnp.asarray, v)
                         for k, v in r_state.items()}
+                    # Checkpoints store the NEXT (epoch, batch) to run,
+                    # exactly like the reference's resume position
+                    # (``adorym/ptychography.py:848-859``): completed work
+                    # is never re-applied.
                     self._start_epoch = i_epoch
+                    self._start_batch = int(i_batch)
                     self.i_opt_batch = int(extra.get('i_opt_batch', 0))
                     self.global_batch = int(extra.get('global_batch', 0))
                 elif cfg.io.force_to_use_checkpoint:
                     raise FileNotFoundError(
                         'force_to_use_checkpoint set but no checkpoint found')
-            self._logger = out_lib.LossLogger(output_folder,
-                                              append=self._start_epoch > 0)
+            self._logger = out_lib.LossLogger(
+                output_folder,
+                append=self._start_epoch > 0 or self._start_batch > 0)
 
         # -- out-of-core optimizer state (reference 'shared_file' analog,
         #    ``adorym/optimizers.py:96-113,339-363``): the object's moments
@@ -2016,13 +2023,15 @@ class Reconstructor:
         # per-epoch ``len(losses) >= N`` test would never save when one
         # epoch has fewer batches than the cadence).
         n_ckpt = self.cfg.io.n_batch_per_checkpoint
+        # The checkpoint stores the NEXT (epoch, batch) to run — here the
+        # epoch just completed, so resume at (i_epoch + 1, 0).
         if (self.output_folder is not None and self.cfg.io.store_checkpoint
                 and pend['gb_after'] // n_ckpt > pend['gb_before'] // n_ckpt):
-            self.save_checkpoint(i_epoch, self.i_opt_batch)
+            self.save_checkpoint(i_epoch + 1, 0)
         t_max = self.cfg.io.t_max_min
         if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
             if self.output_folder is not None:
-                self.save_checkpoint(i_epoch, self.i_opt_batch)
+                self.save_checkpoint(i_epoch + 1, 0)
             self.stop_requested = True
         mean_loss = float(np.mean(losses))
         self.loss_history.append(mean_loss)
@@ -2108,7 +2117,7 @@ class Reconstructor:
         return out
 
     def _angle_epilogue(self, i_epoch: int, i_batch_epoch: int,
-                        n_b_angle: int) -> int:
+                        n_b_angle: int, n_b_epoch: int = -1) -> int:
         """Shared per-angle host epilogue of the per-angle dispatch paths
         (single-chip and mesh): shrink-wrap at angle granularity — the
         slow path updates the mask every ``shrink_cycle`` batches
@@ -2131,35 +2140,58 @@ class Reconstructor:
                 and self.cfg.io.save_intermediate
                 and self.cfg.io.save_intermediate_level == 'batch'):
             self._save_intermediate(i_epoch, i_batch_epoch - 1)
+        # Checkpoints store the NEXT (epoch, batch) to run.  At an angle
+        # boundary that is (i_epoch, batches-done-this-epoch), or the next
+        # epoch when this was the last angle — resume skips the completed
+        # angles (run_epoch), so no update is ever applied twice.
+        if i_batch_epoch == n_b_epoch:
+            nxt = (i_epoch + 1, 0)
+        else:
+            nxt = (i_epoch, i_batch_epoch)
         if (self.output_folder is not None
                 and self.cfg.io.store_checkpoint
                 and self.i_opt_batch % max(
                     1, self.cfg.io.n_batch_per_checkpoint
                     // max(1, n_b_angle)) == 0):
-            self.save_checkpoint(i_epoch, self.i_opt_batch)
+            self.save_checkpoint(*nxt)
         t_max = self.cfg.io.t_max_min
         if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
             if self.output_folder is not None:
-                self.save_checkpoint(i_epoch, self.i_opt_batch)
+                self.save_checkpoint(*nxt)
             self.stop_requested = True
         return i_batch_epoch
 
-    def _run_epoch_angles(self, i_epoch: int, batches, callback) -> float:
+    def _run_epoch_angles(self, i_epoch: int, batches, callback,
+                          skip: int = 0) -> float:
         """Angle-granular epoch: every angle's minibatches run inside one
-        jitted ``angle_step`` (see _build_step)."""
+        jitted ``angle_step`` (see _build_step).  ``skip``: number of
+        leading batches already completed by an interrupted run (resume)
+        — whole angles are dropped (saves happen at angle boundaries, so
+        the split is exact; a misaligned count rounds DOWN, re-running at
+        most one angle whose update never applied)."""
         t = self.cfg.train
         groups = self._group_batches(batches)
+        n_b_epoch = sum(len(il) for _, il in groups)
+        dropped = 0
+        if skip:
+            kept = []
+            for i_theta, il in groups:
+                if dropped + len(il) <= skip and not kept:
+                    dropped += len(il)
+                else:
+                    kept.append((i_theta, il))
+            groups = kept
 
-        if self._angles_fused_ok(groups):
+        if not skip and self._angles_fused_ok(groups):
             return self._run_epoch_angles_fused(i_epoch, groups, callback)
         mc = self._mc
         if mc is not None:
             mc_dev = self._mc_device_tables()
-            if self._mc_fused_ok(groups):
+            if not skip and self._mc_fused_ok(groups):
                 return self._run_epoch_mc_fused(i_epoch, groups, mc_dev,
                                                 callback)
         losses_dev = []
-        i_batch_epoch = 0  # per-epoch batch counter for shrink-wrap cadence
+        i_batch_epoch = dropped  # per-epoch batch counter (resume-aware)
         for i_theta, inds_list in groups:
             if mc is not None:
                 # Mesh patch-granular fast path: the static tables + the
@@ -2180,7 +2212,7 @@ class Reconstructor:
                 self._rehome_state()
                 losses_dev.append(losses)
                 i_batch_epoch = self._angle_epilogue(
-                    i_epoch, i_batch_epoch, len(inds_list))
+                    i_epoch, i_batch_epoch, len(inds_list), n_b_epoch)
                 if self.stop_requested:
                     break
                 continue
@@ -2239,7 +2271,7 @@ class Reconstructor:
             self._apply_external_algorithm()
             losses_dev.append(losses)
             i_batch_epoch = self._angle_epilogue(i_epoch, i_batch_epoch,
-                                                 len(inds_list))
+                                                 len(inds_list), n_b_epoch)
             if self.stop_requested:
                 break
 
@@ -2253,7 +2285,7 @@ class Reconstructor:
             losses = list(np.concatenate([np.asarray(v)
                                           for v in losses_dev]))
         if callback is not None or self._logger is not None:
-            for b, l in enumerate(losses):
+            for b, l in enumerate(losses, start=dropped):
                 if callback is not None:
                     callback(i_epoch, b, float(l))
                 if self._logger is not None:
@@ -2317,13 +2349,14 @@ class Reconstructor:
         # cross-epoch every-N-batches schedule: save when this epoch
         # crossed a multiple of n_batch_per_checkpoint.
         n_ckpt = self.cfg.io.n_batch_per_checkpoint
+        # Epoch complete: resume position is (i_epoch + 1, 0).
         if (self.output_folder is not None and self.cfg.io.store_checkpoint
                 and self.global_batch // n_ckpt > gb_before // n_ckpt):
-            self.save_checkpoint(i_epoch, n_b - 1)
+            self.save_checkpoint(i_epoch + 1, 0)
         t_max = self.cfg.io.t_max_min
         if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
             if self.output_folder is not None:
-                self.save_checkpoint(i_epoch, n_b - 1)
+                self.save_checkpoint(i_epoch + 1, 0)
             self.stop_requested = True
         mean_loss = float(np.mean(losses))
         self.loss_history.append(mean_loss)
@@ -2345,6 +2378,13 @@ class Reconstructor:
         losses_dev = []
         batch_ids = []
         batches = self.make_batches(rng)
+        # Resume position: a restored checkpoint names the NEXT (epoch,
+        # batch) to run; the first resumed epoch skips its completed
+        # leading batches (``adorym/ptychography.py:859`` starting_batch).
+        skip = 0
+        if i_epoch == self._start_epoch and self._start_batch:
+            skip = min(self._start_batch, len(batches))
+            self._start_batch = 0
         # Reweighted-L1 weight refresh cadence: every 10 batches, exactly
         # like the reference (``adorym/ptychography.py:998``).
         update_interval = 10
@@ -2378,14 +2418,15 @@ class Reconstructor:
         if self._per_angle_path_ok():
             # (Out-of-core measurement data composes: with a FastLoader the
             # angle's rows stream through the native mmap gather.)
-            return self._run_epoch_angles(i_epoch, batches, callback)
+            return self._run_epoch_angles(i_epoch, batches, callback,
+                                          skip=skip)
         # Immediate-update epochs fuse into ONE compiled program (a scan of
         # the per-batch step) when nothing needs a mid-epoch host visit:
         # remote-dispatch latency dominates small 2D batches otherwise.
         data_bytes = (self.data.dtype.itemsize * len(batches)
                       * t.minibatch_size * int(np.prod(self.data.shape[2:]))
                       if self.data is not None else np.inf)
-        if (not use_accum and not self.second_order
+        if (not use_accum and not self.second_order and skip == 0
                 and self.external_algorithm is None
                 and self.loader is None and self.expand_indices is None
                 and self.mesh is None
@@ -2399,7 +2440,7 @@ class Reconstructor:
         obj_rot = None
         cur_angle = None
 
-        for i_batch, (i_theta, inds) in enumerate(batches):
+        for i_batch, (i_theta, inds) in list(enumerate(batches))[skip:]:
             if self._needs_weight_l1 and i_batch % update_interval == 0:
                 # Reweighted-L1 weight refresh every 10 batches, exactly
                 # like the reference (``adorym/ptychography.py:997-999``).
@@ -2502,16 +2543,19 @@ class Reconstructor:
                 self._save_intermediate(i_epoch, i_batch)
             losses_dev.append(loss)
             batch_ids.append(i_batch)
+            # Checkpoints store the NEXT (epoch, batch) to run.
+            nxt = ((i_epoch + 1, 0) if i_batch + 1 == len(batches)
+                   else (i_epoch, i_batch + 1))
             if (self.output_folder is not None
                     and self.cfg.io.store_checkpoint
                     and (i_batch + 1) % self.cfg.io.n_batch_per_checkpoint == 0):
-                self.save_checkpoint(i_epoch, i_batch)
+                self.save_checkpoint(*nxt)
             # HPC walltime guard (``adorym/ptychography.py:864-868``):
             # checkpoint and stop cleanly before the scheduler kills us.
             t_max = self.cfg.io.t_max_min
             if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
                 if self.output_folder is not None:
-                    self.save_checkpoint(i_epoch, i_batch)
+                    self.save_checkpoint(*nxt)
                 self.stop_requested = True
                 break
         losses = [float(v) for v in np.asarray(jnp.stack(losses_dev))]
@@ -2542,6 +2586,12 @@ class Reconstructor:
             n_epochs = t.max_nepochs if t.n_epochs == 'auto' else int(t.n_epochs)
         auto = t.n_epochs == 'auto'
         rng = np.random.default_rng(t.seed)
+        # Resumed runs replay the skipped epochs' rng draws so the stream
+        # (and therefore each epoch's batch shuffle) matches the
+        # uninterrupted run exactly.
+        for _ in range(self._start_epoch):
+            self.make_batches(rng)
+        i_epoch = self._start_epoch - 1
         for i_epoch in range(self._start_epoch, n_epochs):
             t0 = time.time()
             loss = self.run_epoch(i_epoch, rng, callback=callback)
@@ -2562,8 +2612,11 @@ class Reconstructor:
                                   self.cfg.train.unknown_type)
             out_lib.output_probe(np.asarray(self.params['probe']),
                                  self.output_folder)
-            if self.cfg.io.store_checkpoint:
-                self.save_checkpoint(len(self.loss_history), 0)
+            if self.cfg.io.store_checkpoint and not self.stop_requested:
+                # Final checkpoint: resume position is the epoch after the
+                # last completed one (resume-aware — loss_history is not
+                # restored across resumes, so its length is not the label).
+                self.save_checkpoint(i_epoch + 1, 0)
         return self.results()
 
     # ------------------------------------------------------------------

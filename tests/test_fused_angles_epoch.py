@@ -348,3 +348,41 @@ def test_fused_gate_rejects_host_visit_configs():
     assert not rec._angles_fused_ok(groups[:1])
     rec._data_dev_ok = False
     assert not rec._angles_fused_ok(groups)
+
+
+def test_fused_path_checkpoint_resume(tmp_path):
+    """Checkpoint/resume through the angle-fused path: a run interrupted
+    after 2 epochs and resumed for 2 more must land exactly where an
+    uninterrupted 4-epoch run does (params and optimizer state round-trip
+    through the npz checkpoint)."""
+    import dataclasses
+    cfg, data, pos, theta_ls, obj0 = _setup()
+    io_on = dataclasses.replace(cfg.io, store_checkpoint=True,
+                                use_checkpoint=False,
+                                n_batch_per_checkpoint=1)
+
+    rec = Reconstructor(dataclasses.replace(cfg, io=io_on), data=data,
+                        probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0.copy(), output_folder=str(tmp_path))
+    rec._data_dev_ok = True
+    for ep in range(4):
+        rec.run_epoch(ep)
+    ref_obj = np.asarray(rec.params['obj'])
+
+    out2 = tmp_path / 'resumed'
+    rec1 = Reconstructor(dataclasses.replace(cfg, io=io_on), data=data,
+                         probe_pos=pos, theta_ls=theta_ls,
+                         obj_init=obj0.copy(), output_folder=str(out2))
+    rec1._data_dev_ok = True
+    for ep in range(2):
+        rec1.run_epoch(ep)
+    io_resume = dataclasses.replace(io_on, use_checkpoint=True)
+    rec2 = Reconstructor(dataclasses.replace(cfg, io=io_resume), data=data,
+                         probe_pos=pos, theta_ls=theta_ls,
+                         obj_init=obj0.copy(), output_folder=str(out2))
+    rec2._data_dev_ok = True
+    assert rec2._start_epoch == 2, rec2._start_epoch
+    for ep in range(rec2._start_epoch, 4):
+        rec2.run_epoch(ep)
+    np.testing.assert_allclose(np.asarray(rec2.params['obj']), ref_obj,
+                               rtol=0, atol=0)

@@ -212,6 +212,29 @@ def wait_for_pool(max_wait_s: float = 2400.0, probe_timeout_s: float = 120.0,
         time.sleep(retry_s)
 
 
+class _MeasureTimeout(Exception):
+    pass
+
+
+def _with_timeout(seconds, fn, *args, **kwargs):
+    """Run ``fn`` under a SIGALRM watchdog: the shared pool can die MID-
+    measurement (the loss fetch then blocks forever — jax gives no
+    timeout), which would hang the whole bench.  The alarm converts the
+    hang into an exception so a partial result can still be reported."""
+    import signal
+
+    def _handler(signum, frame):
+        raise _MeasureTimeout(f'measurement exceeded {seconds}s')
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(int(seconds))
+    try:
+        return fn(*args, **kwargs)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     if not wait_for_pool():
         print(json.dumps({
@@ -222,12 +245,26 @@ def main():
             'error': 'device pool unavailable (probe timed out for 40 min)',
         }))
         return
-    f32 = measure_ours(run_bfloat16=False, time_box=210.0)
+    try:
+        # Generous ceiling: remote first-compile is slow (~2-3 min for the
+        # fused epoch) + warmup epoch + the 210 s time box.
+        f32 = _with_timeout(1800, measure_ours, run_bfloat16=False,
+                            time_box=210.0)
+    except _MeasureTimeout as e:
+        print(json.dumps({
+            'metric': 'ptychotomo_256_patterns_per_sec_per_chip',
+            'value': None,
+            'unit': 'patterns/s/chip',
+            'vs_baseline': None,
+            'error': f'pool died mid-measurement: {e}',
+        }))
+        return
     # bf16 is the validated fastest flagship setting (quality bound in
     # tests/test_bf16_quality.py); capture it alongside f32 and headline
     # the better of the two.
     try:
-        bf16 = measure_ours(run_bfloat16=True, time_box=150.0)
+        bf16 = _with_timeout(1500, measure_ours, run_bfloat16=True,
+                             time_box=150.0)
     except Exception as e:
         print(f'bf16 measurement failed: {type(e).__name__}: {e}',
               file=sys.stderr)

@@ -37,6 +37,16 @@ _IGNORED = {
     'dist_mode_n_batch_per_update', 'interpolation',
     'dynamic_dropping', 'dropping_threshold',
     'fourier_disparity', 'debug',
+    # optimizer_batch_number_increment ('angle'|'batch') picks the object
+    # optimizer's step-counter granularity upstream
+    # (adorym/ptychography.py:1267-1271).  Here the counter advances per
+    # UPDATE, uniformly: one per batch under 'immediate' (= the
+    # reference's 'batch' setting) and one per angle under 'per angle'
+    # accumulation (= its default 'angle').  The reference's default
+    # 'angle' counting combined with per-batch immediate updates applies
+    # a stale Adam bias correction (counter lags the updates); matching
+    # that would reproduce an inconsistency, not a behavior.  See
+    # PARITY.md deviations.
     'optimizer_batch_number_increment',
     'n_dp_batch', 'run_float64',
     # Dead in the reference itself (accepted but never read anywhere in

@@ -32,9 +32,19 @@ from .recon import Reconstructor
 
 
 _IGNORED = {
+    # Backend/device selection and MPI/HDF5 plumbing subsumed by JAX:
+    # one implementation, mesh sharding, no lookup tables (computed
+    # in-jit — and correct for non-cubic volumes, unlike the reference's
+    # f16 tables), no HDF5 caches (cache_dtype), no alltoall splits.
     'backend', 'cpu_only', 'gpu_index', 'xpu', 'core_parallelization',
     'precalculate_rotation_coords', 'cache_dtype', 'n_split_mpi_ata',
-    'dist_mode_n_batch_per_update', 'interpolation',
+    'dist_mode_n_batch_per_update',
+    # interpolation ('bilinear'|'nearest') IS live upstream; only
+    # bilinear (the default) is implemented here — 'nearest' rotation
+    # warns and falls back.
+    'interpolation',
+    # Dead in the reference (signature-only): dynamic_dropping /
+    # dropping_threshold (:161), fourier_disparity (:121).
     'dynamic_dropping', 'dropping_threshold',
     'fourier_disparity', 'debug',
     # optimizer_batch_number_increment ('angle'|'batch') picks the object
@@ -134,6 +144,9 @@ def reconstruct_ptychography(
         **kwargs) -> Dict[str, Any]:
     """Run a reconstruction from an Adorym-layout HDF5 file.  Returns the
     results dict (object, probe, refined params, loss history)."""
+    if kwargs.get('interpolation', 'bilinear') != 'bilinear':
+        warnings.warn("interpolation='nearest' is not implemented; "
+                      'rotations use bilinear (the reference default)')
     for k in kwargs:
         if k in _IGNORED or k in _PROBE_KWARGS:
             continue

@@ -151,6 +151,13 @@ class TrainConfig:
     run_bfloat16: bool = False
     # Fused Pallas multislice kernel: 'auto' (TPU only) | 'on' | 'off'.
     fused_multislice: str = 'auto'
+    # Fold the object-to-detector (Fraunhofer / Fresnel TF) propagation
+    # into the fused multislice kernel's final step, skipping the separate
+    # XLA FFT dispatch and the exit wave's HBM round trip: 'auto' (fold
+    # whenever eligible — plain delta_beta multislice, no prj-pos-offset
+    # or free-prop refinement) | 'off'.  Math-identical to f32 roundoff
+    # (DFT-by-matmul vs XLA FFT, like the kernel's inter-slice steps).
+    fuse_farfield: str = 'auto'
     # Patch-granular gradient accumulation in the angle-fused step (auto-
     # enabled when the scan table is a constant-stride grid — see
     # ops/patches.detect_row_grid; this flag forces it for other tables,

@@ -200,6 +200,18 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
     else:
         fused = {'auto': 'auto', 'on': True, 'off': False}[
             cfg.train.fused_multislice]
+        # Hand the detector propagation to the propagator so the fused
+        # Pallas path can fold it into its last kernel step (the exit wave
+        # then never round-trips HBM); ineligible whenever something sits
+        # BETWEEN the exit wave and the detector (prj_pos_offset shift) or
+        # the distance itself is refined (gradients must flow through the
+        # XLA free-space propagation).
+        final_prop = None
+        if (cfg.train.fuse_farfield != 'off'
+                and not cfg.refine.optimize_prj_pos_offset
+                and not cfg.refine.optimize_free_prop):
+            final_prop = {'free_prop_cm': geo.free_prop_cm,
+                          'normalize_fft': cfg.loss.normalize_fft}
         exit_wave = prop.multislice_propagate(
             delta, beta, wave, geo.energy_ev, geo.psize_cm,
             slice_spacing_cm=geo.slice_spacing_cm, binning=geo.binning,
@@ -207,7 +219,13 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
             fresnel_approx=geo.fresnel_approx,
             sign_convention=geo.sign_convention,
             scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa, fused=fused,
-            prebinned=prebinned_z, mxu_bf16=cfg.train.run_bfloat16)
+            prebinned=prebinned_z, mxu_bf16=cfg.train.run_bfloat16,
+            final_prop=final_prop)
+        if final_prop is not None:
+            det_wave = exit_wave.astype(jnp.complex64)
+            if return_wave:
+                return det_wave
+            return incoherent_mode_sum(det_wave)
 
     if cfg.refine.optimize_prj_pos_offset:
         exit_wave = fourier_shift(exit_wave,

@@ -292,12 +292,19 @@ def _db_mod(d, b, k1, s):
 
 
 def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
-                   py_r, py_i, px_r, px_i,
-                   out_r_ref, out_i_ref, w_r, w_i, *, k1, s):
+                   py_r, py_i, px_r, px_i, *rest, k1, s, final=False):
     """Like _fwd_kernel but takes the two REAL object channels and computes
     the complex modulator on the VPU — half the modulator stream bytes and
     NO intermediate-wavefield output (the backward reconstructs them).
-    Propagation via the FOLDED per-axis mats (:func:`_fold_prop_mats`)."""
+    Propagation via the FOLDED per-axis mats (:func:`_fold_prop_mats`).
+
+    ``final=True`` threads 4 extra matrix refs (ay, ax as real/imag): the
+    object-to-detector propagation folded into the LAST step, so the kernel
+    emits the DETECTOR wave and the exit wave never round-trips HBM."""
+    if final:
+        ay_r, ay_i, ax_r, ax_i, out_r_ref, out_i_ref, w_r, w_i = rest
+    else:
+        out_r_ref, out_i_ref, w_r, w_i = rest
     step = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
@@ -318,19 +325,30 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
 
     @pl.when(step == n_steps - 1)
     def _():
-        out_r_ref[:] = mr
-        out_i_ref[:] = mi
+        if final:
+            fr, fi = _apply_prop(mr, mi, ay_r[:], ay_i[:], ax_r[:], ax_i[:])
+            out_r_ref[:] = fr
+            out_i_ref[:] = fi
+        else:
+            out_r_ref[:] = mr
+            out_i_ref[:] = mi
 
 
 def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
-                      py_r, py_i, px_r, px_i,
-                      out_r_ref, out_i_ref, inter_r_ref, inter_i_ref,
-                      w_r, w_i, *, k1, s):
+                      py_r, py_i, px_r, px_i, *rest, k1, s, final=False):
     """Modulator-fused forward that RECORDS the per-step entering
     wavefields (like _fwd_kernel) — pairs with _bwd_db_st_kernel's cheap
     1-propagation backward.  Streams half the modulator bytes of the
     t_all kernel (two f32 planes instead of complex).  Propagation via
-    the FOLDED per-axis mats (:func:`_fold_prop_mats`)."""
+    the FOLDED per-axis mats (:func:`_fold_prop_mats`).
+
+    ``final=True``: 4 extra refs (ay, ax real/imag) fold the detector
+    propagation into the last step (see :func:`_fwd_db_kernel`)."""
+    if final:
+        (ay_r, ay_i, ax_r, ax_i, out_r_ref, out_i_ref,
+         inter_r_ref, inter_i_ref, w_r, w_i) = rest
+    else:
+        out_r_ref, out_i_ref, inter_r_ref, inter_i_ref, w_r, w_i = rest
     step = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
@@ -358,26 +376,44 @@ def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
 
     @pl.when(step == n_steps - 1)
     def _():
-        out_r_ref[:] = mr
-        out_i_ref[:] = mi
+        if final:
+            fr, fi = _apply_prop(mr, mi, ay_r[:], ay_i[:], ax_r[:], ax_i[:])
+            out_r_ref[:] = fr
+            out_i_ref[:] = fi
+        else:
+            out_r_ref[:] = mr
+            out_i_ref[:] = mi
 
 
 def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
                       g_r_ref, g_i_ref, ty_r, ty_i, tx_r, tx_i,
-                      gd_ref, gb_ref, gw_r_ref, gw_i_ref,
-                      a_r, a_i, *, k1, s):
+                      *rest, k1, s, final=False):
     """Reverse sweep with stored intermediates (like _bwd_kernel) but the
     modulator recomputed from the two object planes and the cotangent
     emitted directly as (gd, gb) — the modulator VJP fuses in-kernel.
     ``ty/tx``: TRANSPOSE-variant folded mats (cotangent flows through
-    ``P^T``)."""
+    ``P^T``).
+
+    ``final=True``: 4 extra refs (TRANSPOSED final mats) — the incoming
+    cotangent is in detector space and first flows through the transpose
+    of the folded detector propagation."""
+    if final:
+        fy_r, fy_i, fx_r, fx_i, gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
+    else:
+        gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
     st = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
     @pl.when(st == 0)
     def _():
-        a_r[:] = g_r_ref[:]
-        a_i[:] = g_i_ref[:]
+        if final:
+            pr, pi = _apply_prop(g_r_ref[:], g_i_ref[:],
+                                 fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+            a_r[:] = pr
+            a_i[:] = pi
+        else:
+            a_r[:] = g_r_ref[:]
+            a_i[:] = g_i_ref[:]
 
     @pl.when(st > 0)
     def _():
@@ -410,8 +446,7 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
 
 def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
                    ty_r, ty_i, tx_r, tx_i, iy_r, iy_i, ix_r, ix_i,
-                   gd_ref, gb_ref, gw_r_ref, gw_i_ref,
-                   a_r, a_i, v_r, v_i, *, k1, s):
+                   *rest, k1, s, final=False):
     """Reverse sweep with NO stored intermediates: the Fresnel step is
     invertible (H is unit-modulus under the paraxial approximation and the
     delta_beta transmission never vanishes), so the pre-modulation
@@ -421,16 +456,39 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
     computed directly from the object channels (no division).
     Cotangent flow is the plain transpose, as in _bwd_kernel.
     ``ty/tx``: TRANSPOSE-variant folded mats; ``iy/ix``: INVERSE-variant
-    (:func:`_split_prop_variants`)."""
+    (:func:`_split_prop_variants`).
+
+    ``final=True``: 8 extra refs — the TRANSPOSE (fy/fx) and exact INVERSE
+    (ey/ex) of the folded detector propagation.  The recorded output is
+    then the DETECTOR wave: the cotangent enters through the transpose and
+    the exit wave is reconstructed through the inverse (the Fraunhofer DFT
+    is invertible exactly; unlike the unit-modulus Fresnel mats its
+    unnormalized form is NOT unitary, so the inverse is supplied, not
+    derived by conjugation)."""
+    if final:
+        (fy_r, fy_i, fx_r, fx_i, ey_r, ey_i, ex_r, ex_i,
+         gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i, v_r, v_i) = rest
+    else:
+        gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i, v_r, v_i = rest
     st = pl.program_id(1)
     n_steps = pl.num_programs(1)
 
     @pl.when(st == 0)
     def _():
-        a_r[:] = g_r_ref[:]
-        a_i[:] = g_i_ref[:]
-        v_r[:] = out_r_ref[:]        # m(S-1) = exit wave (no final prop)
-        v_i[:] = out_i_ref[:]
+        if final:
+            pr, pi = _apply_prop(g_r_ref[:], g_i_ref[:],
+                                 fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+            a_r[:] = pr
+            a_i[:] = pi
+            qr, qi = _apply_prop(out_r_ref[:], out_i_ref[:],
+                                 ey_r[:], ey_i[:], ex_r[:], ex_i[:])
+            v_r[:] = qr                  # m(S-1) reconstructed from det wave
+            v_i[:] = qi
+        else:
+            a_r[:] = g_r_ref[:]
+            a_i[:] = g_i_ref[:]
+            v_r[:] = out_r_ref[:]        # m(S-1) = exit wave (no final prop)
+            v_i[:] = out_i_ref[:]
 
     @pl.when(st > 0)
     def _():
@@ -673,8 +731,16 @@ def _multislice_fused_bwd(interpret, bf16, res, g):
 multislice_fused.defvjp(_multislice_fused_fwd, _multislice_fused_bwd)
 
 
+def _final_ri(ay, ax):
+    """Complex per-axis final-prop mats -> 4 f32 operand planes."""
+    return [jnp.real(ay).astype(jnp.float32),
+            jnp.imag(ay).astype(jnp.float32),
+            jnp.real(ax).astype(jnp.float32),
+            jnp.imag(ax).astype(jnp.float32)]
+
+
 def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
-                 bf16=False):
+                 bf16=False, fay=None, fax=None):
     with _dot_precision(bf16):
         n_steps, N0, ny, nx = d.shape
         M = w_r.shape[0]
@@ -685,6 +751,7 @@ def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         n_blocks = N // NB
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         fwd_mats = _split_prop_variants(py, px)
+        final = fay is not None
         vmem = pltpu.VMEM
         db_spec = pl.BlockSpec((1, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
                                memory_space=vmem)
@@ -700,20 +767,24 @@ def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
         mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)]
+        f_specs = mat_specs if final else []
+        f_ops = _final_ri(fay, fax) if final else []
         out = pl.pallas_call(
-            functools.partial(_fwd_db_kernel, k1=k1, s=s),
+            functools.partial(_fwd_db_kernel, k1=k1, s=s, final=final),
             grid=(n_blocks, n_steps),
-            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs,
+            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs
+                     + f_specs,
             out_specs=(w0_spec, w0_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, w_r, w_i, *fwd_mats)
+        )(d, b, w_r, w_i, *fwd_mats, *f_ops)
         return out
 
 
 def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
-                 interpret=False, bf16=False):
+                 interpret=False, bf16=False, fay=None, fax=None,
+                 fayi=None, faxi=None):
     with _dot_precision(bf16):
         n_steps, N0, ny, nx = d.shape
         M = g_r.shape[0]
@@ -742,22 +813,29 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
+        final = fay is not None
         mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+        f_specs = ([m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)] * 2
+                   if final else [])
+        # Transpose for the incoming cotangent, exact inverse for the wave
+        # reconstruction (the unnormalized Fraunhofer DFT is not unitary).
+        f_ops = (_final_ri(fay.T, fax.T) + _final_ri(fayi, faxi)
+                 if final else [])
         return pl.pallas_call(
-            functools.partial(_bwd_db_kernel, k1=k1, s=s),
+            functools.partial(_bwd_db_kernel, k1=k1, s=s, final=final),
             grid=(n_blocks, n_steps),
             in_specs=[db_rev, db_rev, w_spec, w_spec, w_spec, w_spec]
-                     + mat_specs,
+                     + mat_specs + f_specs,
             out_specs=(db_rev, db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 4,
             interpret=interpret,
-        )(d, b, out_r, out_i, g_r, g_i, *t_mats, *i_mats)
+        )(d, b, out_r, out_i, g_r, g_i, *t_mats, *i_mats, *f_ops)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def multislice_db(delta, beta, wave, kernel, k1, s, interpret=False,
-                  bf16=False):
+                  bf16=False, fay=None, fax=None, fayi=None, faxi=None):
     """Modulator-fused multislice: per step ``t = exp(-k1*b - i*s*k1*d)``
     computed in-kernel, then ``w <- IFFT(FFT(w*t) H)``; the backward pass
     RECONSTRUCTS the forward wavefields by inverting the (unit-modulus)
@@ -783,40 +861,46 @@ def multislice_db(delta, beta, wave, kernel, k1, s, interpret=False,
     physical multislice regimes, where per-step absorption is <<1%); for
     pathological absorption keep :data:`..propagate.DB_STORED_MAX_BYTES`
     high enough that :func:`multislice_db_stored` is selected.
+
+    ``fay``/``fax`` (with exact inverses ``fayi``/``faxi``): optional
+    per-axis detector-propagation matrices folded into the LAST step —
+    the kernel then returns the DETECTOR wave (see
+    ``propagate.final_prop_mats``).  Geometry, not differentiated.
     """
     out, _ = _multislice_db_fwd(delta, beta, wave, kernel, k1, s, interpret,
-                                bf16)
+                                bf16, fay, fax, fayi, faxi)
     return out
 
 
 def _multislice_db_fwd(delta, beta, wave, kernel, k1, s, interpret,
-                       bf16=False):
+                       bf16=False, fay=None, fax=None, fayi=None, faxi=None):
     N = delta.shape[1]
     o_r, o_i = _call_fwd_db(delta, beta, jnp.real(wave), jnp.imag(wave),
                             jnp.real(kernel), jnp.imag(kernel), k1, s,
-                            interpret=interpret, bf16=bf16)
+                            interpret=interpret, bf16=bf16, fay=fay, fax=fax)
     out = (o_r[:, :N] + 1j * o_i[:, :N]).astype(jnp.complex64)
-    return out, (delta, beta, o_r, o_i, kernel)
+    return out, (delta, beta, o_r, o_i, kernel, fay, fax, fayi, faxi)
 
 
 def _multislice_db_bwd(k1, s, interpret, bf16, res, g):
-    delta, beta, o_r, o_i, kernel = res
+    delta, beta, o_r, o_i, kernel, fay, fax, fayi, faxi = res
     N = delta.shape[1]
     # o_r/o_i come back batch-padded when N % NB != 0 — the bwd re-pads its
     # own inputs identically, so slice to N first for a consistent shape.
     gd, gb, gw_r, gw_i = _call_bwd_db(
         delta, beta, o_r[:, :N], o_i[:, :N],
         jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
-        k1, s, interpret=interpret, bf16=bf16)
+        k1, s, interpret=interpret, bf16=bf16, fay=fay, fax=fax,
+        fayi=fayi, faxi=faxi)
     gw = (gw_r[:, :N] + 1j * gw_i[:, :N]).astype(jnp.complex64)
-    return gd[:, :N], gb[:, :N], gw, None
+    return (gd[:, :N], gb[:, :N], gw, None, None, None, None, None)
 
 
 multislice_db.defvjp(_multislice_db_fwd, _multislice_db_bwd)
 
 
 def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
-                    bf16=False):
+                    bf16=False, fay=None, fax=None):
     with _dot_precision(bf16):
         n_steps, N0, ny, nx = d.shape
         M = w_r.shape[0]
@@ -845,20 +929,24 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), d.dtype),
             jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), d.dtype),
         )
+        final = fay is not None
         mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)]
+        f_specs = mat_specs if final else []
+        f_ops = _final_ri(fay, fax) if final else []
         return pl.pallas_call(
-            functools.partial(_fwd_db_st_kernel, k1=k1, s=s),
+            functools.partial(_fwd_db_st_kernel, k1=k1, s=s, final=final),
             grid=(n_blocks, n_steps),
-            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs,
+            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs
+                     + f_specs,
             out_specs=(w0_spec, w0_spec, inter_spec, inter_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, w_r, w_i, *fwd_mats)
+        )(d, b, w_r, w_i, *fwd_mats, *f_ops)
 
 
 def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
-                    interpret=False, bf16=False):
+                    interpret=False, bf16=False, fay=None, fax=None):
     with _dot_precision(bf16):
         n_steps, N0, ny, nx = d.shape
         M = g_r.shape[0]
@@ -892,52 +980,60 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
+        final = fay is not None
         mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)]
+        f_specs = mat_specs if final else []
+        # Cotangent enters in detector space: transpose of the final prop.
+        f_ops = _final_ri(fay.T, fax.T) if final else []
         return pl.pallas_call(
-            functools.partial(_bwd_db_st_kernel, k1=k1, s=s),
+            functools.partial(_bwd_db_st_kernel, k1=k1, s=s, final=final),
             grid=(n_blocks, n_steps),
             in_specs=[db_rev, db_rev, inter_rev, inter_rev, w_spec, w_spec]
-                     + mat_specs,
+                     + mat_specs + f_specs,
             out_specs=(db_rev, db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, inter_r, inter_i, g_r, g_i, *t_mats)
+        )(d, b, inter_r, inter_i, g_r, g_i, *t_mats, *f_ops)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def multislice_db_stored(delta, beta, wave, kernel, k1, s, interpret=False,
-                         bf16=False):
+                         bf16=False, fay=None, fax=None, fayi=None,
+                         faxi=None):
     """Modulator-fused multislice with STORED intermediates: the object
     channels stream as two f32 planes and the modulator (and its VJP)
     compute in-kernel, while the backward replays recorded wavefields with
     ONE propagation per step (the invertible variant pays two).  Fastest
-    f32 kernel at flagship shapes; same interface as multislice_db."""
+    f32 kernel at flagship shapes; same interface as multislice_db
+    (``fayi``/``faxi`` are accepted for that symmetry but unused — the
+    stored backward never reconstructs waves)."""
     out, _ = _multislice_db_st_fwd(delta, beta, wave, kernel, k1, s,
-                                   interpret, bf16)
+                                   interpret, bf16, fay, fax, fayi, faxi)
     return out
 
 
 def _multislice_db_st_fwd(delta, beta, wave, kernel, k1, s, interpret,
-                          bf16=False):
+                          bf16=False, fay=None, fax=None, fayi=None,
+                          faxi=None):
     N = delta.shape[1]
     o_r, o_i, inter_r, inter_i = _call_fwd_db_st(
         delta, beta, jnp.real(wave), jnp.imag(wave),
         jnp.real(kernel), jnp.imag(kernel), k1, s,
-        interpret=interpret, bf16=bf16)
+        interpret=interpret, bf16=bf16, fay=fay, fax=fax)
     out = (o_r[:, :N] + 1j * o_i[:, :N]).astype(jnp.complex64)
-    return out, (delta, beta, inter_r, inter_i, kernel)
+    return out, (delta, beta, inter_r, inter_i, kernel, fay, fax)
 
 
 def _multislice_db_st_bwd(k1, s, interpret, bf16, res, g):
-    delta, beta, inter_r, inter_i, kernel = res
+    delta, beta, inter_r, inter_i, kernel, fay, fax = res
     N = delta.shape[1]
     gd, gb, gw_r, gw_i = _call_bwd_db_st(
         delta, beta, inter_r, inter_i,
         jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
-        k1, s, interpret=interpret, bf16=bf16)
+        k1, s, interpret=interpret, bf16=bf16, fay=fay, fax=fax)
     gw = (gw_r[:, :N] + 1j * gw_i[:, :N]).astype(jnp.complex64)
-    return gd[:, :N], gb[:, :N], gw, None
+    return (gd[:, :N], gb[:, :N], gw, None, None, None, None, None)
 
 
 multislice_db_stored.defvjp(_multislice_db_st_fwd, _multislice_db_st_bwd)

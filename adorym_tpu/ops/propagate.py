@@ -118,6 +118,76 @@ def fresnel_propagate(wave, dist_nm, lmbda_nm, voxel_nm, kernel=None,
     return ifft2(fft2(wave) * kernel)
 
 
+def final_prop_mats(shape, voxel_nm, lmbda_nm, free_prop_cm,
+                    sign_convention=1, normalize_fft=False,
+                    fresnel_approx=True):
+    """Object-to-detector propagation as per-axis dense matrices.
+
+    Returns ``(ay, ax, ay_inv, ax_inv)`` complex such that
+    ``free_space_propagate(w) == ay @ w @ ax.T`` (with exact inverses for
+    wave reconstruction), for folding into the fused Pallas multislice
+    kernel's LAST step — the exit wave then never round-trips HBM and the
+    separate XLA FFT dispatch disappears.  Returns ``None`` when the
+    propagation is not expressible as a separable matrix pair (non-paraxial
+    finite-distance kernels).
+
+    * ``free_prop_cm='inf'``: Fraunhofer — fftshifted (I)FFT2
+      (``free_space_propagate``); both axes are ``S @ F`` with ``S`` the
+      fftshift permutation.  NOT unitary when unnormalized, so the exact
+      inverse ``G @ S^T`` is returned rather than derived by conjugation.
+    * finite distance + ``fresnel_approx``: the folded unitary TF pair
+      (:func:`.pallas_multislice._fold_prop_mats`); inverse by conjugation.
+    """
+    import jax.numpy as _jnp
+    ny, nx = int(shape[0]), int(shape[1])
+    if isinstance(free_prop_cm, str) and free_prop_cm == 'inf':
+        from .fourier import dft_matrix
+
+        def _axis(n):
+            shift_perm = np.fft.fftshift(np.eye(n, dtype=np.complex64),
+                                         axes=0)
+            f = dft_matrix(n)
+            g = dft_matrix(n, inverse=True)
+            if sign_convention == 1:
+                a, ai = shift_perm @ f, g @ shift_perm.T
+            else:
+                a, ai = shift_perm @ g, f @ shift_perm.T
+            if normalize_fft:          # 'ortho'
+                r = np.sqrt(np.float32(n))
+                if sign_convention == 1:
+                    a, ai = a / r, ai * r
+                else:
+                    a, ai = a * r, ai / r
+            return _jnp.asarray(a), _jnp.asarray(ai)
+
+        ay, ayi = _axis(ny)
+        ax, axi = _axis(nx)
+        return ay, ax, ayi, axi
+    if not fresnel_approx:
+        return None
+    # Per-axis folded TF pair ``P_ax = G diag(h_ax) F`` built in FLOAT64:
+    # the Fresnel phase ``pi*lmbda*z*u^2`` reaches 1e3..1e6 rad at
+    # detector distances, where f32 phase rounding is visible (3e-5..6e-2
+    # rad) — f64 keeps the folded matrix exact to c64 storage.
+    dist_nm = float(free_prop_cm) * 1e7
+
+    def _axis_tf(n, voxel):
+        u = np.fft.fftfreq(n) / voxel                       # f64
+        h = np.exp(-1j * sign_convention * np.pi * lmbda_nm * dist_nm
+                   * u * u)
+        k = np.arange(n)
+        f = np.exp(-2j * np.pi * np.outer(k, k) / n)        # complex128
+        g = np.conj(f) / n
+        a = (g * h[None, :]) @ f
+        ai = (g * np.conj(h)[None, :]) @ f                  # |h| = 1
+        return (_jnp.asarray(a.astype(np.complex64)),
+                _jnp.asarray(ai.astype(np.complex64)))
+
+    ay, ayi = _axis_tf(ny, float(voxel_nm[0]))
+    ax, axi = _axis_tf(nx, float(voxel_nm[1]))
+    return ay, ax, ayi, axi
+
+
 def free_space_propagate(wave, free_prop_cm, lmbda_nm, voxel_nm,
                          sign_convention=1, normalize_fft=False,
                          fresnel_approx=True):
@@ -221,7 +291,8 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                          fresnel_approx=True, sign_convention=1,
                          scale_ri_by_k=True, kappa=None, repeats=None,
                          backprop=False, return_intermediate=False,
-                         fused='auto', prebinned=False, mxu_bf16=False):
+                         fused='auto', prebinned=False, mxu_bf16=False,
+                         final_prop=None):
     """Multislice (Fresnel beam) propagation through an object batch.
 
     TPU-native equivalent of ``multislice_propagate_batch``
@@ -251,6 +322,16 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
       fused: 'auto' | True | False — use the fused Pallas MXU kernel
         (DFT-by-matmul, wave resident in VMEM) for the z scan.  'auto'
         enables it on TPU for 4D ``[modes, N, y, x]`` waves.
+      final_prop: optional ``{'free_prop_cm': 'inf'|float|None,
+        'normalize_fft': bool}`` — when given, the RETURNED wave includes
+        the object-to-detector propagation (``free_space_propagate``
+        semantics).  On the fused delta_beta Pallas path the propagation
+        folds into the kernel's final step (:func:`final_prop_mats`) so the
+        exit wave never visits HBM; every other path applies it via XLA
+        here, keeping one call-site semantic.  Not compatible with
+        ``backprop``.  Gradients do NOT flow into a traced finite distance
+        through the folded path — callers refining ``free_prop_cm`` must
+        not pass ``final_prop``.
       prebinned: the z axis of ``delta``/``beta`` is ALREADY binned (each
         slice is the bin-sum of ``binning`` physical slices; requires
         delta_beta, nz multiple of binning at bin time).  ``binning``
@@ -275,6 +356,21 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
     if kappa is not None:
         beta = delta * kappa
 
+    if final_prop is not None and backprop:
+        raise ValueError('final_prop is a detector-side propagation; '
+                         'meaningless under backprop')
+
+    def _to_det(out):
+        """Apply the requested detector propagation via XLA (the fallback
+        for every path that did not fold it into the kernel)."""
+        if final_prop is None:
+            return out
+        return free_space_propagate(
+            out, final_prop['free_prop_cm'], lmbda_nm, voxel_nm,
+            sign_convention=sign_convention,
+            normalize_fft=final_prop.get('normalize_fft', False),
+            fresnel_approx=fresnel_approx)
+
     if repeats is not None:
         t = slice_modulator(delta[..., 0], beta[..., 0], k1, unknown_type,
                             mod_sign)
@@ -294,7 +390,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                                 lambda w: w, wv)
 
         wave = jax.lax.fori_loop(0, n_steps, body, wave)
-        return wave
+        return _to_det(wave)
 
     # Move z in front: [nz, ..., y, x].  Pad the far (z-max) end to a
     # multiple of ``binning`` BEFORE any reversal, so the identity padding
@@ -359,15 +455,34 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         if delta_z.dtype not in (jnp.float32, jnp.bfloat16):
             delta_z = delta_z.astype(jnp.float32)
             beta_z = beta_z.astype(jnp.float32)
-        return kern(delta_z, beta_z.astype(delta_z.dtype),
-                    wave.astype(jnp.complex64),
-                    kernel.astype(jnp.complex64),
-                    float(k1), float(mod_sign), interpret, mxu_bf16)
+        # Fold the detector propagation into the kernel's last step when
+        # it is a separable matrix pair; otherwise fall back to XLA below.
+        f_mats, folded = (None, None, None, None), False
+        if final_prop is not None:
+            fp = final_prop['free_prop_cm']
+            if fp is None or (isinstance(fp, (int, float)) and fp == 0):
+                folded = True            # identity free-space propagation
+            elif not isinstance(fp, (int, float, np.floating, str)):
+                pass                     # traced distance: XLA tail keeps AD
+            else:
+                mats = final_prop_mats(
+                    wave.shape[-2:], voxel_nm, lmbda_nm, fp,
+                    sign_convention=sign_convention,
+                    normalize_fft=final_prop.get('normalize_fft', False),
+                    fresnel_approx=fresnel_approx)
+                if mats is not None:
+                    f_mats, folded = mats, True
+        out = kern(delta_z, beta_z.astype(delta_z.dtype),
+                   wave.astype(jnp.complex64),
+                   kernel.astype(jnp.complex64),
+                   float(k1), float(mod_sign), interpret, mxu_bf16,
+                   *f_mats)
+        return out if folded else _to_det(out)
 
     t_all = slice_modulator(delta_z, beta_z, k1, unknown_type, mod_sign)
 
     if n_steps == 1:
-        out = wave * t_all[0]
+        out = _to_det(wave * t_all[0])
         if return_intermediate:
             return out, wave[None]
         return out
@@ -375,10 +490,10 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
     if fused:
         from .pallas_multislice import multislice_fused
         interpret = jax.default_backend() != 'tpu'
-        return multislice_fused(t_all.astype(jnp.complex64),
-                                wave.astype(jnp.complex64),
-                                kernel.astype(jnp.complex64), interpret,
-                                mxu_bf16)
+        return _to_det(multislice_fused(t_all.astype(jnp.complex64),
+                                        wave.astype(jnp.complex64),
+                                        kernel.astype(jnp.complex64),
+                                        interpret, mxu_bf16))
 
     def step(wv, t):
         wv_in = wv
@@ -386,7 +501,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         return wv, (wv_in if return_intermediate else None)
 
     wave, inter = jax.lax.scan(step, wave, t_all[:-1])
-    out = wave * t_all[-1]
+    out = _to_det(wave * t_all[-1])
     if return_intermediate:
         inter = jnp.concatenate([inter, wave[None]], axis=0)
         return out, inter

@@ -204,6 +204,112 @@ class TestDBVariantSelection:
         np.testing.assert_allclose(out_lo, out_hi, atol=1e-5)
 
 
+class TestFinalProp:
+    """Folding the detector propagation into the kernel's last step
+    (``final_prop``): forward and all gradients must match applying
+    ``free_space_propagate`` on the exit wave via XLA."""
+
+    @staticmethod
+    def _setup(seed=0, N=3, n=16, nz=8, M=2):
+        rng = np.random.default_rng(seed)
+        delta = jnp.asarray(rng.random((N, n, n, nz), np.float32) * 1e-3)
+        beta = jnp.asarray(rng.random((N, n, n, nz), np.float32) * 3e-5)
+        wave = jnp.asarray((rng.random((M, N, n, n))
+                            + 1j * rng.random((M, N, n, n)))
+                           .astype(np.complex64))
+        tgt = jnp.asarray(rng.random((M, N, n, n), np.float32))
+        return delta, beta, wave, tgt
+
+    @staticmethod
+    def _loss(delta, beta, wave, tgt, fused, final_prop, sign, fp, norm):
+        from adorym_tpu.constants import wavelength_nm
+        o = prop.multislice_propagate(
+            delta, beta, wave, 5000.0, 1e-7, binning=2, fused=fused,
+            sign_convention=sign,
+            final_prop=({'free_prop_cm': fp, 'normalize_fft': norm}
+                        if final_prop else None))
+        if not final_prop:
+            lmbda_nm = wavelength_nm(5000.0)
+            o = prop.free_space_propagate(o, fp, lmbda_nm, (1.0, 1.0, 1.0),
+                                          sign_convention=sign,
+                                          normalize_fft=norm)
+        return jnp.mean((jnp.abs(o) - tgt) ** 2), o
+
+    @pytest.mark.parametrize('variant', ['stored', 'invertible'])
+    @pytest.mark.parametrize('sign,fp,norm', [
+        (1, 'inf', False),        # Fraunhofer, unnormalized
+        (1, 'inf', True),         # Fraunhofer, ortho
+        (-1, 'inf', False),       # opposite sign convention (ifft2 + shift)
+        (1, 1e-4, False),         # finite (near-field): folded Fresnel TF
+        (1, None, False),         # identity free prop
+    ])
+    def test_fold_matches_xla_tail(self, monkeypatch, variant, sign, fp,
+                                   norm):
+        monkeypatch.setattr(prop, 'DB_STORED_MAX_BYTES',
+                            -1.0 if variant == 'invertible' else 1e18)
+        delta, beta, wave, tgt = self._setup()
+
+        def run(final_prop):
+            (l, o), g = jax.value_and_grad(
+                self._loss, argnums=(0, 1, 2), has_aux=True)(
+                    delta, beta, wave, tgt, True, final_prop, sign, fp, norm)
+            return o, g
+
+        o_fold, g_fold = run(True)
+        o_ref, g_ref = run(False)
+        sc = float(jnp.max(jnp.abs(o_ref))) or 1.0
+        np.testing.assert_allclose(np.asarray(o_fold) / sc,
+                                   np.asarray(o_ref) / sc, atol=3e-6)
+        for a, r in zip(g_fold, g_ref):
+            sc = float(jnp.max(jnp.abs(r))) or 1.0
+            np.testing.assert_allclose(np.asarray(a) / sc,
+                                       np.asarray(r) / sc, atol=3e-5)
+
+    def test_unfused_paths_apply_xla_tail(self):
+        """final_prop on the scan path (fused=False) equals the manual
+        tail exactly — same ops, one call site."""
+        delta, beta, wave, tgt = self._setup()
+        (_, o1), _ = jax.value_and_grad(
+            self._loss, argnums=(0,), has_aux=True)(
+                delta, beta, wave, tgt, False, True, 1, 'inf', False)
+        (_, o2), _ = jax.value_and_grad(
+            self._loss, argnums=(0,), has_aux=True)(
+                delta, beta, wave, tgt, False, False, 1, 'inf', False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+    @pytest.mark.parametrize('n', [8, 9])   # even and odd fftshift
+    @pytest.mark.parametrize('sign,norm', [(1, False), (1, True),
+                                           (-1, False)])
+    def test_final_prop_mats_exact(self, n, sign, norm):
+        """(ay, ax) reproduce free_space_propagate as matrices; the
+        supplied inverses are exact (unnormalized DFT is not unitary)."""
+        ay, ax, ayi, axi = prop.final_prop_mats(
+            (n, n), (1.0, 1.0, 1.0), 0.25, 'inf', sign_convention=sign,
+            normalize_fft=norm)
+        rng = np.random.default_rng(5)
+        w = jnp.asarray((rng.random((n, n)) + 1j * rng.random((n, n)))
+                        .astype(np.complex64))
+        ref = prop.free_space_propagate(w, 'inf', 0.25, (1.0, 1.0, 1.0),
+                                        sign_convention=sign,
+                                        normalize_fft=norm)
+        out = ay @ w @ ax.T
+        sc = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(out) / sc,
+                                   np.asarray(ref) / sc, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ayi @ ay), np.eye(n),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(axi @ ax), np.eye(n),
+                                   atol=2e-6)
+
+    def test_backprop_rejected(self):
+        delta, beta, wave, _ = self._setup()
+        with pytest.raises(ValueError, match='backprop'):
+            prop.multislice_propagate(
+                delta, beta, wave, 5000.0, 1e-7, binning=2, fused=False,
+                backprop=True,
+                final_prop={'free_prop_cm': 'inf', 'normalize_fft': False})
+
+
 class TestMultisliceDBStored:
     """The modulator-fused kernel with STORED intermediates (the default
     f-mode delta_beta fused kernel) vs the XLA scan path."""

@@ -199,6 +199,24 @@ def main():
             fence(chunk_grad), sub16, probe, meas, reps=args.reps)
         g16 = fence(chunk_grad)(sub16, probe, meas)
 
+        # A/B: detector propagation folded into the kernel's last step
+        # (fuse_farfield, the default) vs the separate XLA farfield
+        # dispatch.  The default 'fwd+bwd bf16-sub' row above already
+        # includes the fold; this row switches it off.
+        from dataclasses import replace as _dc_replace
+        cfg_nofold = _dc_replace(
+            cfg, train=_dc_replace(cfg.train, fuse_farfield='off'))
+
+        def chunk_grad_nofold(s, pr, meas):
+            def loss(s):
+                pred = pt.predict_from_patches(
+                    {'probe': pr}, batch, s, cfg_nofold, prebinned_z=True)
+                return jnp.mean((pred - meas) ** 2)
+            return jax.grad(loss)(s)
+
+        results['fwd+bwd bf16 NOfold [A/B]'] = timeit(
+            fence(chunk_grad_nofold), sub16, probe, meas, reps=args.reps)
+
         # Multislice alone from bf16 patches (the production layout after
         # bf16-extraction): splits the kernel's fwd and bwd costs without
         # the f32->bf16 cast+transpose glue the f32 rows above pay.

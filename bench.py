@@ -28,15 +28,10 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, '.bench_baseline.json')
 
-# Persistent XLA compilation cache (OPT-IN: set ADORYM_TPU_COMPILE_CACHE=1):
-# the flagship fused-epoch program takes minutes to compile through the
-# remote tunnel; repeat runs at the same shapes could pay that once.
-# Opt-in until validated against the axon remote-AOT path (experiment
-# queue item 5 in docs/experiments/NOTES.md) — an unvalidated cache
-# interaction must not be able to break the round-end bench.
-if os.environ.get('ADORYM_TPU_COMPILE_CACHE'):
-    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                          os.path.join(REPO, '.jax_cache'))
+# NOTE: a persistent XLA compilation cache (JAX_COMPILATION_CACHE_DIR) was
+# measured INEFFECTIVE through the axon remote-AOT path — the cache dir
+# stays empty and a second process recompiles at full cost (compilation
+# happens server-side; docs/experiments/NOTES.md).  Do not re-add.
 
 # Flagship geometry (demos/multislice_ptycho_256_theta.py:52-93)
 N_OBJ = 256

@@ -335,7 +335,8 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
 
 
 def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
-                      py_r, py_i, px_r, px_i, *rest, k1, s, final=False):
+                      py_r, py_i, px_r, px_i, *rest, k1, s, final=False,
+                      unroll=1):
     """Modulator-fused forward that RECORDS the per-step entering
     wavefields (like _fwd_kernel) — pairs with _bwd_db_st_kernel's cheap
     1-propagation backward.  Streams half the modulator bytes of the
@@ -343,51 +344,67 @@ def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
     the FOLDED per-axis mats (:func:`_fold_prop_mats`).
 
     ``final=True``: 4 extra refs (ay, ax real/imag) fold the detector
-    propagation into the last step (see :func:`_fwd_db_kernel`)."""
+    propagation into the last step (see :func:`_fwd_db_kernel`).
+
+    ``unroll``: z-steps per grid cell (must divide n_steps; the caller
+    picks it).  Fewer, larger grid cells measurably beat the per-cell
+    overhead at flagship shapes (~15% on the forward, interleaved A/B
+    2026-08-18) while the math stays BIT-identical — within a cell the
+    steps run in the exact same order with the same f32 scratch carry."""
     if final:
         (ay_r, ay_i, ax_r, ax_i, out_r_ref, out_i_ref,
          inter_r_ref, inter_i_ref, w_r, w_i) = rest
     else:
         out_r_ref, out_i_ref, inter_r_ref, inter_i_ref, w_r, w_i = rest
     step = pl.program_id(1)
-    n_steps = pl.num_programs(1)
+    n_cells = pl.num_programs(1)
 
     @pl.when(step == 0)
     def _():
         w_r[:] = w0_r_ref[:]
         w_i[:] = w0_i_ref[:]
 
-    # Recorded in the object planes' dtype: bf16 under run_bfloat16 —
-    # the stored stack's DMA cost is the measured gap between this and
-    # the invertible forward (~5 ms/flagship chunk at f32), and the
-    # records only feed the gt products in the backward.
-    inter_r_ref[0] = w_r[:].astype(inter_r_ref.dtype)
-    inter_i_ref[0] = w_i[:].astype(inter_i_ref.dtype)
+    for u in range(unroll):
+        # Recorded in the object planes' dtype: bf16 under run_bfloat16 —
+        # the stored stack's DMA cost is the measured gap between this and
+        # the invertible forward (~5 ms/flagship chunk at f32), and the
+        # records only feed the gt products in the backward.
+        inter_r_ref[u] = w_r[:].astype(inter_r_ref.dtype)
+        inter_i_ref[u] = w_i[:].astype(inter_i_ref.dtype)
 
-    tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
-    mr = w_r[:] * tr - w_i[:] * ti
-    mi = w_r[:] * ti + w_i[:] * tr
+        tr, ti = _db_mod(d_ref[u], b_ref[u], k1, s)
+        mr = w_r[:] * tr - w_i[:] * ti
+        mi = w_r[:] * ti + w_i[:] * tr
 
-    @pl.when(step < n_steps - 1)
-    def _():
-        pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:], px_r[:], px_i[:])
-        w_r[:] = pr
-        w_i[:] = pi
-
-    @pl.when(step == n_steps - 1)
-    def _():
-        if final:
-            fr, fi = _apply_prop(mr, mi, ay_r[:], ay_i[:], ax_r[:], ax_i[:])
-            out_r_ref[:] = fr
-            out_i_ref[:] = fi
+        if u < unroll - 1:
+            # Interior of the cell: never the last global step (the caller
+            # guarantees unroll | n_steps), so propagate unconditionally.
+            pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:], px_r[:], px_i[:])
+            w_r[:] = pr
+            w_i[:] = pi
         else:
-            out_r_ref[:] = mr
-            out_i_ref[:] = mi
+            @pl.when(step < n_cells - 1)
+            def _():
+                pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:],
+                                     px_r[:], px_i[:])
+                w_r[:] = pr
+                w_i[:] = pi
+
+            @pl.when(step == n_cells - 1)
+            def _():
+                if final:
+                    fr, fi = _apply_prop(mr, mi, ay_r[:], ay_i[:],
+                                         ax_r[:], ax_i[:])
+                    out_r_ref[:] = fr
+                    out_i_ref[:] = fi
+                else:
+                    out_r_ref[:] = mr
+                    out_i_ref[:] = mi
 
 
 def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
                       g_r_ref, g_i_ref, ty_r, ty_i, tx_r, tx_i,
-                      *rest, k1, s, final=False):
+                      *rest, k1, s, final=False, unroll=1):
     """Reverse sweep with stored intermediates (like _bwd_kernel) but the
     modulator recomputed from the two object planes and the cotangent
     emitted directly as (gd, gb) — the modulator VJP fuses in-kernel.
@@ -396,49 +413,61 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
 
     ``final=True``: 4 extra refs (TRANSPOSED final mats) — the incoming
     cotangent is in detector space and first flows through the transpose
-    of the folded detector propagation."""
+    of the folded detector propagation.
+
+    ``unroll``: z-steps per grid cell, processed in DESCENDING z within
+    the cell (the grid already runs cells in reverse z); must divide
+    n_steps.  Bit-identical to unroll=1 — same op order, same carry."""
     if final:
         fy_r, fy_i, fx_r, fx_i, gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
     else:
         gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
     st = pl.program_id(1)
-    n_steps = pl.num_programs(1)
+    n_cells = pl.num_programs(1)
 
-    @pl.when(st == 0)
-    def _():
-        if final:
-            pr, pi = _apply_prop(g_r_ref[:], g_i_ref[:],
-                                 fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+    for u in range(unroll - 1, -1, -1):
+        if u == unroll - 1:
+            @pl.when(st == 0)
+            def _():
+                if final:
+                    pr, pi = _apply_prop(g_r_ref[:], g_i_ref[:],
+                                         fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+                    a_r[:] = pr
+                    a_i[:] = pi
+                else:
+                    a_r[:] = g_r_ref[:]
+                    a_i[:] = g_i_ref[:]
+
+            @pl.when(st > 0)
+            def _():
+                pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
+                                     tx_r[:], tx_i[:])
+                a_r[:] = pr
+                a_i[:] = pi
+        else:
+            # Interior reverse step: never the first global one.
+            pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
+                                 tx_r[:], tx_i[:])
             a_r[:] = pr
             a_i[:] = pi
-        else:
-            a_r[:] = g_r_ref[:]
-            a_i[:] = g_i_ref[:]
 
-    @pl.when(st > 0)
-    def _():
-        pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
-                             tx_r[:], tx_i[:])
-        a_r[:] = pr
-        a_i[:] = pi
+        wr = inter_r_ref[u].astype(jnp.float32)
+        wi = inter_i_ref[u].astype(jnp.float32)
+        tr, ti = _db_mod(d_ref[u], b_ref[u], k1, s)
+        gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
+        gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
+        # Chain through t = exp(u) (see _bwd_db_kernel).  gd/gb emit in the
+        # object planes' native dtype (bf16 under run_bfloat16).
+        cu_r = gt_r * tr - gt_i * ti
+        cu_i = gt_r * ti + gt_i * tr
+        gb_ref[u] = (-k1 * cu_r).astype(gb_ref.dtype)
+        gd_ref[u] = (s * k1 * cu_i).astype(gd_ref.dtype)
+        new_r = a_r[:] * tr - a_i[:] * ti
+        new_i = a_r[:] * ti + a_i[:] * tr
+        a_r[:] = new_r
+        a_i[:] = new_i
 
-    wr = inter_r_ref[0].astype(jnp.float32)
-    wi = inter_i_ref[0].astype(jnp.float32)
-    tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
-    gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
-    gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
-    # Chain through t = exp(u) (see _bwd_db_kernel).  gd/gb emit in the
-    # object planes' native dtype (bf16 under run_bfloat16).
-    cu_r = gt_r * tr - gt_i * ti
-    cu_i = gt_r * ti + gt_i * tr
-    gb_ref[0] = (-k1 * cu_r).astype(gb_ref.dtype)
-    gd_ref[0] = (s * k1 * cu_i).astype(gd_ref.dtype)
-    new_r = a_r[:] * tr - a_i[:] * ti
-    new_i = a_r[:] * ti + a_i[:] * tr
-    a_r[:] = new_r
-    a_i[:] = new_i
-
-    @pl.when(st == n_steps - 1)
+    @pl.when(st == n_cells - 1)
     def _():
         gw_r_ref[:] = a_r[:]
         gw_i_ref[:] = a_i[:]
@@ -564,6 +593,20 @@ def _pick_nb(M, N, ny, nx):
     while nb > 1 and 16 * M * nb * ny * nx * 4 > 4 * 2 ** 20:
         nb = (nb + 1) // 2
     return nb
+
+
+def _pick_unroll(n_steps, M, NB, ny, nx, itemsize):
+    """Z-steps per grid cell for the stored-db kernels.  Must divide
+    n_steps exactly (interior steps propagate unconditionally, so a
+    ragged tail would apply a propagation the math doesn't have).  Bounded
+    by the streamed VMEM blocks: d, b and the two recorded planes scale
+    with the unroll factor (double-buffered), and the rest of the kernel's
+    footprint is what :func:`_pick_nb` already budgeted."""
+    for u in (4, 2):
+        streamed = 2 * (2 + 2 * M) * u * NB * ny * nx * itemsize
+        if n_steps % u == 0 and streamed <= 8 * 2 ** 20:
+            return u
+    return 1
 
 
 def _pad_batch(arrs, N, NB, fills):
@@ -908,10 +951,11 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
                                          (0.0, 0.0, 0.0, 0.0))
         n_blocks = N // NB
+        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         fwd_mats = _split_prop_variants(py, px)
         vmem = pltpu.VMEM
-        db_spec = pl.BlockSpec((1, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
+        db_spec = pl.BlockSpec((U, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
                                memory_space=vmem)
         w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                                memory_space=vmem)
@@ -920,7 +964,7 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             return pl.BlockSpec((n, n), lambda bk, st: (0, 0),
                                 memory_space=vmem)
 
-        inter_spec = pl.BlockSpec((1, M, NB, ny, nx),
+        inter_spec = pl.BlockSpec((U, M, NB, ny, nx),
                                   lambda bk, st: (st, 0, bk, 0, 0),
                                   memory_space=vmem)
         out_shapes = (
@@ -934,8 +978,9 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         f_specs = mat_specs if final else []
         f_ops = _final_ri(fay, fax) if final else []
         return pl.pallas_call(
-            functools.partial(_fwd_db_st_kernel, k1=k1, s=s, final=final),
-            grid=(n_blocks, n_steps),
+            functools.partial(_fwd_db_st_kernel, k1=k1, s=s, final=final,
+                              unroll=U),
+            grid=(n_blocks, n_steps // U),
             in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs
                      + f_specs,
             out_specs=(w0_spec, w0_spec, inter_spec, inter_spec),
@@ -957,14 +1002,16 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
             (inter_r, inter_i), _ = _pad_batch(
                 (inter_r, inter_i), inter_r.shape[-3], NB, (0.0, 0.0))
         n_blocks = N // NB
+        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
+        n_cells = n_steps // U
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         t_mats = _split_prop_variants(py, px, transpose=True)
         vmem = pltpu.VMEM
-        db_rev = pl.BlockSpec((1, NB, ny, nx),
-                              lambda bk, st: (n_steps - 1 - st, bk, 0, 0),
+        db_rev = pl.BlockSpec((U, NB, ny, nx),
+                              lambda bk, st: (n_cells - 1 - st, bk, 0, 0),
                               memory_space=vmem)
-        inter_rev = pl.BlockSpec((1, M, NB, ny, nx),
-                                 lambda bk, st: (n_steps - 1 - st, 0, bk,
+        inter_rev = pl.BlockSpec((U, M, NB, ny, nx),
+                                 lambda bk, st: (n_cells - 1 - st, 0, bk,
                                                  0, 0),
                                  memory_space=vmem)
         w_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
@@ -986,8 +1033,9 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
         # Cotangent enters in detector space: transpose of the final prop.
         f_ops = _final_ri(fay.T, fax.T) if final else []
         return pl.pallas_call(
-            functools.partial(_bwd_db_st_kernel, k1=k1, s=s, final=final),
-            grid=(n_blocks, n_steps),
+            functools.partial(_bwd_db_st_kernel, k1=k1, s=s, final=final,
+                              unroll=U),
+            grid=(n_blocks, n_cells),
             in_specs=[db_rev, db_rev, inter_rev, inter_rev, w_spec, w_spec]
                      + mat_specs + f_specs,
             out_specs=(db_rev, db_rev, w_spec, w_spec),

@@ -353,3 +353,57 @@ class TestMultisliceDBStored:
             sc = float(jnp.max(jnp.abs(r))) or 1.0
             np.testing.assert_allclose(np.asarray(a) / sc,
                                        np.asarray(r) / sc, atol=5e-5)
+
+
+class TestStoredUnroll:
+    """Z-unrolling of the stored-db kernels (several z-steps per grid
+    cell, ``_pick_unroll``) is BIT-identical to the unroll=1 sweep: the
+    steps run in the same order with the same f32 scratch carry — only
+    the grid decomposition changes."""
+
+    @staticmethod
+    def _run(S, N=3, n=16, M=2, seed=3):
+        from adorym_tpu.ops.pallas_multislice import multislice_db_stored
+        rng = np.random.default_rng(seed)
+        d = jnp.asarray(rng.random((S, N, n, n), np.float32) * 1e-2)
+        b = jnp.asarray(rng.random((S, N, n, n), np.float32) * 1e-3)
+        w = jnp.asarray((rng.random((M, N, n, n))
+                         + 1j * rng.random((M, N, n, n)))
+                        .astype(np.complex64))
+        h = jnp.asarray(np.exp(-1j * np.pi * 0.01 * (
+            np.add.outer(np.fft.fftfreq(n) ** 2,
+                         np.fft.fftfreq(n) ** 2))).astype(np.complex64))
+        tgt = jnp.asarray(rng.random((M, N, n, n), np.float32))
+
+        def loss(d, b, w):
+            o = multislice_db_stored(d, b, w, h, 1.7, 1.0, True)
+            return jnp.mean((jnp.abs(o) - tgt) ** 2)
+
+        out = multislice_db_stored(d, b, w, h, 1.7, 1.0, True)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(d, b, w)
+        return out, grads
+
+    @pytest.mark.parametrize('S,expected_u', [(8, 4), (6, 2), (5, 1)])
+    def test_unrolled_bitwise_equals_u1(self, monkeypatch, S, expected_u):
+        import adorym_tpu.ops.pallas_multislice as pm
+        assert pm._pick_unroll(S, 2, 3, 16, 16, 4) == expected_u
+        out_u, g_u = self._run(S)
+        monkeypatch.setattr(pm, '_pick_unroll',
+                            lambda *a, **k: 1)
+        out_1, g_1 = self._run(S)
+        np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_1))
+        for a, r in zip(g_u, g_1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+    def test_pick_unroll_vmem_bound(self):
+        """Large streamed blocks (big M / NB / f32) push the picker back
+        down to 2 or 1."""
+        import adorym_tpu.ops.pallas_multislice as pm
+        # Flagship-ish: bf16 planes, M=1, NB=17, 72^2 -> 4.
+        assert pm._pick_unroll(32, 1, 17, 72, 72, 2) == 4
+        # Same at f32 doubles the streamed bytes -> 2.
+        assert pm._pick_unroll(32, 1, 17, 72, 72, 4) == 2
+        # Five probe modes at f32 -> streamed blocks too big even at 2.
+        assert pm._pick_unroll(32, 5, 17, 72, 72, 4) == 1
+        # Indivisible step counts fall straight back to 1.
+        assert pm._pick_unroll(31, 1, 17, 72, 72, 2) == 1

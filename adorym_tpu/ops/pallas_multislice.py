@@ -292,7 +292,8 @@ def _db_mod(d, b, k1, s):
 
 
 def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
-                   py_r, py_i, px_r, px_i, *rest, k1, s, final=False):
+                   py_r, py_i, px_r, px_i, *rest, k1, s, final=False,
+                   unroll=1):
     """Like _fwd_kernel but takes the two REAL object channels and computes
     the complex modulator on the VPU — half the modulator stream bytes and
     NO intermediate-wavefield output (the backward reconstructs them).
@@ -300,38 +301,50 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
 
     ``final=True`` threads 4 extra matrix refs (ay, ax as real/imag): the
     object-to-detector propagation folded into the LAST step, so the kernel
-    emits the DETECTOR wave and the exit wave never round-trips HBM."""
+    emits the DETECTOR wave and the exit wave never round-trips HBM.
+
+    ``unroll``: z-steps per grid cell (must divide n_steps) — amortizes the
+    measured per-grid-cell overhead, bit-identical math (see
+    :func:`_fwd_db_st_kernel`)."""
     if final:
         ay_r, ay_i, ax_r, ax_i, out_r_ref, out_i_ref, w_r, w_i = rest
     else:
         out_r_ref, out_i_ref, w_r, w_i = rest
     step = pl.program_id(1)
-    n_steps = pl.num_programs(1)
+    n_cells = pl.num_programs(1)
 
     @pl.when(step == 0)
     def _():
         w_r[:] = w0_r_ref[:]
         w_i[:] = w0_i_ref[:]
 
-    tr, ti = _db_mod(d_ref[0], b_ref[0], k1, s)
-    mr = w_r[:] * tr - w_i[:] * ti
-    mi = w_r[:] * ti + w_i[:] * tr
+    for u in range(unroll):
+        tr, ti = _db_mod(d_ref[u], b_ref[u], k1, s)
+        mr = w_r[:] * tr - w_i[:] * ti
+        mi = w_r[:] * ti + w_i[:] * tr
 
-    @pl.when(step < n_steps - 1)
-    def _():
-        pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:], px_r[:], px_i[:])
-        w_r[:] = pr
-        w_i[:] = pi
-
-    @pl.when(step == n_steps - 1)
-    def _():
-        if final:
-            fr, fi = _apply_prop(mr, mi, ay_r[:], ay_i[:], ax_r[:], ax_i[:])
-            out_r_ref[:] = fr
-            out_i_ref[:] = fi
+        if u < unroll - 1:
+            pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:], px_r[:], px_i[:])
+            w_r[:] = pr
+            w_i[:] = pi
         else:
-            out_r_ref[:] = mr
-            out_i_ref[:] = mi
+            @pl.when(step < n_cells - 1)
+            def _():
+                pr, pi = _apply_prop(mr, mi, py_r[:], py_i[:],
+                                     px_r[:], px_i[:])
+                w_r[:] = pr
+                w_i[:] = pi
+
+            @pl.when(step == n_cells - 1)
+            def _():
+                if final:
+                    fr, fi = _apply_prop(mr, mi, ay_r[:], ay_i[:],
+                                         ax_r[:], ax_i[:])
+                    out_r_ref[:] = fr
+                    out_i_ref[:] = fi
+                else:
+                    out_r_ref[:] = mr
+                    out_i_ref[:] = mi
 
 
 def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
@@ -475,7 +488,7 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
 
 def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
                    ty_r, ty_i, tx_r, tx_i, iy_r, iy_i, ix_r, ix_i,
-                   *rest, k1, s, final=False):
+                   *rest, k1, s, final=False, unroll=1):
     """Reverse sweep with NO stored intermediates: the Fresnel step is
     invertible (H is unit-modulus under the paraxial approximation and the
     delta_beta transmission never vanishes), so the pre-modulation
@@ -500,72 +513,86 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
     else:
         gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i, v_r, v_i = rest
     st = pl.program_id(1)
-    n_steps = pl.num_programs(1)
+    n_cells = pl.num_programs(1)
 
-    @pl.when(st == 0)
-    def _():
-        if final:
-            pr, pi = _apply_prop(g_r_ref[:], g_i_ref[:],
-                                 fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+    for u in range(unroll - 1, -1, -1):
+        if u == unroll - 1:
+            @pl.when(st == 0)
+            def _():
+                if final:
+                    pr, pi = _apply_prop(g_r_ref[:], g_i_ref[:],
+                                         fy_r[:], fy_i[:], fx_r[:], fx_i[:])
+                    a_r[:] = pr
+                    a_i[:] = pi
+                    qr, qi = _apply_prop(out_r_ref[:], out_i_ref[:],
+                                         ey_r[:], ey_i[:], ex_r[:], ex_i[:])
+                    v_r[:] = qr          # m(S-1) reconstructed from det wave
+                    v_i[:] = qi
+                else:
+                    a_r[:] = g_r_ref[:]
+                    a_i[:] = g_i_ref[:]
+                    v_r[:] = out_r_ref[:]  # m(S-1) = exit wave (no final)
+                    v_i[:] = out_i_ref[:]
+
+            @pl.when(st > 0)
+            def _():
+                # Cotangent through the transpose of the following
+                # propagation; wave reconstruction through the inverse:
+                # m(z) = P^{-1}(w(z+1)).
+                pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
+                                     tx_r[:], tx_i[:])
+                a_r[:] = pr
+                a_i[:] = pi
+                qr, qi = _apply_prop(v_r[:], v_i[:], iy_r[:], iy_i[:],
+                                     ix_r[:], ix_i[:])
+                v_r[:] = qr
+                v_i[:] = qi
+        else:
+            # Interior reverse step: never the first global one.
+            pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
+                                 tx_r[:], tx_i[:])
             a_r[:] = pr
             a_i[:] = pi
-            qr, qi = _apply_prop(out_r_ref[:], out_i_ref[:],
-                                 ey_r[:], ey_i[:], ex_r[:], ex_i[:])
-            v_r[:] = qr                  # m(S-1) reconstructed from det wave
+            qr, qi = _apply_prop(v_r[:], v_i[:], iy_r[:], iy_i[:],
+                                 ix_r[:], ix_i[:])
+            v_r[:] = qr
             v_i[:] = qi
-        else:
-            a_r[:] = g_r_ref[:]
-            a_i[:] = g_i_ref[:]
-            v_r[:] = out_r_ref[:]        # m(S-1) = exit wave (no final prop)
-            v_i[:] = out_i_ref[:]
 
-    @pl.when(st > 0)
-    def _():
-        # Cotangent through the transpose of the following propagation.
-        pr, pi = _apply_prop(a_r[:], a_i[:], ty_r[:], ty_i[:],
-                             tx_r[:], tx_i[:])
-        a_r[:] = pr
-        a_i[:] = pi
-        # Wave reconstruction through the inverse: m(z) = P^{-1}(w(z+1)).
-        qr, qi = _apply_prop(v_r[:], v_i[:], iy_r[:], iy_i[:],
-                             ix_r[:], ix_i[:])
-        v_r[:] = qr
-        v_i[:] = qi
+        d = d_ref[u].astype(jnp.float32)
+        b = b_ref[u].astype(jnp.float32)
+        amp = jnp.exp(-k1 * b)
+        ph = -s * k1 * d
+        cph = jnp.cos(ph)
+        sph = jnp.sin(ph)
+        tr = amp * cph
+        ti = amp * sph
+        inv_amp = jnp.exp(k1 * b)
+        ur = inv_amp * cph
+        ui = -inv_amp * sph
+        # w(z) = m(z) * (1/t)
+        wr = v_r[:] * ur - v_i[:] * ui
+        wi = v_r[:] * ui + v_i[:] * ur
+        # Modulator cotangent gt = sum_modes(a * w) (unconjugated), chained
+        # through t = exp(u), u = -k1*b + i*(-s*k1*d): cot_u = gt * t, then
+        # the real->complex boundary (verified against jax.vjp of
+        # slice_modulator): cot_b = -k1*Re(cot_u); cot_d = +s*k1*Im(cot_u)
+        # (JAX's ``complex`` primitive transpose conjugates — the imag
+        # channel flips sign).
+        gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
+        gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
+        cu_r = gt_r * tr - gt_i * ti
+        cu_i = gt_r * ti + gt_i * tr
+        gb_ref[u] = (-k1 * cu_r).astype(gb_ref.dtype)
+        gd_ref[u] = (s * k1 * cu_i).astype(gd_ref.dtype)
+        # Cotangent through the modulation (plain multiply), carry w.
+        na_r = a_r[:] * tr - a_i[:] * ti
+        na_i = a_r[:] * ti + a_i[:] * tr
+        a_r[:] = na_r
+        a_i[:] = na_i
+        v_r[:] = wr
+        v_i[:] = wi
 
-    d = d_ref[0].astype(jnp.float32)
-    b = b_ref[0].astype(jnp.float32)
-    amp = jnp.exp(-k1 * b)
-    ph = -s * k1 * d
-    cph = jnp.cos(ph)
-    sph = jnp.sin(ph)
-    tr = amp * cph
-    ti = amp * sph
-    inv_amp = jnp.exp(k1 * b)
-    ur = inv_amp * cph
-    ui = -inv_amp * sph
-    # w(z) = m(z) * (1/t)
-    wr = v_r[:] * ur - v_i[:] * ui
-    wi = v_r[:] * ui + v_i[:] * ur
-    # Modulator cotangent gt = sum_modes(a * w) (unconjugated), chained
-    # through t = exp(u), u = -k1*b + i*(-s*k1*d): cot_u = gt * t, then the
-    # real->complex boundary (verified against jax.vjp of slice_modulator):
-    # cot_b = -k1*Re(cot_u); cot_d = +s*k1*Im(cot_u) (JAX's ``complex``
-    # primitive transpose conjugates — the imag channel flips sign).
-    gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
-    gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
-    cu_r = gt_r * tr - gt_i * ti
-    cu_i = gt_r * ti + gt_i * tr
-    gb_ref[0] = (-k1 * cu_r).astype(gb_ref.dtype)
-    gd_ref[0] = (s * k1 * cu_i).astype(gd_ref.dtype)
-    # Cotangent through the modulation (plain multiply), carry w.
-    na_r = a_r[:] * tr - a_i[:] * ti
-    na_i = a_r[:] * ti + a_i[:] * tr
-    a_r[:] = na_r
-    a_i[:] = na_i
-    v_r[:] = wr
-    v_i[:] = wi
-
-    @pl.when(st == n_steps - 1)
+    @pl.when(st == n_cells - 1)
     def _():
         gw_r_ref[:] = a_r[:]
         gw_i_ref[:] = a_i[:]
@@ -792,11 +819,12 @@ def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
                                          (0.0, 0.0, 0.0, 0.0))
         n_blocks = N // NB
+        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         fwd_mats = _split_prop_variants(py, px)
         final = fay is not None
         vmem = pltpu.VMEM
-        db_spec = pl.BlockSpec((1, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
+        db_spec = pl.BlockSpec((U, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
                                memory_space=vmem)
         w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                                memory_space=vmem)
@@ -813,8 +841,9 @@ def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         f_specs = mat_specs if final else []
         f_ops = _final_ri(fay, fax) if final else []
         out = pl.pallas_call(
-            functools.partial(_fwd_db_kernel, k1=k1, s=s, final=final),
-            grid=(n_blocks, n_steps),
+            functools.partial(_fwd_db_kernel, k1=k1, s=s, final=final,
+                              unroll=U),
+            grid=(n_blocks, n_steps // U),
             in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs
                      + f_specs,
             out_specs=(w0_spec, w0_spec),
@@ -836,12 +865,14 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
             (d, b, out_r, out_i, g_r, g_i), N0, NB,
             (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
         n_blocks = N // NB
+        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
+        n_cells = n_steps // U
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         t_mats = _split_prop_variants(py, px, transpose=True)
         i_mats = _split_prop_variants(py, px, inverse=True)
         vmem = pltpu.VMEM
-        db_rev = pl.BlockSpec((1, NB, ny, nx),
-                              lambda bk, st: (n_steps - 1 - st, bk, 0, 0),
+        db_rev = pl.BlockSpec((U, NB, ny, nx),
+                              lambda bk, st: (n_cells - 1 - st, bk, 0, 0),
                               memory_space=vmem)
         w_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                               memory_space=vmem)
@@ -865,8 +896,9 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
         f_ops = (_final_ri(fay.T, fax.T) + _final_ri(fayi, faxi)
                  if final else [])
         return pl.pallas_call(
-            functools.partial(_bwd_db_kernel, k1=k1, s=s, final=final),
-            grid=(n_blocks, n_steps),
+            functools.partial(_bwd_db_kernel, k1=k1, s=s, final=final,
+                              unroll=U),
+            grid=(n_blocks, n_cells),
             in_specs=[db_rev, db_rev, w_spec, w_spec, w_spec, w_spec]
                      + mat_specs + f_specs,
             out_specs=(db_rev, db_rev, w_spec, w_spec),

@@ -362,8 +362,10 @@ class TestStoredUnroll:
     the grid decomposition changes."""
 
     @staticmethod
-    def _run(S, N=3, n=16, M=2, seed=3):
-        from adorym_tpu.ops.pallas_multislice import multislice_db_stored
+    def _run(S, N=3, n=16, M=2, seed=3, variant='stored'):
+        import adorym_tpu.ops.pallas_multislice as _pm
+        multislice_db_stored = (_pm.multislice_db_stored
+                                if variant == 'stored' else _pm.multislice_db)
         rng = np.random.default_rng(seed)
         d = jnp.asarray(rng.random((S, N, n, n), np.float32) * 1e-2)
         b = jnp.asarray(rng.random((S, N, n, n), np.float32) * 1e-3)
@@ -383,17 +385,28 @@ class TestStoredUnroll:
         grads = jax.grad(loss, argnums=(0, 1, 2))(d, b, w)
         return out, grads
 
+    @pytest.mark.parametrize('variant', ['stored', 'invertible'])
     @pytest.mark.parametrize('S,expected_u', [(8, 4), (6, 2), (5, 1)])
-    def test_unrolled_bitwise_equals_u1(self, monkeypatch, S, expected_u):
+    def test_unrolled_bitwise_equals_u1(self, monkeypatch, S, expected_u,
+                                        variant):
         import adorym_tpu.ops.pallas_multislice as pm
         assert pm._pick_unroll(S, 2, 3, 16, 16, 4) == expected_u
-        out_u, g_u = self._run(S)
+        out_u, g_u = self._run(S, variant=variant)
         monkeypatch.setattr(pm, '_pick_unroll',
                             lambda *a, **k: 1)
-        out_1, g_1 = self._run(S)
+        out_1, g_1 = self._run(S, variant=variant)
         np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_1))
         for a, r in zip(g_u, g_1):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+            if variant == 'stored':
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+            else:
+                # The invertible backward's unrolled grads sit one ulp off
+                # the u1 sweep (straight-line vs cond-wrapped code contracts
+                # fma differently); the op ORDER is identical — forward is
+                # still bitwise above.
+                sc = float(np.max(np.abs(np.asarray(r)))) or 1.0
+                np.testing.assert_allclose(np.asarray(a) / sc,
+                                           np.asarray(r) / sc, atol=1e-5)
 
     def test_pick_unroll_vmem_bound(self):
         """Large streamed blocks (big M / NB / f32) push the picker back

@@ -170,9 +170,14 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
             probes[:, None, :, :],
             (probes.shape[0], delta.shape[0]) + probes.shape[-2:])
 
+    db_stack = subobj
     if cfg.train.run_bfloat16:
-        delta = delta.astype(jnp.bfloat16)
-        beta = beta.astype(jnp.bfloat16)
+        # One cast of the packed stack (usually a no-op: the bf16-extract
+        # path already hands bf16 patches); delta/beta slice from it so
+        # every consumer sees the same values.
+        db_stack = subobj.astype(jnp.bfloat16)
+        delta = db_stack[..., 0]
+        beta = db_stack[..., 1]
 
     kappa = None
     if cfg.refine.optimize_ctf_lg_kappa:
@@ -220,7 +225,7 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
             sign_convention=geo.sign_convention,
             scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa, fused=fused,
             prebinned=prebinned_z, mxu_bf16=cfg.train.run_bfloat16,
-            final_prop=final_prop)
+            final_prop=final_prop, db_stack=db_stack)
         if final_prop is not None:
             det_wave = exit_wave.astype(jnp.complex64)
             if return_wave:

@@ -291,12 +291,15 @@ def _db_mod(d, b, k1, s):
     return amp * jnp.cos(ph), amp * jnp.sin(ph)
 
 
-def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
+def _fwd_db_kernel(db_ref, w0_r_ref, w0_i_ref,
                    py_r, py_i, px_r, px_i, *rest, k1, s, final=False,
                    unroll=1):
-    """Like _fwd_kernel but takes the two REAL object channels and computes
-    the complex modulator on the VPU — half the modulator stream bytes and
-    NO intermediate-wavefield output (the backward reconstructs them).
+    """Like _fwd_kernel but takes the two REAL object channels (PACKED as
+    one ``[U, 2, NB, ny, nx]`` block — slot 0 delta, slot 1 beta, so the
+    caller-side glue is ONE fused transpose of the ``[..., z, 2]`` patch
+    stack instead of two strided ones) and computes the complex modulator
+    on the VPU — half the modulator stream bytes and NO intermediate
+    -wavefield output (the backward reconstructs them).
     Propagation via the FOLDED per-axis mats (:func:`_fold_prop_mats`).
 
     ``final=True`` threads 4 extra matrix refs (ay, ax as real/imag): the
@@ -319,7 +322,7 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
         w_i[:] = w0_i_ref[:]
 
     for u in range(unroll):
-        tr, ti = _db_mod(d_ref[u], b_ref[u], k1, s)
+        tr, ti = _db_mod(db_ref[u, 0], db_ref[u, 1], k1, s)
         mr = w_r[:] * tr - w_i[:] * ti
         mi = w_r[:] * ti + w_i[:] * tr
 
@@ -347,14 +350,15 @@ def _fwd_db_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
                     out_i_ref[:] = mi
 
 
-def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
+def _fwd_db_st_kernel(db_ref, w0_r_ref, w0_i_ref,
                       py_r, py_i, px_r, px_i, *rest, k1, s, final=False,
                       unroll=1):
     """Modulator-fused forward that RECORDS the per-step entering
     wavefields (like _fwd_kernel) — pairs with _bwd_db_st_kernel's cheap
     1-propagation backward.  Streams half the modulator bytes of the
-    t_all kernel (two f32 planes instead of complex).  Propagation via
-    the FOLDED per-axis mats (:func:`_fold_prop_mats`).
+    t_all kernel (two f32 planes instead of complex); the object channels
+    arrive PACKED ``[U, 2, NB, ny, nx]`` (see :func:`_fwd_db_kernel`).
+    Propagation via the FOLDED per-axis mats (:func:`_fold_prop_mats`).
 
     ``final=True``: 4 extra refs (ay, ax real/imag) fold the detector
     propagation into the last step (see :func:`_fwd_db_kernel`).
@@ -385,7 +389,7 @@ def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
         inter_r_ref[u] = w_r[:].astype(inter_r_ref.dtype)
         inter_i_ref[u] = w_i[:].astype(inter_i_ref.dtype)
 
-        tr, ti = _db_mod(d_ref[u], b_ref[u], k1, s)
+        tr, ti = _db_mod(db_ref[u, 0], db_ref[u, 1], k1, s)
         mr = w_r[:] * tr - w_i[:] * ti
         mi = w_r[:] * ti + w_i[:] * tr
 
@@ -415,12 +419,14 @@ def _fwd_db_st_kernel(d_ref, b_ref, w0_r_ref, w0_i_ref,
                     out_i_ref[:] = mi
 
 
-def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
+def _bwd_db_st_kernel(db_ref, inter_r_ref, inter_i_ref,
                       g_r_ref, g_i_ref, ty_r, ty_i, tx_r, tx_i,
                       *rest, k1, s, final=False, unroll=1):
     """Reverse sweep with stored intermediates (like _bwd_kernel) but the
-    modulator recomputed from the two object planes and the cotangent
-    emitted directly as (gd, gb) — the modulator VJP fuses in-kernel.
+    modulator recomputed from the two PACKED object planes and the
+    cotangent emitted directly as a packed (gd, gb) ``[U, 2, NB, ny, nx]``
+    block — the modulator VJP fuses in-kernel and the caller-side glue
+    back to the ``[..., z, 2]`` patch layout is ONE fused transpose.
     ``ty/tx``: TRANSPOSE-variant folded mats (cotangent flows through
     ``P^T``).
 
@@ -432,9 +438,9 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
     the cell (the grid already runs cells in reverse z); must divide
     n_steps.  Bit-identical to unroll=1 — same op order, same carry."""
     if final:
-        fy_r, fy_i, fx_r, fx_i, gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
+        fy_r, fy_i, fx_r, fx_i, gdb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
     else:
-        gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
+        gdb_ref, gw_r_ref, gw_i_ref, a_r, a_i = rest
     st = pl.program_id(1)
     n_cells = pl.num_programs(1)
 
@@ -466,15 +472,15 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
 
         wr = inter_r_ref[u].astype(jnp.float32)
         wi = inter_i_ref[u].astype(jnp.float32)
-        tr, ti = _db_mod(d_ref[u], b_ref[u], k1, s)
+        tr, ti = _db_mod(db_ref[u, 0], db_ref[u, 1], k1, s)
         gt_r = jnp.sum(a_r[:] * wr - a_i[:] * wi, axis=0)
         gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
         # Chain through t = exp(u) (see _bwd_db_kernel).  gd/gb emit in the
         # object planes' native dtype (bf16 under run_bfloat16).
         cu_r = gt_r * tr - gt_i * ti
         cu_i = gt_r * ti + gt_i * tr
-        gb_ref[u] = (-k1 * cu_r).astype(gb_ref.dtype)
-        gd_ref[u] = (s * k1 * cu_i).astype(gd_ref.dtype)
+        gdb_ref[u, 1] = (-k1 * cu_r).astype(gdb_ref.dtype)
+        gdb_ref[u, 0] = (s * k1 * cu_i).astype(gdb_ref.dtype)
         new_r = a_r[:] * tr - a_i[:] * ti
         new_i = a_r[:] * ti + a_i[:] * tr
         a_r[:] = new_r
@@ -486,7 +492,7 @@ def _bwd_db_st_kernel(d_ref, b_ref, inter_r_ref, inter_i_ref,
         gw_i_ref[:] = a_i[:]
 
 
-def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
+def _bwd_db_kernel(db_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
                    ty_r, ty_i, tx_r, tx_i, iy_r, iy_i, ix_r, ix_i,
                    *rest, k1, s, final=False, unroll=1):
     """Reverse sweep with NO stored intermediates: the Fresnel step is
@@ -509,9 +515,9 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
     derived by conjugation)."""
     if final:
         (fy_r, fy_i, fx_r, fx_i, ey_r, ey_i, ex_r, ex_i,
-         gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i, v_r, v_i) = rest
+         gdb_ref, gw_r_ref, gw_i_ref, a_r, a_i, v_r, v_i) = rest
     else:
-        gd_ref, gb_ref, gw_r_ref, gw_i_ref, a_r, a_i, v_r, v_i = rest
+        gdb_ref, gw_r_ref, gw_i_ref, a_r, a_i, v_r, v_i = rest
     st = pl.program_id(1)
     n_cells = pl.num_programs(1)
 
@@ -558,8 +564,8 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
             v_r[:] = qr
             v_i[:] = qi
 
-        d = d_ref[u].astype(jnp.float32)
-        b = b_ref[u].astype(jnp.float32)
+        d = db_ref[u, 0].astype(jnp.float32)
+        b = db_ref[u, 1].astype(jnp.float32)
         amp = jnp.exp(-k1 * b)
         ph = -s * k1 * d
         cph = jnp.cos(ph)
@@ -582,8 +588,8 @@ def _bwd_db_kernel(d_ref, b_ref, out_r_ref, out_i_ref, g_r_ref, g_i_ref,
         gt_i = jnp.sum(a_r[:] * wi + a_i[:] * wr, axis=0)
         cu_r = gt_r * tr - gt_i * ti
         cu_i = gt_r * ti + gt_i * tr
-        gb_ref[u] = (-k1 * cu_r).astype(gb_ref.dtype)
-        gd_ref[u] = (s * k1 * cu_i).astype(gd_ref.dtype)
+        gdb_ref[u, 1] = (-k1 * cu_r).astype(gdb_ref.dtype)
+        gdb_ref[u, 0] = (s * k1 * cu_i).astype(gdb_ref.dtype)
         # Cotangent through the modulation (plain multiply), carry w.
         na_r = a_r[:] * tr - a_i[:] * ti
         na_i = a_r[:] * ti + a_i[:] * tr
@@ -809,22 +815,23 @@ def _final_ri(ay, ax):
             jnp.imag(ax).astype(jnp.float32)]
 
 
-def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
+def _call_fwd_db(db, w_r, w_i, h_r, h_i, k1, s, interpret=False,
                  bf16=False, fay=None, fax=None):
     with _dot_precision(bf16):
-        n_steps, N0, ny, nx = d.shape
+        n_steps, _, N0, ny, nx = db.shape
         M = w_r.shape[0]
         NB = _pick_nb(M, N0, ny, nx)
-        # d/b pad with 0 = identity modulation for delta_beta.
-        (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
-                                         (0.0, 0.0, 0.0, 0.0))
+        # db pads with 0 = identity modulation for delta_beta.
+        (db, w_r, w_i), N = _pad_batch((db, w_r, w_i), N0, NB,
+                                       (0.0, 0.0, 0.0))
         n_blocks = N // NB
-        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
+        U = _pick_unroll(n_steps, M, NB, ny, nx, db.dtype.itemsize)
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         fwd_mats = _split_prop_variants(py, px)
         final = fay is not None
         vmem = pltpu.VMEM
-        db_spec = pl.BlockSpec((U, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
+        db_spec = pl.BlockSpec((U, 2, NB, ny, nx),
+                               lambda bk, st: (st, 0, bk, 0, 0),
                                memory_space=vmem)
         w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                                memory_space=vmem)
@@ -844,35 +851,35 @@ def _call_fwd_db(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             functools.partial(_fwd_db_kernel, k1=k1, s=s, final=final,
                               unroll=U),
             grid=(n_blocks, n_steps // U),
-            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs
+            in_specs=[db_spec, w0_spec, w0_spec] + mat_specs
                      + f_specs,
             out_specs=(w0_spec, w0_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, w_r, w_i, *fwd_mats, *f_ops)
+        )(db, w_r, w_i, *fwd_mats, *f_ops)
         return out
 
 
-def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
+def _call_bwd_db(db, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
                  interpret=False, bf16=False, fay=None, fax=None,
                  fayi=None, faxi=None):
     with _dot_precision(bf16):
-        n_steps, N0, ny, nx = d.shape
+        n_steps, _, N0, ny, nx = db.shape
         M = g_r.shape[0]
         NB = _pick_nb(M, N0, ny, nx)
-        (d, b, out_r, out_i, g_r, g_i), N = _pad_batch(
-            (d, b, out_r, out_i, g_r, g_i), N0, NB,
-            (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        (db, out_r, out_i, g_r, g_i), N = _pad_batch(
+            (db, out_r, out_i, g_r, g_i), N0, NB,
+            (0.0, 0.0, 0.0, 0.0, 0.0))
         n_blocks = N // NB
-        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
+        U = _pick_unroll(n_steps, M, NB, ny, nx, db.dtype.itemsize)
         n_cells = n_steps // U
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         t_mats = _split_prop_variants(py, px, transpose=True)
         i_mats = _split_prop_variants(py, px, inverse=True)
         vmem = pltpu.VMEM
-        db_rev = pl.BlockSpec((U, NB, ny, nx),
-                              lambda bk, st: (n_cells - 1 - st, bk, 0, 0),
+        db_rev = pl.BlockSpec((U, 2, NB, ny, nx),
+                              lambda bk, st: (n_cells - 1 - st, 0, bk, 0, 0),
                               memory_space=vmem)
         w_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                               memory_space=vmem)
@@ -882,8 +889,7 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
                                 memory_space=vmem)
 
         out_shapes = (
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
+            jax.ShapeDtypeStruct((n_steps, 2, N, ny, nx), db.dtype),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
@@ -899,18 +905,31 @@ def _call_bwd_db(d, b, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
             functools.partial(_bwd_db_kernel, k1=k1, s=s, final=final,
                               unroll=U),
             grid=(n_blocks, n_cells),
-            in_specs=[db_rev, db_rev, w_spec, w_spec, w_spec, w_spec]
+            in_specs=[db_rev, w_spec, w_spec, w_spec, w_spec]
                      + mat_specs + f_specs,
-            out_specs=(db_rev, db_rev, w_spec, w_spec),
+            out_specs=(db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 4,
             interpret=interpret,
-        )(d, b, out_r, out_i, g_r, g_i, *t_mats, *i_mats, *f_ops)
+        )(db, out_r, out_i, g_r, g_i, *t_mats, *i_mats, *f_ops)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def multislice_db(delta, beta, wave, kernel, k1, s, interpret=False,
                   bf16=False, fay=None, fax=None, fayi=None, faxi=None):
+    """Split-channel convenience wrapper over :func:`multislice_db_packed`
+    (the production entry — callers that hold the ``[..., z, 2]`` patch
+    stack should transpose it ONCE into the packed layout instead of
+    paying two strided transposes; this wrapper stacks, so AD unstacks the
+    packed cotangent back to (gd, gb) automatically)."""
+    db = jnp.stack([delta, beta], 1)
+    return multislice_db_packed(db, wave, kernel, k1, s, interpret,
+                                bf16, fay, fax, fayi, faxi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def multislice_db_packed(db, wave, kernel, k1, s, interpret=False,
+                         bf16=False, fay=None, fax=None, fayi=None,
+                         faxi=None):
     """Modulator-fused multislice: per step ``t = exp(-k1*b - i*s*k1*d)``
     computed in-kernel, then ``w <- IFFT(FFT(w*t) H)``; the backward pass
     RECONSTRUCTS the forward wavefields by inverting the (unit-modulus)
@@ -922,11 +941,13 @@ def multislice_db(delta, beta, wave, kernel, k1, s, interpret=False,
     otherwise.
 
     Args:
-      delta, beta: f32 ``[n_steps, N, ny, nx]`` (pre-binned sums).
+      db: f32/bf16 ``[n_steps, 2, N, ny, nx]`` packed object channels
+        (slot 0 = delta, slot 1 = beta; pre-binned sums) — ONE fused
+        transpose away from the ``[..., z, 2]`` patch-stack layout.
       wave: complex ``[M, N, ny, nx]``; kernel: complex ``[ny, nx]``.
       k1, s: modulation scale ``2*pi*dz_nm/lambda_nm`` and sign.
 
-    Differentiable in delta, beta, wave (kernel is geometry).
+    Differentiable in db, wave (kernel is geometry).
 
     Accuracy bound: the wave reconstruction divides by the modulator,
     ``1/t = exp(+k1*beta)``, so f32 roundoff in the reconstructed fields
@@ -942,52 +963,53 @@ def multislice_db(delta, beta, wave, kernel, k1, s, interpret=False,
     the kernel then returns the DETECTOR wave (see
     ``propagate.final_prop_mats``).  Geometry, not differentiated.
     """
-    out, _ = _multislice_db_fwd(delta, beta, wave, kernel, k1, s, interpret,
+    out, _ = _multislice_db_fwd(db, wave, kernel, k1, s, interpret,
                                 bf16, fay, fax, fayi, faxi)
     return out
 
 
-def _multislice_db_fwd(delta, beta, wave, kernel, k1, s, interpret,
+def _multislice_db_fwd(db, wave, kernel, k1, s, interpret,
                        bf16=False, fay=None, fax=None, fayi=None, faxi=None):
-    N = delta.shape[1]
-    o_r, o_i = _call_fwd_db(delta, beta, jnp.real(wave), jnp.imag(wave),
+    N = db.shape[2]
+    o_r, o_i = _call_fwd_db(db, jnp.real(wave), jnp.imag(wave),
                             jnp.real(kernel), jnp.imag(kernel), k1, s,
                             interpret=interpret, bf16=bf16, fay=fay, fax=fax)
     out = (o_r[:, :N] + 1j * o_i[:, :N]).astype(jnp.complex64)
-    return out, (delta, beta, o_r, o_i, kernel, fay, fax, fayi, faxi)
+    return out, (db, o_r, o_i, kernel, fay, fax, fayi, faxi)
 
 
 def _multislice_db_bwd(k1, s, interpret, bf16, res, g):
-    delta, beta, o_r, o_i, kernel, fay, fax, fayi, faxi = res
-    N = delta.shape[1]
+    db, o_r, o_i, kernel, fay, fax, fayi, faxi = res
+    N = db.shape[2]
     # o_r/o_i come back batch-padded when N % NB != 0 — the bwd re-pads its
     # own inputs identically, so slice to N first for a consistent shape.
-    gd, gb, gw_r, gw_i = _call_bwd_db(
-        delta, beta, o_r[:, :N], o_i[:, :N],
+    gdb, gw_r, gw_i = _call_bwd_db(
+        db, o_r[:, :N], o_i[:, :N],
         jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
         k1, s, interpret=interpret, bf16=bf16, fay=fay, fax=fax,
         fayi=fayi, faxi=faxi)
     gw = (gw_r[:, :N] + 1j * gw_i[:, :N]).astype(jnp.complex64)
-    return (gd[:, :N], gb[:, :N], gw, None, None, None, None, None)
+    return (gdb[:, :, :N], gw, None, None, None, None, None)
 
 
-multislice_db.defvjp(_multislice_db_fwd, _multislice_db_bwd)
+multislice_db_packed.defvjp(_multislice_db_fwd, _multislice_db_bwd)
 
 
-def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
+def _call_fwd_db_st(db, w_r, w_i, h_r, h_i, k1, s, interpret=False,
                     bf16=False, fay=None, fax=None):
     with _dot_precision(bf16):
-        n_steps, N0, ny, nx = d.shape
+        n_steps, _, N0, ny, nx = db.shape
         M = w_r.shape[0]
         NB = _pick_nb(M, N0, ny, nx)
-        (d, b, w_r, w_i), N = _pad_batch((d, b, w_r, w_i), N0, NB,
-                                         (0.0, 0.0, 0.0, 0.0))
+        (db, w_r, w_i), N = _pad_batch((db, w_r, w_i), N0, NB,
+                                       (0.0, 0.0, 0.0))
         n_blocks = N // NB
-        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
+        U = _pick_unroll(n_steps, M, NB, ny, nx, db.dtype.itemsize)
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         fwd_mats = _split_prop_variants(py, px)
         vmem = pltpu.VMEM
-        db_spec = pl.BlockSpec((U, NB, ny, nx), lambda bk, st: (st, bk, 0, 0),
+        db_spec = pl.BlockSpec((U, 2, NB, ny, nx),
+                               lambda bk, st: (st, 0, bk, 0, 0),
                                memory_space=vmem)
         w0_spec = pl.BlockSpec((M, NB, ny, nx), lambda bk, st: (0, bk, 0, 0),
                                memory_space=vmem)
@@ -1002,8 +1024,8 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
         out_shapes = (
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), d.dtype),
-            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), d.dtype),
+            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), db.dtype),
+            jax.ShapeDtypeStruct((n_steps, M, N, ny, nx), db.dtype),
         )
         final = fay is not None
         mat_specs = [m_spec(ny), m_spec(ny), m_spec(nx), m_spec(nx)]
@@ -1013,34 +1035,34 @@ def _call_fwd_db_st(d, b, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             functools.partial(_fwd_db_st_kernel, k1=k1, s=s, final=final,
                               unroll=U),
             grid=(n_blocks, n_steps // U),
-            in_specs=[db_spec, db_spec, w0_spec, w0_spec] + mat_specs
+            in_specs=[db_spec, w0_spec, w0_spec] + mat_specs
                      + f_specs,
             out_specs=(w0_spec, w0_spec, inter_spec, inter_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, w_r, w_i, *fwd_mats, *f_ops)
+        )(db, w_r, w_i, *fwd_mats, *f_ops)
 
 
-def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
+def _call_bwd_db_st(db, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
                     interpret=False, bf16=False, fay=None, fax=None):
     with _dot_precision(bf16):
-        n_steps, N0, ny, nx = d.shape
+        n_steps, _, N0, ny, nx = db.shape
         M = g_r.shape[0]
         NB = _pick_nb(M, N0, ny, nx)
-        (d, b, g_r, g_i), N = _pad_batch((d, b, g_r, g_i), N0, NB,
-                                         (0.0, 0.0, 0.0, 0.0))
+        (db, g_r, g_i), N = _pad_batch((db, g_r, g_i), N0, NB,
+                                       (0.0, 0.0, 0.0))
         if inter_r.shape[-3] != N:
             (inter_r, inter_i), _ = _pad_batch(
                 (inter_r, inter_i), inter_r.shape[-3], NB, (0.0, 0.0))
         n_blocks = N // NB
-        U = _pick_unroll(n_steps, M, NB, ny, nx, d.dtype.itemsize)
+        U = _pick_unroll(n_steps, M, NB, ny, nx, db.dtype.itemsize)
         n_cells = n_steps // U
         py, px = _fold_prop_mats(h_r, h_i, ny, nx)
         t_mats = _split_prop_variants(py, px, transpose=True)
         vmem = pltpu.VMEM
-        db_rev = pl.BlockSpec((U, NB, ny, nx),
-                              lambda bk, st: (n_cells - 1 - st, bk, 0, 0),
+        db_rev = pl.BlockSpec((U, 2, NB, ny, nx),
+                              lambda bk, st: (n_cells - 1 - st, 0, bk, 0, 0),
                               memory_space=vmem)
         inter_rev = pl.BlockSpec((U, M, NB, ny, nx),
                                  lambda bk, st: (n_cells - 1 - st, 0, bk,
@@ -1054,8 +1076,7 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
                                 memory_space=vmem)
 
         out_shapes = (
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
-            jax.ShapeDtypeStruct((n_steps, N, ny, nx), d.dtype),
+            jax.ShapeDtypeStruct((n_steps, 2, N, ny, nx), db.dtype),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
             jax.ShapeDtypeStruct((M, N, ny, nx), jnp.float32),
         )
@@ -1068,52 +1089,64 @@ def _call_bwd_db_st(d, b, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
             functools.partial(_bwd_db_st_kernel, k1=k1, s=s, final=final,
                               unroll=U),
             grid=(n_blocks, n_cells),
-            in_specs=[db_rev, db_rev, inter_rev, inter_rev, w_spec, w_spec]
+            in_specs=[db_rev, inter_rev, inter_rev, w_spec, w_spec]
                      + mat_specs + f_specs,
-            out_specs=(db_rev, db_rev, w_spec, w_spec),
+            out_specs=(db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
             interpret=interpret,
-        )(d, b, inter_r, inter_i, g_r, g_i, *t_mats, *f_ops)
+        )(db, inter_r, inter_i, g_r, g_i, *t_mats, *f_ops)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def multislice_db_stored(delta, beta, wave, kernel, k1, s, interpret=False,
                          bf16=False, fay=None, fax=None, fayi=None,
                          faxi=None):
+    """Split-channel convenience wrapper over
+    :func:`multislice_db_stored_packed` (see :func:`multislice_db`)."""
+    db = jnp.stack([delta, beta], 1)
+    return multislice_db_stored_packed(db, wave, kernel, k1, s, interpret,
+                                       bf16, fay, fax, fayi, faxi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def multislice_db_stored_packed(db, wave, kernel, k1, s, interpret=False,
+                                bf16=False, fay=None, fax=None, fayi=None,
+                                faxi=None):
     """Modulator-fused multislice with STORED intermediates: the object
-    channels stream as two f32 planes and the modulator (and its VJP)
+    channels stream as one packed ``[n_steps, 2, N, ny, nx]`` plane pair
+    (slot 0 = delta, slot 1 = beta) and the modulator (and its VJP)
     compute in-kernel, while the backward replays recorded wavefields with
     ONE propagation per step (the invertible variant pays two).  Fastest
-    f32 kernel at flagship shapes; same interface as multislice_db
+    f32 kernel at flagship shapes; same interface as multislice_db_packed
     (``fayi``/``faxi`` are accepted for that symmetry but unused — the
     stored backward never reconstructs waves)."""
-    out, _ = _multislice_db_st_fwd(delta, beta, wave, kernel, k1, s,
+    out, _ = _multislice_db_st_fwd(db, wave, kernel, k1, s,
                                    interpret, bf16, fay, fax, fayi, faxi)
     return out
 
 
-def _multislice_db_st_fwd(delta, beta, wave, kernel, k1, s, interpret,
+def _multislice_db_st_fwd(db, wave, kernel, k1, s, interpret,
                           bf16=False, fay=None, fax=None, fayi=None,
                           faxi=None):
-    N = delta.shape[1]
+    N = db.shape[2]
     o_r, o_i, inter_r, inter_i = _call_fwd_db_st(
-        delta, beta, jnp.real(wave), jnp.imag(wave),
+        db, jnp.real(wave), jnp.imag(wave),
         jnp.real(kernel), jnp.imag(kernel), k1, s,
         interpret=interpret, bf16=bf16, fay=fay, fax=fax)
     out = (o_r[:, :N] + 1j * o_i[:, :N]).astype(jnp.complex64)
-    return out, (delta, beta, inter_r, inter_i, kernel, fay, fax)
+    return out, (db, inter_r, inter_i, kernel, fay, fax)
 
 
 def _multislice_db_st_bwd(k1, s, interpret, bf16, res, g):
-    delta, beta, inter_r, inter_i, kernel, fay, fax = res
-    N = delta.shape[1]
-    gd, gb, gw_r, gw_i = _call_bwd_db_st(
-        delta, beta, inter_r, inter_i,
+    db, inter_r, inter_i, kernel, fay, fax = res
+    N = db.shape[2]
+    gdb, gw_r, gw_i = _call_bwd_db_st(
+        db, inter_r, inter_i,
         jnp.real(g), jnp.imag(g), jnp.real(kernel), jnp.imag(kernel),
         k1, s, interpret=interpret, bf16=bf16, fay=fay, fax=fax)
     gw = (gw_r[:, :N] + 1j * gw_i[:, :N]).astype(jnp.complex64)
-    return (gd[:, :N], gb[:, :N], gw, None, None, None, None, None)
+    return (gdb[:, :, :N], gw, None, None, None, None, None)
 
 
-multislice_db_stored.defvjp(_multislice_db_st_fwd, _multislice_db_st_bwd)
+multislice_db_stored_packed.defvjp(_multislice_db_st_fwd,
+                                   _multislice_db_st_bwd)

@@ -292,7 +292,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                          scale_ri_by_k=True, kappa=None, repeats=None,
                          backprop=False, return_intermediate=False,
                          fused='auto', prebinned=False, mxu_bf16=False,
-                         final_prop=None):
+                         final_prop=None, db_stack=None):
     """Multislice (Fresnel beam) propagation through an object batch.
 
     TPU-native equivalent of ``multislice_propagate_batch``
@@ -332,6 +332,15 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         ``backprop``.  Gradients do NOT flow into a traced finite distance
         through the folded path — callers refining ``free_prop_cm`` must
         not pass ``final_prop``.
+      db_stack: optional ``[..., y, x, nz, 2]`` PACKED object channels
+        (``delta = db_stack[..., 0]``, ``beta = db_stack[..., 1]`` — the
+        patch-stack layout the driver extracts).  When the fused
+        delta_beta Pallas path engages, the z-major re-layout then costs
+        ONE fused transpose instead of two strided ones (and the gradient
+        comes back through one packed transpose) — measured 2.4 ms fwd +
+        2.7 ms bwd cheaper per flagship chunk.  Ignored (with zero cost:
+        the packed transpose is dead-code-eliminated) on every other
+        path; incompatible with ``kappa`` (beta is recomputed).
       prebinned: the z axis of ``delta``/``beta`` is ALREADY binned (each
         slice is the bin-sum of ``binning`` physical slices; requires
         delta_beta, nz multiple of binning at bin time).  ``binning``
@@ -355,6 +364,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
 
     if kappa is not None:
         beta = delta * kappa
+        db_stack = None    # beta recomputed: the packed stack is stale
 
     if final_prop is not None and backprop:
         raise ValueError('final_prop is a detector-side propagation; '
@@ -415,6 +425,20 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         beta_z = _bin_slices(beta_z, binning, unknown_type)
     n_steps = delta_z.shape[0]
 
+    # Packed z-major mirror of the exact same prep (both helpers operate on
+    # axis 0; the channel axis rides along).  Consumed only by the fused
+    # delta_beta kernels — dead-code-eliminated everywhere else, just as
+    # the split transposes are dead when the packed path runs.
+    db_z = None
+    if db_stack is not None and unknown_type == 'delta_beta':
+        db_z = jnp.moveaxis(db_stack, (-2, -1), (0, 1))
+        if not prebinned:
+            db_z = _pad_z_to_multiple(db_z, binning, unknown_type)
+        if backprop:
+            db_z = db_z[::-1]
+        if not prebinned:
+            db_z = _bin_slices(db_z, binning, unknown_type)
+
     internal_kernel = kernel is None
     if kernel is None:
         kernel = fresnel_kernel(wave.shape[-2:], voxel_nm, lmbda_nm,
@@ -446,15 +470,19 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         from . import pallas_multislice as pm
         interpret = jax.default_backend() != 'tpu'
         inter_bytes = (n_steps * wave.size * 8)
-        kern = (pm.multislice_db if inter_bytes > DB_STORED_MAX_BYTES
-                else pm.multislice_db_stored)
+        kern = (pm.multislice_db_packed if inter_bytes > DB_STORED_MAX_BYTES
+                else pm.multislice_db_stored_packed)
         # The object planes stream in their native dtype: bf16 under
         # run_bfloat16 (half the HBM bytes each way — the kernels upcast
         # on the VPU and emit gd/gb back in the same dtype, so no XLA-side
         # cast copies of the step-sized stacks).
-        if delta_z.dtype not in (jnp.float32, jnp.bfloat16):
-            delta_z = delta_z.astype(jnp.float32)
-            beta_z = beta_z.astype(jnp.float32)
+        if db_z is None:
+            if delta_z.dtype not in (jnp.float32, jnp.bfloat16):
+                delta_z = delta_z.astype(jnp.float32)
+                beta_z = beta_z.astype(jnp.float32)
+            db_z = jnp.stack([delta_z, beta_z.astype(delta_z.dtype)], 1)
+        elif db_z.dtype not in (jnp.float32, jnp.bfloat16):
+            db_z = db_z.astype(jnp.float32)
         # Fold the detector propagation into the kernel's last step when
         # it is a separable matrix pair; otherwise fall back to XLA below.
         f_mats, folded = (None, None, None, None), False
@@ -472,7 +500,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                     fresnel_approx=fresnel_approx)
                 if mats is not None:
                     f_mats, folded = mats, True
-        out = kern(delta_z, beta_z.astype(delta_z.dtype),
+        out = kern(db_z,
                    wave.astype(jnp.complex64),
                    kernel.astype(jnp.complex64),
                    float(k1), float(mod_sign), interpret, mxu_bf16,

@@ -178,11 +178,12 @@ class TestDBVariantSelection:
     def _run(monkeypatch, threshold):
         calls = []
         from adorym_tpu.ops import pallas_multislice as pm
-        real_db, real_st = pm.multislice_db, pm.multislice_db_stored
-        monkeypatch.setattr(pm, 'multislice_db',
+        real_db = pm.multislice_db_packed
+        real_st = pm.multislice_db_stored_packed
+        monkeypatch.setattr(pm, 'multislice_db_packed',
                             lambda *a, **k: calls.append('invertible')
                             or real_db(*a, **k))
-        monkeypatch.setattr(pm, 'multislice_db_stored',
+        monkeypatch.setattr(pm, 'multislice_db_stored_packed',
                             lambda *a, **k: calls.append('stored')
                             or real_st(*a, **k))
         monkeypatch.setattr(prop, 'DB_STORED_MAX_BYTES', threshold)

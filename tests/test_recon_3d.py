@@ -123,3 +123,44 @@ def test_binning_consistency(tomo_sim):
     data2 = simulate(cfg2, obj_true, probe, pos, theta_ls)
     rel = np.abs(data2 - data).mean() / np.abs(data).mean()
     assert rel < 0.02, rel  # weak object: binned model is a close approximation
+
+
+def test_fused_kernel_epoch_matches_xla(tomo_sim):
+    """fused_multislice='on' through the FULL driver (model -> packed
+    db_stack -> Pallas db kernels in interpret mode -> AD) must track the
+    XLA-FFT path's loss curve closely — guards the packed-glue production
+    path end to end, including the folded farfield (free_prop_cm='inf')
+    and binning=2 (the non-prebinned packed pad+bin prep)."""
+    _, obj_true, _, _, theta_ls, _ = tomo_sim
+    n, pn = 32, 16
+    base = dict(obj_size=(n, n, n), probe_size=(pn, pn),
+                energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf',
+                binning=2)
+    probe = initialize_probe((pn, pn), 'gaussian', n_probe_modes=1,
+                             energy_ev=5000.0, psize_cm=1e-7,
+                             probe_mag_sigma=4, probe_phase_sigma=4,
+                             probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 8)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+
+    data = simulate(ReconConfig(geometry=Geometry(**base)),
+                    obj_true, probe, pos, theta_ls[:3])
+
+    def run(fused):
+        cfg = ReconConfig(
+            geometry=Geometry(**base),
+            train=TrainConfig(minibatch_size=4, learning_rate=1e-5, seed=3,
+                              fused_multislice=fused))
+        rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls[:3],
+                            obj_init=np.zeros_like(obj_true))
+        return np.asarray([rec.run_epoch(ep) for ep in range(3)])
+
+    l_xla = run('off')
+    l_pal = run('on')
+    # Interpret-mode kernels run the HIGHEST-precision f32 dots (~4.5e-7
+    # per transform); updates WITHIN each epoch compound that noise, so
+    # even epoch 0 (3 updates deep by its last batch) sits at ~3e-4.
+    np.testing.assert_allclose(l_pal[0], l_xla[0], rtol=1e-3)
+    np.testing.assert_allclose(l_pal, l_xla, rtol=5e-3)

@@ -23,6 +23,10 @@ def main():
     ap.add_argument('--chunk', type=int, default=529)
     ap.add_argument('--rounds', type=int, default=10)
     ap.add_argument('--f32', action='store_true')
+    ap.add_argument('--ua', type=int, default=1,
+                    help='first forced unroll (A side)')
+    ap.add_argument('--ub', type=int, default=0,
+                    help='second forced unroll (0 = the _pick_unroll choice)')
     args = ap.parse_args()
 
     import jax
@@ -53,7 +57,9 @@ def main():
 
     natural = pm._pick_unroll(S, 1, pm._pick_nb(1, N, pn, pn), pn, pn,
                               2 if bf16 else 4)
-    print(f'natural unroll = {natural}')
+    ua = args.ua
+    ub = args.ub or natural
+    print(f'natural unroll = {natural}; comparing u{ua} vs u{ub}')
 
     real_pick = pm._pick_unroll
 
@@ -89,8 +95,8 @@ def main():
             pm._pick_unroll = real_pick
         return jf, jg
 
-    f1, g1 = build(1)
-    fU, gU = build(None)
+    f1, g1 = build(ua)
+    fU, gU = build(ub)
 
     def once(fn):
         t0 = time.perf_counter()
@@ -100,17 +106,17 @@ def main():
     tiny = jnp.zeros((8,), jnp.float32)
     jtiny = jax.jit(lambda x: jnp.sum(x + 1.0))
     float(jtiny(tiny))
-    samples = {k: [] for k in ('fwd u1', f'fwd u{natural}',
-                               'f+b u1', f'f+b u{natural}')}
+    samples = {k: [] for k in (f'fwd u{ua}', f'fwd u{ub}',
+                               f'f+b u{ua}', f'f+b u{ub}')}
     floors = []
     for _ in range(args.rounds):
         t0 = time.perf_counter()
         float(jtiny(tiny))
         floors.append((time.perf_counter() - t0) * 1e3)
-        samples['fwd u1'].append(once(f1))
-        samples[f'fwd u{natural}'].append(once(fU))
-        samples['f+b u1'].append(once(g1))
-        samples[f'f+b u{natural}'].append(once(gU))
+        samples[f'fwd u{ua}'].append(once(f1))
+        samples[f'fwd u{ub}'].append(once(fU))
+        samples[f'f+b u{ua}'].append(once(g1))
+        samples[f'f+b u{ub}'].append(once(gU))
     floor = np.median(floors)
     print(f'floor {floor:.1f} ms; floor-subtracted ms:')
     for k, v in samples.items():

@@ -642,6 +642,15 @@ def _pick_unroll(n_steps, M, NB, ny, nx, itemsize):
     return 1
 
 
+def _cparams(U):
+    """Mosaic compiler params for a given unroll.  The default 16M scoped
+    VMEM fits the double-buffered streams up to U=4 at flagship blocks;
+    forced larger unrolls (probes / future tuning) need headroom."""
+    if U <= 4:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+
+
 def _pad_batch(arrs, N, NB, fills):
     """Pad each [.., N, ny, nx] array's batch dim up to a multiple of NB."""
     pad = (-N) % NB
@@ -856,6 +865,7 @@ def _call_fwd_db(db, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             out_specs=(w0_spec, w0_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
+            compiler_params=_cparams(U),
             interpret=interpret,
         )(db, w_r, w_i, *fwd_mats, *f_ops)
         return out
@@ -910,6 +920,7 @@ def _call_bwd_db(db, out_r, out_i, g_r, g_i, h_r, h_i, k1, s,
             out_specs=(db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 4,
+            compiler_params=_cparams(U),
             interpret=interpret,
         )(db, out_r, out_i, g_r, g_i, *t_mats, *i_mats, *f_ops)
 
@@ -1040,6 +1051,7 @@ def _call_fwd_db_st(db, w_r, w_i, h_r, h_i, k1, s, interpret=False,
             out_specs=(w0_spec, w0_spec, inter_spec, inter_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
+            compiler_params=_cparams(U),
             interpret=interpret,
         )(db, w_r, w_i, *fwd_mats, *f_ops)
 
@@ -1094,6 +1106,7 @@ def _call_bwd_db_st(db, inter_r, inter_i, g_r, g_i, h_r, h_i, k1, s,
             out_specs=(db_rev, w_spec, w_spec),
             out_shape=out_shapes,
             scratch_shapes=[pltpu.VMEM((M, NB, ny, nx), jnp.float32)] * 2,
+            compiler_params=_cparams(U),
             interpret=interpret,
         )(db, inter_r, inter_i, g_r, g_i, *t_mats, *f_ops)
 

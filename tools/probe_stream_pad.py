@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Measure the lane-padding DMA tax on the db-kernel streams.
+
+XLA:TPU stores HBM arrays tiled T(8,128)/T(16,128): a [.., 72, 72] patch
+pane pads its minor dim 72 -> 128 lanes, so every DMA moves 78% more
+bytes than the logical array.  This probe times pass-through Pallas copy
+kernels (same grid/blocking as the stored-db stream) over
+  A: [S, 2, N, 72, 72]   (production layout, padded lanes)
+  B: [S, 2, N, 5184]     (flattened panes, ~0% pad at 5184 = 40.5*128)
+to size the flattened-stream lever before touching the math kernels.
+
+Usage: python tools/probe_stream_pad.py [--rounds 8] [--f32]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=544)
+    ap.add_argument('--probe', type=int, default=72)
+    ap.add_argument('--steps', type=int, default=32)
+    ap.add_argument('--nb', type=int, default=17)
+    ap.add_argument('--unroll', type=int, default=4)
+    ap.add_argument('--rounds', type=int, default=8)
+    ap.add_argument('--f32', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = jax.devices()[0].platform not in ('tpu',)
+    S, N, P, NB, U = args.steps, args.n, args.probe, args.nb, args.unroll
+    dt = jnp.float32 if args.f32 else jnp.bfloat16
+    rng = np.random.default_rng(0)
+    a = jax.jit(lambda x: x.astype(dt))(
+        jnp.asarray(rng.random((S, 2, N, P, P), np.float32)))
+    b = jax.jit(lambda x: x.reshape(S, 2, N, P * P))(a)
+
+    def copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    def build(shape, block):
+        grid = (N // NB, S // U)
+        spec = pl.BlockSpec(block, lambda bk, st: (st, 0, bk)
+                            + (0,) * (len(block) - 3),
+                            memory_space=pltpu.VMEM)
+        f = pl.pallas_call(copy_kernel, grid=grid, in_specs=[spec],
+                           out_specs=spec,
+                           out_shape=jax.ShapeDtypeStruct(shape, dt),
+                           interpret=interpret)
+
+        @jax.jit
+        def run(x):
+            y = f(x)
+            return y, y[(0,) * y.ndim].astype(jnp.float32)
+
+        def call(x):
+            y, s = run(x)
+            float(s)
+            return y
+
+        return call
+
+    fa = build(a.shape, (U, 2, NB, P, P))
+    fb = build(b.shape, (U, 2, NB, P * P))
+    fa(a); fb(b)
+
+    tiny = jnp.zeros((8,), jnp.float32)
+    jtiny = jax.jit(lambda x: jnp.sum(x + 1.0))
+    float(jtiny(tiny))
+    sa, sb, floors = [], [], []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter(); float(jtiny(tiny))
+        floors.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter(); fa(a)
+        sa.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter(); fb(b)
+        sb.append((time.perf_counter() - t0) * 1e3)
+    floor = np.median(floors)
+    gb = a.size * a.dtype.itemsize * 2 / 1e9   # read + write, logical
+    av = np.median(np.asarray(sa) - floor)
+    bv = np.median(np.asarray(sb) - floor)
+    print(f'floor {floor:.1f} ms; logical traffic {gb:.2f} GB (r+w)')
+    print(f'  padded  [..,{P},{P}]: {av:6.2f} ms  ({gb / av * 1e3:5.0f} GB/s)')
+    print(f'  flat    [..,{P * P}]: {bv:6.2f} ms  ({gb / bv * 1e3:5.0f} GB/s)')
+
+
+if __name__ == '__main__':
+    main()

@@ -71,14 +71,44 @@ def main():
 
         return call
 
+    def reshape_kernel(x_ref, o_ref):
+        # Stream flat, relayout to panes (what the math kernels need),
+        # touch the panes, relayout back to flat for the output stream.
+        x = x_ref[...].reshape(U, 2, NB, P, P)
+        y = x + x.astype(jnp.float32).astype(x.dtype) * 0  # keep the panes live
+        o_ref[...] = y.reshape(U, 2, NB, P * P)
+
+    def build_reshape():
+        grid = (N // NB, S // U)
+        spec = pl.BlockSpec((U, 2, NB, P * P),
+                            lambda bk, st: (st, 0, bk, 0),
+                            memory_space=pltpu.VMEM)
+        f = pl.pallas_call(reshape_kernel, grid=grid, in_specs=[spec],
+                           out_specs=spec,
+                           out_shape=jax.ShapeDtypeStruct(b.shape, dt),
+                           interpret=interpret)
+
+        @jax.jit
+        def run(x):
+            y = f(x)
+            return y, y[(0,) * y.ndim].astype(jnp.float32)
+
+        def call(x):
+            y, s = run(x)
+            float(s)
+            return y
+
+        return call
+
     fa = build(a.shape, (U, 2, NB, P, P))
     fb = build(b.shape, (U, 2, NB, P * P))
-    fa(a); fb(b)
+    fc = build_reshape()
+    fa(a); fb(b); fc(b)
 
     tiny = jnp.zeros((8,), jnp.float32)
     jtiny = jax.jit(lambda x: jnp.sum(x + 1.0))
     float(jtiny(tiny))
-    sa, sb, floors = [], [], []
+    sa, sb, sc, floors = [], [], [], []
     for _ in range(args.rounds):
         t0 = time.perf_counter(); float(jtiny(tiny))
         floors.append((time.perf_counter() - t0) * 1e3)
@@ -86,13 +116,17 @@ def main():
         sa.append((time.perf_counter() - t0) * 1e3)
         t0 = time.perf_counter(); fb(b)
         sb.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter(); fc(b)
+        sc.append((time.perf_counter() - t0) * 1e3)
     floor = np.median(floors)
     gb = a.size * a.dtype.itemsize * 2 / 1e9   # read + write, logical
     av = np.median(np.asarray(sa) - floor)
     bv = np.median(np.asarray(sb) - floor)
     print(f'floor {floor:.1f} ms; logical traffic {gb:.2f} GB (r+w)')
     print(f'  padded  [..,{P},{P}]: {av:6.2f} ms  ({gb / av * 1e3:5.0f} GB/s)')
+    cv = np.median(np.asarray(sc) - floor)
     print(f'  flat    [..,{P * P}]: {bv:6.2f} ms  ({gb / bv * 1e3:5.0f} GB/s)')
+    print(f'  flat+reshape panes : {cv:6.2f} ms  ({gb / cv * 1e3:5.0f} GB/s)')
 
 
 if __name__ == '__main__':

@@ -39,10 +39,6 @@ _IGNORED = {
     'backend', 'cpu_only', 'gpu_index', 'xpu', 'core_parallelization',
     'precalculate_rotation_coords', 'cache_dtype', 'n_split_mpi_ata',
     'dist_mode_n_batch_per_update',
-    # interpolation ('bilinear'|'nearest') IS live upstream; only
-    # bilinear (the default) is implemented here — 'nearest' rotation
-    # warns and falls back.
-    'interpolation',
     # Dead in the reference (signature-only): dynamic_dropping /
     # dropping_threshold (:161), fourier_disparity (:121).
     'dynamic_dropping', 'dropping_threshold',
@@ -144,9 +140,9 @@ def reconstruct_ptychography(
         **kwargs) -> Dict[str, Any]:
     """Run a reconstruction from an Adorym-layout HDF5 file.  Returns the
     results dict (object, probe, refined params, loss history)."""
-    if kwargs.get('interpolation', 'bilinear') != 'bilinear':
-        warnings.warn("interpolation='nearest' is not implemented; "
-                      'rotations use bilinear (the reference default)')
+    interpolation = kwargs.pop('interpolation', 'bilinear')
+    if interpolation not in ('bilinear', 'nearest'):
+        raise ValueError(f'unknown interpolation {interpolation!r}')
     for k in kwargs:
         if k in _IGNORED or k in _PROBE_KWARGS:
             continue
@@ -308,6 +304,7 @@ def reconstruct_ptychography(
         theta_downsample=theta_downsample,
         n_batch_per_update=n_batch_per_update,
         rotate_out_of_loop=rotate_out_of_loop,
+        interpolation=interpolation,
         n_probe_modes=n_probe_modes,
         forward_algorithm=forward_algorithm,
         ctf_kappa=10.0 ** ctf_lg_kappa, run_bfloat16=run_bfloat16)

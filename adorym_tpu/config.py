@@ -184,6 +184,10 @@ class TrainConfig:
     # the scatter-heavy exact transpose; True uses the exact linear-map
     # transpose of the forward rotation.
     exact_grad_rotation: bool = False
+    # Rotation resampling (reference kwarg ``interpolation``,
+    # ``adorym/ptychography.py:72`` -> grid_sample mode
+    # ``adorym/wrappers.py:1106``): 'bilinear' | 'nearest'.
+    interpolation: str = 'bilinear'
     seed: int = 0
 
 

@@ -93,7 +93,8 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
 
     obj = params['obj']
     if not geo.two_d_mode:
-        obj = rotate(obj, batch['theta'], axis=0)
+        obj = rotate(obj, batch['theta'], axis=0,
+                     method=cfg.train.interpolation)
 
     probe = complex_probe(params['probe'])     # [n_modes, Y, X] full field
     if cfg.refine.optimize_probe_defocusing:

@@ -73,12 +73,13 @@ def rotated_object(params: Dict, batch: Dict, cfg: ReconConfig):
         return obj
     if cfg.refine.tilt_active:
         tilts = params['tilt_ls'][:, batch['i_theta']]
-        return tilt_rotate(obj, tilts)
+        return tilt_rotate(obj, tilts, method=cfg.train.interpolation)
     if cfg.train.rotate_out_of_loop:
         # Driver rotates once per angle outside AD and rotates the gradient
         # back (``adorym/ptychography.py:937-940,1069-1078``).
         return obj
-    return rotate(obj, batch['theta'], axis=0)
+    return rotate(obj, batch['theta'], axis=0,
+                  method=cfg.train.interpolation)
 
 
 def shifted_probes(probe, params: Dict, batch: Dict, cfg: ReconConfig):

@@ -36,9 +36,19 @@ from .fourier import fft2, ifft2, fft2_and_shift, ifft2_and_shift
 #: per-chunk forward intermediates, the STORED-intermediates backward
 #: (1 propagation per step) is used; above it, the invertible backward
 #: (reconstructs wavefields, zero step-sized storage).  ~2 GB measured as
-#: the crossover where the stored stack's HBM pressure outweighs the
-#: invertible variant's extra propagation at flagship shapes.
-DB_STORED_MAX_BYTES = 2e9
+#: the crossover on a 16 GB v5e — the point where the stored stack claims
+#: ~1/8 of HBM and its pressure outweighs the invertible variant's extra
+#: propagation — so the default (None) derives hbm/8 per device (a 95 GB
+#: v5p keeps the faster stored variant up to ~12 GB of intermediates).
+#: Set a number (tests do) to pin the crossover explicitly.
+DB_STORED_MAX_BYTES = None
+
+
+def _db_stored_max_bytes() -> float:
+    if DB_STORED_MAX_BYTES is not None:
+        return DB_STORED_MAX_BYTES
+    from ..utils.profiling import hbm_limit_bytes
+    return hbm_limit_bytes() / 8
 
 #: Sparse multislice unrolls its per-slice loop up to this many slices
 #: (the intended few-slice regime, where unrolling lets XLA fuse the
@@ -470,7 +480,8 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
         from . import pallas_multislice as pm
         interpret = jax.default_backend() != 'tpu'
         inter_bytes = (n_steps * wave.size * 8)
-        kern = (pm.multislice_db_packed if inter_bytes > DB_STORED_MAX_BYTES
+        kern = (pm.multislice_db_packed
+                if inter_bytes > _db_stored_max_bytes()
                 else pm.multislice_db_stored_packed)
         # The object planes stream in their native dtype: bf16 under
         # run_bfloat16 (half the HBM bytes each way — the kernels upcast

@@ -42,6 +42,28 @@ def _rotation_source_coords(shape2, theta):
     return c1, c2
 
 
+def _nearest_gather_plane(vol, c1, c2, ax1, ax2):
+    """Nearest-neighbor sample of ``vol`` at (c1, c2) along axes (ax1, ax2)
+    — the reference's ``interpolation='nearest'`` grid_sample mode
+    (``adorym/wrappers.py:1106``): one rounded-index gather, zero
+    interpolation weights (and hence zero theta gradient, matching
+    grid_sample's piecewise-constant nearest mode)."""
+    s1 = vol.shape[ax1]
+    s2 = vol.shape[ax2]
+    i1 = jnp.clip(jnp.round(c1), 0, s1 - 1).astype(jnp.int32)
+    i2 = jnp.clip(jnp.round(c2), 0, s2 - 1).astype(jnp.int32)
+    perm = [ax1, ax2] + [a for a in range(vol.ndim) if a not in (ax1, ax2)]
+    v = jnp.transpose(vol, perm)
+    out = v[i1.ravel(), i2.ravel()].reshape(c1.shape + v.shape[2:])
+    return jnp.transpose(out, np.argsort(perm))
+
+
+def _gather_plane(vol, c1, c2, ax1, ax2, method):
+    if method == 'nearest':
+        return _nearest_gather_plane(vol, c1, c2, ax1, ax2)
+    return _bilinear_gather_plane(vol, c1, c2, ax1, ax2)
+
+
 def _bilinear_gather_plane(vol, c1, c2, ax1, ax2):
     """Bilinear sample of ``vol`` at (c1, c2) along axes (ax1, ax2).
 
@@ -108,12 +130,14 @@ def _carried_chunks(n_carried: int, nbytes: int) -> int:
     return 1
 
 
-def rotate(obj, theta, axis=0):
+def rotate(obj, theta, axis=0, method='bilinear'):
     """Rotate a volume ``[s0, s1, s2, ...]`` about ``axis`` by ``theta`` rad.
 
     Trailing axes beyond the first three (e.g. the 2 delta/beta channels) are
     carried along unchanged, matching the reference's treatment of
     ``obj[y, x, z, 2]``.  Differentiable in ``obj`` and ``theta``.
+    ``method`` selects the resampling (the reference's ``interpolation``
+    kwarg): 'bilinear' (default) or 'nearest'.
 
     Large volumes rotate chunk-by-chunk over the carried (rotation) axis —
     each slice along ``axis`` rotates independently, so the result is
@@ -124,7 +148,7 @@ def rotate(obj, theta, axis=0):
                                      jnp.asarray(theta, dtype=jnp.float32))
     k = _carried_chunks(obj.shape[axis], obj.size * obj.dtype.itemsize)
     if k == 1:
-        return _bilinear_gather_plane(obj, c1, c2, axes_rot[0], axes_rot[1])
+        return _gather_plane(obj, c1, c2, axes_rot[0], axes_rot[1], method)
     # Move the carried axis to the front and rotate chunk-by-chunk with a
     # fori_loop writing into a preallocated buffer; inside a chunk the
     # rotated plane is always axes (1, 2).  (A stacked lax.map output of
@@ -135,20 +159,27 @@ def rotate(obj, theta, axis=0):
 
     def body(i, out):
         sl = jax.lax.dynamic_slice_in_dim(vol, i * cy, cy, 0)
-        r = _bilinear_gather_plane(sl, c1, c2, 1, 2)
+        r = _gather_plane(sl, c1, c2, 1, 2, method)
         return jax.lax.dynamic_update_slice_in_dim(out, r, i * cy, 0)
 
     out = jax.lax.fori_loop(0, k, body, jnp.zeros_like(vol))
     return jnp.moveaxis(out, 0, axis)
 
 
-def _bilinear_gather_plane_mapped_z(vol_b, c1, c2, nz_full, binning):
+def _bilinear_gather_plane_mapped_z(vol_b, c1, c2, nz_full, binning,
+                                    method='bilinear'):
     """Bilinear sample in the (x, z) plane of a z-BINNED volume as if it
     were expanded to full depth: corner index ``z`` reads ``vol_b[z //
     binning]`` (the expansion is piecewise-constant in z, so only the
     corner lookup changes).  ``vol_b``: [x, zb, ...]; returns the plane
     ``c1.shape + trailing``."""
     s1 = vol_b.shape[0]
+    if method == 'nearest':
+        i1 = jnp.clip(jnp.round(c1), 0, s1 - 1).astype(jnp.int32)
+        i2 = (jnp.clip(jnp.round(c2), 0, nz_full - 1).astype(jnp.int32)
+              // binning)
+        return vol_b[i1.ravel(), i2.ravel()].reshape(
+            c1.shape + vol_b.shape[2:])
     c1 = jnp.clip(c1, 0.0, s1 - 1.0)
     c2 = jnp.clip(c2, 0.0, nz_full - 1.0)
     f1 = jnp.floor(c1)
@@ -173,7 +204,7 @@ def _bilinear_gather_plane_mapped_z(vol_b, c1, c2, nz_full, binning):
     return out.reshape(c1.shape + vol_b.shape[2:])
 
 
-def rotate_and_bin_z(obj, theta, binning):
+def rotate_and_bin_z(obj, theta, binning, method='bilinear'):
     """``bin_z(rotate(obj, theta))`` WITHOUT materializing the rotated
     full-resolution volume: each y-chunk is gathered and bin-summed before
     the next is produced.  For large objects this removes an object-sized
@@ -193,7 +224,7 @@ def rotate_and_bin_z(obj, theta, binning):
 
     def one_chunk(sl):
         from .propagate import bin_z_sum
-        return bin_z_sum(_bilinear_gather_plane(sl, c1, c2, 1, 2), binning,
+        return bin_z_sum(_gather_plane(sl, c1, c2, 1, 2, method), binning,
                          axis=2)
 
     if cy == y:
@@ -208,7 +239,8 @@ def rotate_and_bin_z(obj, theta, binning):
     return jax.lax.fori_loop(0, k, body, out0)
 
 
-def rotate_expanded_from_binned_z(g_binned, theta, binning, nz_full):
+def rotate_expanded_from_binned_z(g_binned, theta, binning, nz_full,
+                                  method='bilinear'):
     """``rotate(expand_z(g_binned), theta)`` WITHOUT materializing the
     expanded volume: the z expansion is piecewise-constant, so the bilinear
     corner lookups read ``g_binned[..., z // binning, :]`` directly.  Used
@@ -231,7 +263,7 @@ def rotate_expanded_from_binned_z(g_binned, theta, binning, nz_full):
         # vmap the plane sampler over the carried y axis of this chunk.
         return jax.vmap(
             lambda p: _bilinear_gather_plane_mapped_z(p, c1, c2, nz_full,
-                                                      binning))(sl)
+                                                      binning, method))(sl)
 
     if cy == y:
         return one_chunk(g_binned)
@@ -245,7 +277,7 @@ def rotate_expanded_from_binned_z(g_binned, theta, binning, nz_full):
     return jax.lax.fori_loop(0, k, body, out0)
 
 
-def rotate_adjoint(cotangent, theta, axis=0):
+def rotate_adjoint(cotangent, theta, axis=0, method='bilinear'):
     """Transpose (adjoint) of :func:`rotate` at the same ``theta``.
 
     The reference uses this to rotate accumulated gradients back to the 0-deg
@@ -256,16 +288,16 @@ def rotate_adjoint(cotangent, theta, axis=0):
     exact.
     """
     cotangent = jnp.asarray(cotangent)
-    _, vjp = jax.vjp(lambda o: rotate(o, theta, axis=axis),
+    _, vjp = jax.vjp(lambda o: rotate(o, theta, axis=axis, method=method),
                      jnp.zeros_like(cotangent))
     return vjp(cotangent)[0]
 
 
-def tilt_rotate(obj, tilts):
+def tilt_rotate(obj, tilts, method='bilinear'):
     """Apply the 3-axis tilt sequence used for tilt refinement
     (``adorym/forward_model.py:274-276``): rotate about axes 0, 1, 2 in turn
     by ``tilts[0..2]``.  Differentiable in ``tilts``."""
-    obj = rotate(obj, tilts[0], axis=0)
-    obj = rotate(obj, tilts[1], axis=1)
-    obj = rotate(obj, tilts[2], axis=2)
+    obj = rotate(obj, tilts[0], axis=0, method=method)
+    obj = rotate(obj, tilts[1], axis=1, method=method)
+    obj = rotate(obj, tilts[2], axis=2, method=method)
     return obj

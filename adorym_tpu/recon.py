@@ -37,6 +37,7 @@ from .optim import optimizers as opt_lib
 from .optim import params as param_lib
 from .ops import patches as patch_ops
 from .ops import propagate as prop
+from .utils import profiling as _prof
 
 
 def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
@@ -58,15 +59,6 @@ def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
         ls.append(regs.GradCorrRegularizer(ut, lc.grad_corr_reg))
     return ls
 
-
-#: offload_object='auto' engages when the object pair exceeds this
-#: fraction of the device capacity (shared by the budget estimate and the
-#: engage gate).  Set at the PROVEN-FIT lower bound of the
-#: device-resident path (v5e 15.75G: 736^3 = 3.2G = 0.203 of HBM fits
-#: with streaming rotation + offloaded moments; 768^3 = 3.6G OOMs), so
-#: every size beyond what is proven to fit streams through the host —
-#: engaging slightly early only costs throughput, never an OOM.
-OBJ_OFFLOAD_AUTO_FRAC = 0.20
 
 
 def _slab_order(keys):
@@ -338,10 +330,10 @@ class Reconstructor:
             and not (cfg.loss.alpha_d or cfg.loss.alpha_b or cfg.loss.gamma
                      or cfg.loss.corr_reg or cfg.loss.grad_corr_reg)
             and (cfg.parallel.offload_object is True
-                 or obj_bytes > OBJ_OFFLOAD_AUTO_FRAC * hbm))
+                 or obj_bytes > _prof.obj_offload_auto_bytes(hbm)))
         _obj_budget = (obj_bytes // max(1, geo.binning)
                        if _obj_off_likely else obj_bytes)
-        avail = (hbm - 6e9) - 6 * _obj_budget
+        avail = (hbm - _prof.xla_reserve_bytes(hbm)) - 6 * _obj_budget
         # ~6 patch-stack-sized buffers live through fwd+bwd (patches, their
         # gradient, delta/beta splits, wave stacks) — measured at flagship
         # shapes; g=12 (3 stacks assumed) OOMed by 0.2G on a 16G chip.
@@ -389,7 +381,17 @@ class Reconstructor:
         ws_bytes = 6 * _obj_budget + bufs * patch_bytes * self._fuse_g
         self._data_dev_ok = (mesh is None
                              and self.data is not None
-                             and self.data.nbytes <= (hbm - 1.5e9) - ws_bytes)
+                             and self.data.nbytes
+                             <= (hbm - _prof.data_headroom_bytes(hbm))
+                             - ws_bytes)
+        if (not self._data_dev_ok and mesh is None
+                and self.data is not None):
+            import warnings
+            warnings.warn(
+                f'dataset ({self.data.nbytes / 1e9:.2f} GB) does not fit '
+                'device-resident next to the working set '
+                f'({ws_bytes / 1e9:.2f} GB); per-angle host staging will '
+                'serialize with compute on remote-dispatch links')
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))
@@ -556,7 +558,7 @@ class Reconstructor:
         want_obj_off = cfg.parallel.offload_object
         if want_obj_off == 'auto':
             want_obj_off = (self._off_slabbed
-                            and obj_bytes > OBJ_OFFLOAD_AUTO_FRAC * hbm)
+                            and obj_bytes > _prof.obj_offload_auto_bytes(hbm))
         if want_obj_off and mesh is not None:
             if cfg.parallel.offload_object is True:
                 raise ValueError(
@@ -625,7 +627,18 @@ class Reconstructor:
         # Mesh patch-granular fast path (the reference's DO mode at full
         # speed): host-side layout + eligibility; the step itself is built
         # inside _build_step.
+        self._mc_decline_reasons = []
         self._mc = self._build_mc_layout()
+        if (self._mc is None and self.mesh is not None
+                and cfg.parallel.object_axis > 1):
+            # The user explicitly asked for a distributed object; signal
+            # that the patch-granular fast path declined (the generic
+            # GSPMD/halo path still runs correctly, just unoptimized) —
+            # the silent-fallback analog of use_halo_gather's warning.
+            import warnings
+            why = '; '.join(self._mc_decline_reasons) or 'geometry'
+            warnings.warn('mesh patch-granular fast path declined '
+                          f'({why}); running the generic GSPMD path')
 
         self._step = self._build_step()
         if self._obj_offloaded:
@@ -665,7 +678,8 @@ class Reconstructor:
         def rot_slab(obj_b, host_slab, theta, st):
             slab = jax.device_put(host_slab, dev_sh)
             return jax.lax.dynamic_update_slice_in_dim(
-                obj_b, rotate_and_bin_z(slab, theta, binning), st, axis=0)
+                obj_b, rotate_and_bin_z(slab, theta, binning, method=cfg.train.interpolation),
+                st, axis=0)
 
         def accum(aux, obj_b, theta, i_theta, pos_all, inds_all,
                   measured_all, w_all):
@@ -694,7 +708,7 @@ class Reconstructor:
             # accumulator rows and interp-rotate back, per y-plane.
             g_k = rotate_expanded_from_binned_z(
                 jax.lax.dynamic_slice_in_dim(g_binned, st, sz, axis=0),
-                -theta, binning, nz_full)
+                -theta, binning, nz_full, method=cfg.train.interpolation)
             o_k = jax.device_put(host_o, dev_sh)
             st_k = {n: jax.device_put(host_st[n], st_dev_sh[n])
                     for n in host_st}
@@ -776,16 +790,32 @@ class Reconstructor:
         cfg = self.cfg
         geo = cfg.geometry
         mesh = self.mesh
-        if (mesh is None or self._rowgrid_stride is None
-                or self.model is not ptycho_model
-                or self.transform_measured is not None
-                or not hasattr(self.model, 'predict_from_patches')
-                or self.reg_list or self.second_order
-                or cfg.refine.tilt_active
-                or self.data is None
-                or cfg.train.update_scheme != 'per angle'
-                or cfg.train.n_batch_per_update > 1
-                or self.external_algorithm is not None):
+        if mesh is None:
+            return None
+        why = self._mc_decline_reasons = []
+        if self._rowgrid_stride is None:
+            why.append('scan table is not a constant-stride row grid')
+        if self.model is not ptycho_model:
+            why.append('model is not far-field ptychography')
+        elif not hasattr(self.model, 'predict_from_patches'):
+            why.append('model has no patch-granular forward')
+        if self.transform_measured is not None:
+            why.append('measured-data transform active')
+        if self.reg_list:
+            why.append('regularizers active')
+        if self.second_order:
+            why.append('second-order optimizer')
+        if cfg.refine.tilt_active:
+            why.append('tilt rotation active')
+        if self.data is None:
+            why.append('no in-memory dataset')
+        if cfg.train.update_scheme != 'per angle':
+            why.append("update_scheme is not 'per angle'")
+        if cfg.train.n_batch_per_update > 1:
+            why.append('n_batch_per_update > 1')
+        if self.external_algorithm is not None:
+            why.append('external algorithm hook active')
+        if why:
             return None
         n_dp = cfg.parallel.data_axis
         n_op = cfg.parallel.object_axis
@@ -793,6 +823,8 @@ class Reconstructor:
         Y, X, nz = geo.obj_size
         py, px = geo.probe_size
         if mb % n_dp or Y % n_op:
+            why.append(f'divisibility: minibatch {mb} %% data_axis {n_dp} '
+                       f'or object y {Y} %% object_axis {n_op} != 0')
             return None
         p = self.pad_arr
         p0, p1 = int(p[0][0]), int(p[0][1])
@@ -806,6 +838,8 @@ class Reconstructor:
         S_p = Y_p // n_op
         h1, h2 = p0, p1 + py
         if py > S_p or max(h1, h2, p0, p1) > S_u:
+            why.append(f'probe height {py} or halo exceeds the per-shard '
+                       f'slab ({S_p} padded / {S_u} unpadded rows)')
             return None
         prebin = (cfg.train.prebin_z in ('auto', 'on') and geo.binning > 1
                   and cfg.train.unknown_type == 'delta_beta'
@@ -826,7 +860,7 @@ class Reconstructor:
         hbm = _prof.hbm_limit_bytes()
         slab_bytes = S_p * (X + px0 + px1) * nzb * 2 * 4
         patch_dev_bytes = mp * py * px * nzb * 2 * 4
-        avail = (hbm - 6e9) - 6 * slab_bytes
+        avail = (hbm - _prof.xla_reserve_bytes(hbm)) - 6 * slab_bytes
         g_rows = int(max(1, min(64, n_max,
                                 avail // max(1, self._chunk_bufs
                                              * patch_dev_bytes))))
@@ -863,9 +897,11 @@ class Reconstructor:
         # the generic path when the per-device share cannot fit next to
         # the working set.
         data_dev_bytes = (self.n_theta * R * mp * py * px * 4)
-        if data_dev_bytes > (hbm - 1.5e9) - (6 * slab_bytes
-                                             + self._chunk_bufs
-                                             * patch_dev_bytes * g_rows):
+        if data_dev_bytes > ((hbm - _prof.data_headroom_bytes(hbm))
+                             - (6 * slab_bytes + self._chunk_bufs
+                                * patch_dev_bytes * g_rows)):
+            why.append(f'device-resident data share ({data_dev_bytes / 1e9:.2f}'
+                       ' GB/device) does not fit next to the working set')
             return None
         return dict(n_dp=n_dp, n_op=n_op, mb=mb, mp=mp, g_rows=g_rows,
                     n_c=n_c, R=R, S_u=S_u, S_p=S_p, p0=p0, p1=p1, px0=px0,
@@ -1263,14 +1299,17 @@ class Reconstructor:
             lambda m, o: m * (o[..., 0] >= cfg.train.shrink_threshold))
         if not cfg.geometry.two_d_mode:
             from .ops.rotate import rotate, rotate_adjoint
-            self._rotate_fwd = jax.jit(lambda o, th: rotate(o, th))
+            _interp = cfg.train.interpolation
+            self._rotate_fwd = jax.jit(
+                lambda o, th: rotate(o, th, method=_interp))
             # Gradient rotate-back: the reference interpolates at -theta
             # (``adorym/ptychography.py:1069-1078``) — a gather, ~3x faster
             # than the scatter-heavy exact transpose.
             if cfg.train.exact_grad_rotation:
-                grad_back = rotate_adjoint
+                grad_back = lambda g, th: rotate_adjoint(g, th,
+                                                         method=_interp)
             else:
-                grad_back = lambda g, th: rotate(g, -th)
+                grad_back = lambda g, th: rotate(g, -th, method=_interp)
             self._rotate_adj = jax.jit(grad_back)
             self._grad_back = grad_back
 
@@ -1316,16 +1355,20 @@ class Reconstructor:
             # _run_epoch_angles drives it as per-slab jit calls instead,
             # see _build_offl_steps.)
             obj_nbytes = int(np.prod(params['obj'].shape)) * 4
+            from .utils.profiling import stream_rotation_auto_bytes
+            _sra_bytes = stream_rotation_auto_bytes()
             stream_rot = (prebin and not cfg.geometry.two_d_mode
                           and (cfg.train.stream_rotation == 'on'
                                or (cfg.train.stream_rotation == 'auto'
-                                   and obj_nbytes > 1.5e9))
+                                   and obj_nbytes
+                                   > _sra_bytes))
                           and not cfg.train.exact_grad_rotation
                           and not self.reg_list)
             if cfg.geometry.two_d_mode or stream_rot:
                 p_rot = params
             else:
-                p_rot = {**params, 'obj': rotate(params['obj'], theta)}
+                p_rot = {**params, 'obj': rotate(
+                    params['obj'], theta, method=cfg.train.interpolation)}
 
             def per_batch_mismatch(pred, meas):
                 per_item = model_base.mismatch_loss(
@@ -1358,7 +1401,7 @@ class Reconstructor:
                     # Rotate + bin fused chunk-by-chunk: the rotated
                     # full-res object never exists.
                     obj_pad = patch_ops.pad_object(
-                        rotate_and_bin_z(params['obj'], theta, geo.binning),
+                        rotate_and_bin_z(params['obj'], theta, geo.binning, method=cfg.train.interpolation),
                         self.pad_arr, cfg.train.unknown_type)
                 else:
                     obj_pad = patch_ops.pad_object(p_rot['obj'],
@@ -1438,7 +1481,7 @@ class Reconstructor:
                 def obj_slab_grad(st, sz):
                     sl = jax.lax.slice_in_dim(g_binned, st, st + sz, axis=0)
                     return rotate_expanded_from_binned_z(
-                        sl, -theta, cfg.geometry.binning, nz_full)
+                        sl, -theta, cfg.geometry.binning, nz_full, method=cfg.train.interpolation)
 
                 params, opt_state = apply_step(params, opt_state, acc,
                                                i_opt_batch, global_batch,
@@ -1448,7 +1491,7 @@ class Reconstructor:
             if not cfg.geometry.two_d_mode:
                 if patch_mode and fused_back:
                     acc = {**acc, 'obj': rotate_expanded_from_binned_z(
-                        acc['obj'], -theta, geo.binning, nz_full)}
+                        acc['obj'], -theta, geo.binning, nz_full, method=cfg.train.interpolation)}
                 else:
                     acc = {**acc, 'obj': self._grad_back(acc['obj'],
                                                          theta)}
@@ -1655,9 +1698,9 @@ class Reconstructor:
             if two_d:
                 slab = obj
             elif prebin:
-                slab = rotate_and_bin_z(obj, theta, geo.binning)
+                slab = rotate_and_bin_z(obj, theta, geo.binning, method=cfg.train.interpolation)
             else:
-                slab = rotate(obj, theta)
+                slab = rotate(obj, theta, method=cfg.train.interpolation)
             slab = patch_ops.pad_object(slab, pad_x, cfg.train.unknown_type)
 
             # Re-slab from the unpadded parameter grid to the padded
@@ -1736,16 +1779,16 @@ class Reconstructor:
                 g_obj = g_slab
             elif prebin and not cfg.train.exact_grad_rotation:
                 g_obj = rotate_expanded_from_binned_z(
-                    g_slab, -theta, geo.binning, nz)
+                    g_slab, -theta, geo.binning, nz, method=cfg.train.interpolation)
             else:
                 if prebin:
                     g_obj = jnp.repeat(g_slab, geo.binning,
                                        axis=2)[:, :, :nz]
                 else:
                     g_obj = g_slab
-                g_obj = (rotate_adjoint(g_obj, theta)
+                g_obj = (rotate_adjoint(g_obj, theta, method=cfg.train.interpolation)
                          if cfg.train.exact_grad_rotation
-                         else rotate(g_obj, -theta))
+                         else rotate(g_obj, -theta, method=cfg.train.interpolation))
             return g_obj, g_aux, losses
 
         spec_params = {n: (P(op_ax) if n == 'obj' else P())
@@ -2433,7 +2476,7 @@ class Reconstructor:
                 and not (self.output_folder is not None
                          and self.cfg.io.save_intermediate
                          and self.cfg.io.save_intermediate_level == 'batch')
-                and data_bytes <= 1.5e9):
+                and data_bytes <= _prof.data_headroom_bytes()):
             return self._run_epoch_fused(i_epoch, batches, callback)
         accum = None
         n_acc = 0

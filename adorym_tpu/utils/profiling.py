@@ -114,3 +114,46 @@ def host_memory_rss_mb() -> Optional[float]:
         return pages * os.sysconf('SC_PAGE_SIZE') / 2 ** 20
     except Exception:
         return None
+
+def xla_reserve_bytes(hbm: Optional[float] = None) -> float:
+    """HBM reserved for XLA program scratch (fusion temporaries, collective
+    buffers, compiled-program workspace) when sizing the driver's working
+    set.  Measured ~6 GB at flagship (256^3) shapes on a 16 GB v5e; the
+    scratch tracks the PROGRAM's working set, not the device size, so it is
+    capped at that measured value on larger devices (a 95 GB v5p keeps
+    ~89 GB usable) and scales down proportionally on smaller ones."""
+    hbm = hbm_limit_bytes() if hbm is None else hbm
+    return min(6e9, 0.375 * hbm)
+
+
+def data_headroom_bytes(hbm: Optional[float] = None) -> float:
+    """Headroom kept free of measured-data residency decisions (loss
+    buffers, staging, output transients).  1.5 GB measured adequate on the
+    16 GB v5e (~9% of HBM); capped there on larger devices, proportional on
+    smaller ones."""
+    hbm = hbm_limit_bytes() if hbm is None else hbm
+    return min(1.5e9, 0.09375 * hbm)
+
+
+def obj_offload_auto_bytes(hbm: Optional[float] = None) -> float:
+    """offload_object='auto' boundary: the device-resident path needs the
+    object pair + 2 moment arrays + XLA scratch simultaneously, so the
+    object fits while obj <= (hbm - reserve) / 3; a 5% safety margin keeps
+    the boundary inside proven territory.  On the 15.75 GB v5e this lands
+    at 3.1 GB, matching the measured fit boundary (736^3 = 3.2 GB trains
+    with streaming rotation + offloaded moments; 768^3 = 3.6 GB OOMs by
+    ~0.4 GB) — and unlike a flat fraction it scales with what actually
+    fits: a 95 GB v5p keeps a 19 GB object device-resident (boundary
+    ~28 GB) instead of streaming it through the host."""
+    hbm = hbm_limit_bytes() if hbm is None else hbm
+    return 0.95 * (hbm - xla_reserve_bytes(hbm)) / 3
+
+
+def stream_rotation_auto_bytes(hbm: Optional[float] = None) -> float:
+    """stream_rotation='auto' boundary: the bulk rotate's 4 corner-gather
+    temporaries are each object-sized, so beyond ~1/10 of HBM per object
+    the rotate alone claims ~40% of the device and squeezes the gradient
+    chunk working set.  1.5 GB measured as the crossover on the 16 GB v5e
+    (streaming is ~25% slower where both fit); scaled proportionally."""
+    hbm = hbm_limit_bytes() if hbm is None else hbm
+    return hbm * (1.5 / 16)

@@ -45,12 +45,13 @@ def test_fuse_g_scales_with_hbm(monkeypatch):
 
 
 def test_data_residency_scales_with_hbm(monkeypatch):
-    # ~9.5 MB dataset: resident on 16 GB, refused when the capacity barely
-    # exceeds the 1.5 GB reserve.
+    # Small dataset: resident on 16 GB, refused when the capacity barely
+    # covers the object working set + the (scaled) data headroom.
     _mock_hbm(monkeypatch, 16e9)
     assert _make_rec()._data_dev_ok
-    _mock_hbm(monkeypatch, 1.51e9)
-    assert not _make_rec()._data_dev_ok
+    with pytest.warns(UserWarning, match='does not fit device-resident'):
+        _mock_hbm(monkeypatch, 14e6)
+        assert not _make_rec()._data_dev_ok
 
 
 def test_rotation_chunking_scales_with_hbm(monkeypatch):
@@ -65,3 +66,44 @@ def test_default_on_cpu_is_16g():
     # Tests run on the CPU backend: the heuristics must sit exactly on the
     # published v5e tuning.
     assert profiling.hbm_limit_bytes() == profiling.DEFAULT_HBM_BYTES == 16e9
+
+
+def test_derived_budgets_on_v5e_match_published_tuning():
+    """On the 16 GB v5e the derived budgets sit exactly on the constants
+    the round-2/3 tuning was measured with."""
+    assert profiling.xla_reserve_bytes(16e9) == 6e9
+    assert profiling.data_headroom_bytes(16e9) == 1.5e9
+    assert abs(profiling.stream_rotation_auto_bytes(16e9) - 1.5e9) < 1e6
+    # obj-offload boundary: at the proven-fit edge (736^3 on 15.75 GB).
+    b = profiling.obj_offload_auto_bytes(15.75e9)
+    assert 2.9e9 < b < 736 ** 3 * 8 + 0.02 * 15.75e9
+
+
+def test_derived_budgets_on_v5p_are_sensible(monkeypatch):
+    """A mocked 95 GB v5p: reserves stay capped (scratch tracks the
+    program, not the device), residency/offload boundaries scale up."""
+    hbm = 95e9
+    assert profiling.xla_reserve_bytes(hbm) == 6e9          # capped
+    assert profiling.data_headroom_bytes(hbm) == 1.5e9      # capped
+    # A 19 GB object stays device-resident on a v5p (VERDICT r3 item):
+    assert profiling.obj_offload_auto_bytes(hbm) > 19e9
+    # ... but a 40 GB one (pair + moments + reserve > 95 GB) offloads.
+    assert profiling.obj_offload_auto_bytes(hbm) < 40e9
+    # Streaming rotation engages ~6x later than on the v5e.
+    assert 8e9 < profiling.stream_rotation_auto_bytes(hbm) < 10e9
+    # The db-kernel stored-intermediates crossover derives hbm/8.
+    from adorym_tpu.ops import propagate as prop
+    _mock_hbm(monkeypatch, hbm)
+    assert prop._db_stored_max_bytes() == pytest.approx(hbm / 8)
+
+
+def test_small_device_budgets_shrink(monkeypatch):
+    """On a hypothetical 8 GB device every budget scales DOWN so the
+    formulas cannot go negative or over-commit."""
+    hbm = 8e9
+    assert profiling.xla_reserve_bytes(hbm) == 0.375 * hbm
+    assert profiling.data_headroom_bytes(hbm) == 0.09375 * hbm
+    assert 0 < profiling.obj_offload_auto_bytes(hbm) < hbm / 3
+    _mock_hbm(monkeypatch, hbm)
+    rec = _make_rec()
+    assert rec._fuse_g >= 1

@@ -138,7 +138,8 @@ def test_auto_threshold_covers_oom_boundary(monkeypatch):
     assert _mk(cfg, kw, offload_object='auto')._obj_offloaded
     # The threshold never exceeds the proven-fit boundary by more than
     # measurement slack, and a comfortably-fitting object stays resident.
-    assert recon_mod.OBJ_OFFLOAD_AUTO_FRAC <= fit_ratio + 0.02
+    assert (profiling.obj_offload_auto_bytes(15.75e9) / 15.75e9
+            <= fit_ratio + 0.02)
     monkeypatch.setattr(profiling, 'hbm_limit_bytes',
                         lambda: obj_bytes / (0.5 * fit_ratio))
     assert not _mk(cfg, kw, offload_object='auto')._obj_offloaded

@@ -297,3 +297,108 @@ def test_grid_extractor_vjp_matches_generic():
     g1 = jax.grad(loss_grid)(obj)
     g2 = jax.grad(loss_ref)(obj)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def np_rotate_nearest_ref(obj, theta, axis=0):
+    """Nearest-neighbor transcription of the reference's
+    interpolation='nearest' grid_sample mode (adorym/wrappers.py:1106):
+    same source coordinates, rounded to the closest voxel."""
+    s = obj.shape[:3]
+    axes_rot = [a for a in range(3) if a != axis]
+    s1, s2 = s[axes_rot[0]], s[axes_rot[1]]
+    ctr1, ctr2 = (s1 - 1) / 2, (s2 - 1) / 2
+    g1, g2 = np.meshgrid(np.arange(s1) - ctr1, np.arange(s2) - ctr2,
+                         indexing='ij')
+    c1 = np.cos(theta) * g1 - np.sin(theta) * g2 + ctr1
+    c2 = np.sin(theta) * g1 + np.cos(theta) * g2 + ctr2
+    i1 = np.clip(np.round(c1), 0, s1 - 1).astype(int)
+    i2 = np.clip(np.round(c2), 0, s2 - 1).astype(int)
+    out = np.empty_like(obj)
+    mov = np.moveaxis(obj, axis, 0)
+    outm = np.moveaxis(out, axis, 0)
+    for i in range(s[axis]):
+        outm[i] = mov[i][i1, i2]
+    return out
+
+
+class TestNearestRotation:
+    @pytest.mark.parametrize('axis', [0, 1, 2])
+    @pytest.mark.parametrize('theta', [0.3, -1.1, 2.4])
+    def test_matches_round_index(self, axis, theta):
+        rng = np.random.default_rng(11)
+        obj = rng.random((8, 9, 10, 2)).astype(np.float32)
+        out = rotate(jnp.asarray(obj), theta, axis=axis, method='nearest')
+        ref = np_rotate_nearest_ref(obj, theta, axis=axis)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    def test_zero_rotation_identity(self):
+        rng = np.random.default_rng(12)
+        obj = rng.random((6, 6, 6, 2)).astype(np.float32)
+        out = rotate(jnp.asarray(obj), 0.0, method='nearest')
+        np.testing.assert_array_equal(np.asarray(out), obj)
+
+    def test_streaming_rotate_bin_matches_materialized(self):
+        """The fused rotate+bin and binned-source rotate-back keep their
+        bit-exactness contracts under nearest resampling."""
+        from adorym_tpu.ops.rotate import (rotate_and_bin_z,
+                                           rotate_expanded_from_binned_z)
+        from adorym_tpu.ops.propagate import bin_z_sum
+        rng = np.random.default_rng(13)
+        obj = jnp.asarray(rng.random((8, 10, 12, 2)).astype(np.float32))
+        th, b = 0.7, 3
+        fused = rotate_and_bin_z(obj, th, b, method='nearest')
+        ref = bin_z_sum(rotate(obj, th, method='nearest'), b, axis=2)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+        g = jnp.asarray(rng.random((8, 10, 4, 2)).astype(np.float32))
+        back = rotate_expanded_from_binned_z(g, -th, b, 12, method='nearest')
+        ref2 = rotate(jnp.repeat(g, b, axis=2)[:, :, :12], -th,
+                      method='nearest')
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(ref2))
+
+    def test_tilt_and_adjoint_accept_method(self):
+        from adorym_tpu.ops.rotate import rotate_adjoint
+        rng = np.random.default_rng(14)
+        obj = jnp.asarray(rng.random((6, 6, 6, 2)).astype(np.float32))
+        t = tilt_rotate(obj, jnp.asarray([0.1, -0.2, 0.3]),
+                        method='nearest')
+        assert np.isfinite(np.asarray(t)).all()
+        # Nearest rotation is a 0/1 selection matrix; <Rx, y> == <x, R^T y>.
+        x = jnp.asarray(rng.random((6, 6, 6, 2)).astype(np.float32))
+        y = jnp.asarray(rng.random((6, 6, 6, 2)).astype(np.float32))
+        lhs = jnp.vdot(rotate(x, 0.5, method='nearest'), y)
+        rhs = jnp.vdot(x, rotate_adjoint(y, 0.5, method='nearest'))
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+def test_recon_converges_with_nearest_interpolation():
+    """End-to-end: a tiny 3D ptycho-tomo run with interpolation='nearest'
+    (the reference's alternative grid_sample mode) drives the loss down."""
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate
+    from adorym_tpu.utils.initialize import initialize_probe
+    n, pn = 16, 8
+    cfg_kw = dict(obj_size=(n, n, n), probe_size=(pn, pn),
+                  energy_ev=5000.0, psize_cm=1e-7, free_prop_cm='inf')
+    rng = np.random.default_rng(21)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=2,
+                             probe_phase_sigma=2, probe_phase_max=0.3)
+    xs = np.arange(0, n - pn + 1, 4)
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 3, endpoint=False)
+    cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                      train=TrainConfig(minibatch_size=3, learning_rate=1e-5,
+                                        interpolation='nearest'))
+    data = simulate(cfg, obj_true, probe, pos, theta_ls)
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
+                        theta_ls=theta_ls, obj_init=np.zeros_like(obj_true))
+    l0 = rec.run_epoch(0)
+    l_last = None
+    for ep in range(1, 4):
+        l_last = rec.run_epoch(ep)
+    assert np.isfinite(l_last) and l_last < l0

@@ -241,3 +241,65 @@ class TestMcPatch:
             parallel=pcfg)
         rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
         assert rec._mc is None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_collective_budget_per_angle():
+    """Pin the mc step's compiled collective budget so mesh perf
+    properties survive refactors despite no multi-chip hardware: per
+    angle the HLO must contain only neighbor permutes of HALO-sized
+    bands and psums of at most slab(+halo)-sized operands — never an
+    all-gather/all-to-all, and never a collective at full-object size
+    (source budget statement: ``recon._build_mc_step`` docstring; the
+    reference instead alltoalls object chunks EVERY BATCH,
+    ``adorym/util.py:940,1056``)."""
+    cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=1)
+    pcfg = ParallelConfig(data_axis=2, object_axis=4)
+    cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                        parallel=pcfg)
+    rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), data=data,
+                        probe_pos=pos, probe_init=probe, theta_ls=theta_ls,
+                        obj_init=(obj_true * 0.5).copy())
+    assert rec._mc is not None
+    dev = rec._mc_device_tables()
+    txt = rec._mc_step.lower(
+        rec.params, rec.opt_state,
+        jnp.asarray(0.3, jnp.float32), jnp.asarray(0, jnp.int32),
+        dev['pos'], dev['inds'], dev['w'], dev['data'],
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        None).compile().as_text()
+
+    def op_lines(kind):
+        return [l for l in txt.splitlines() if f'{kind}(' in l and '=' in l]
+
+    assert op_lines('all-gather') == []
+    assert op_lines('all-to-all') == []
+
+    Y = cfg.geometry.obj_size[0]
+    py = cfg.geometry.probe_size[0]
+    mc = rec._mc
+    max_band = mc['p0'] + mc['p1'] + py          # largest halo extension
+    max_acc = mc['S_p'] + py                     # slab + patch halo
+
+    perms = op_lines('collective-permute')
+    # Neighbor halo traffic only: a handful of permutes, each moving a
+    # band no taller than the halo extent — XLA fuses the documented
+    # 2-in/1-out permutes further (2 observed).
+    assert 1 <= len(perms) <= 4, perms
+    for l in perms:
+        dims = [tuple(map(int, m.split(',')))
+                for m in re.findall(r'f32\[([\d,]+)\]', l)]
+        assert dims, l
+        for d in dims:
+            assert d[0] <= max_band < Y, (d, l)
+
+    reds = op_lines('all-reduce')
+    # One fused accumulator+loss psum (aux-grad psums may add 1-2 when
+    # aux params are refined; this config refines none).
+    assert 1 <= len(reds) <= 3, reds
+    for l in reds:
+        dims = [tuple(map(int, m.split(',')))
+                for m in re.findall(r'f32\[([\d,]+)\]', l)]
+        for d in dims:
+            if len(d) >= 3:                      # object-like operands
+                assert d[0] <= max_acc < Y + py, (d, l)

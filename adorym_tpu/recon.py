@@ -629,7 +629,16 @@ class Reconstructor:
         # inside _build_step.
         self._mc_decline_reasons = []
         self._mc = self._build_mc_layout()
-        if (self._mc is None and self.mesh is not None
+        # Immediate-update scheme (the reference default): its own mesh
+        # fast path (band-granular per-batch steps, _build_mc_imm_step).
+        self._mci = None
+        if self._mc is None and cfg.train.update_scheme == 'immediate':
+            # Fresh reasons list: the per-angle layout's scheme-mismatch
+            # entry is not a decline of THIS path.
+            self._mc_decline_reasons = []
+            self._mci = self._build_mc_imm_layout()
+        if (self._mc is None and self._mci is None
+                and self.mesh is not None
                 and cfg.parallel.object_axis > 1):
             # The user explicitly asked for a distributed object; signal
             # that the patch-granular fast path declined (the generic
@@ -934,6 +943,137 @@ class Reconstructor:
             w=jax.device_put(jnp.asarray(mc['w_mc']), ns(P(None, op))),
             data=jax.device_put(jnp.asarray(data_mc), ns(P(None, op, dp))))
         mc['dev'] = dev
+        return dev
+
+    def _build_mc_imm_layout(self):
+        """Host-side eligibility + static layout for the mesh IMMEDIATE-
+        update step (``_build_mc_imm_step``) — the multi-chip composition
+        of the reference's DEFAULT ``update_scheme='immediate'``
+        (``adorym/ptychography.py:1095-1099``; flagship demo config
+        ``demos/multislice_ptycho_256_theta.py:66-87``).
+
+        Decomposition: every minibatch is ONE row of the grid scan table
+        (a single y origin), processed by ALL devices — rotation about
+        the view axis is per-y-plane, so only the row's ``py`` object
+        planes matter for the batch:
+
+          * each op shard contributes its owned rows of the UNROTATED
+            y-band; one band psum over 'op' assembles it everywhere
+            (no ownership constraint — the band may straddle shards);
+          * every device rotates(+bins) the band (py planes — cheap) and
+            extracts/grads its ``mb/(n_op*n_dp)`` patches of the row;
+          * one band-shaped psum over the whole mesh assembles the batch
+            cotangent; the exact per-plane rotation adjoint (same linear
+            map AD uses in the single-device immediate step) carries it
+            back, and each shard adds its owned rows into its slab grad;
+          * the shared ``apply_step`` applies the per-batch update on the
+            op-sharded params (elementwise — GSPMD, no collectives).
+
+        Collective budget per BATCH: 2 band psums + 1 scalar/aux psum —
+        vs the reference's per-batch object-chunk alltoalls.  Returns the
+        layout dict, or None when ineligible.
+        """
+        cfg = self.cfg
+        geo = cfg.geometry
+        mesh = self.mesh
+        if mesh is None or cfg.train.update_scheme != 'immediate':
+            return None
+        why = self._mc_decline_reasons
+        if self._rowgrid_stride is None:
+            why.append('scan table is not a constant-stride row grid')
+        if self.model is not ptycho_model:
+            why.append('model is not far-field ptychography')
+        elif not hasattr(self.model, 'predict_from_patches'):
+            why.append('model has no patch-granular forward')
+        if self.transform_measured is not None:
+            why.append('measured-data transform active')
+        if self.reg_list:
+            why.append('regularizers need the full rotated object')
+        if self.second_order:
+            why.append('second-order optimizer')
+        if cfg.refine.tilt_active:
+            why.append('tilt rotation active')
+        if cfg.train.rotate_out_of_loop:
+            why.append('rotate_out_of_loop with immediate updates')
+        if cfg.geometry.two_d_mode:
+            why.append('2D mode (generic path handles it)')
+        if self.data is None:
+            why.append('no in-memory dataset')
+        if cfg.train.n_batch_per_update > 1:
+            why.append('n_batch_per_update > 1')
+        if self.external_algorithm is not None:
+            why.append('external algorithm hook active')
+        if self._off_state:
+            why.append('offloaded optimizer state (per-batch host '
+                       'streaming would thrash)')
+        if why:
+            return None
+        n_dp = cfg.parallel.data_axis
+        n_op = cfg.parallel.object_axis
+        n_dev = n_dp * n_op
+        mb = cfg.train.minibatch_size
+        Y, X, nz = geo.obj_size
+        py, px = geo.probe_size
+        if mb % n_dev or Y % n_op or self.n_pos % mb:
+            why.append(f'divisibility: minibatch {mb} % devices {n_dev}, '
+                       f'object y {Y} % object_axis {n_op}, or positions '
+                       f'{self.n_pos} % minibatch != 0')
+            return None
+        p = self.pad_arr
+        px0, px1 = int(p[1][0]), int(p[1][1])
+        prebin = (cfg.train.prebin_z in ('auto', 'on') and geo.binning > 1
+                  and cfg.train.unknown_type == 'delta_beta'
+                  and not geo.pure_projection
+                  and geo.slice_pos_cm_ls is None)
+        nzb = -(-nz // geo.binning) if prebin else nz
+        mpp = mb // n_dev
+        pos = np.asarray(self.probe_pos, np.float32)
+        n_rows = self.n_pos // mb
+        y0 = np.round(pos[::mb, 0]).astype(np.int32)
+        # Per-device tables: device (k, d) owns the row's contiguous spot
+        # block [(k*n_dp + d)*mpp, ...+mpp).
+        pos_imm = pos.reshape(n_rows, n_op, n_dp, mpp, 2)
+        inds_imm = np.arange(self.n_pos, dtype=np.int32).reshape(
+            n_rows, n_op, n_dp, mpp)
+        from .utils import profiling as _prof2
+        hbm = _prof2.hbm_limit_bytes()
+        data_dev_bytes = self.n_theta * n_rows * mpp * py * px * 4
+        band_bytes = py * (X + px0 + px1) * nz * 2 * 4
+        if data_dev_bytes > ((hbm - _prof2.data_headroom_bytes(hbm))
+                             - (6 * band_bytes
+                                + self._chunk_bufs * mpp * py * px
+                                * nzb * 2 * 4)):
+            why.append(f'device-resident data share '
+                       f'({data_dev_bytes / 1e9:.2f} GB/device) does not '
+                       'fit next to the working set')
+            return None
+        return dict(n_dp=n_dp, n_op=n_op, mb=mb, mpp=mpp, px0=px0,
+                    px1=px1, py=py, px=px, Y=Y, X=X, nz=nz, nzb=nzb,
+                    prebin=prebin, n_rows=n_rows, y0=y0, pos_imm=pos_imm,
+                    inds_imm=inds_imm, dev=None)
+
+    def _mc_imm_device_tables(self):
+        """Lazily stage the immediate-path tables + the full dataset onto
+        the mesh (once per run)."""
+        mci = self._mci
+        if mci['dev'] is not None:
+            return mci['dev']
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp, op = self.cfg.parallel.axis_names
+        ns = lambda spec: NamedSharding(self.mesh, spec)
+        # Spots are contiguous per device block, so the data table is a
+        # pure reshape of the dataset.
+        data_imm = np.ascontiguousarray(self.data.reshape(
+            self.n_theta, mci['n_rows'], mci['n_op'], mci['n_dp'],
+            mci['mpp'], mci['py'], mci['px']))
+        dev = dict(
+            pos=jax.device_put(jnp.asarray(mci['pos_imm']),
+                               ns(P(None, op, dp))),
+            inds=jax.device_put(jnp.asarray(mci['inds_imm']),
+                                ns(P(None, op, dp))),
+            data=jax.device_put(jnp.asarray(data_imm),
+                                ns(P(None, None, op, dp))))
+        mci['dev'] = dev
         return dev
 
     def _rehome_state(self):
@@ -1541,6 +1681,8 @@ class Reconstructor:
 
         if self._mc is not None:
             self._mc_step = self._build_mc_step(apply_step, donate)
+        if self._mci is not None:
+            self._mc_imm_epoch = self._build_mc_imm_step(apply_step, donate)
 
         def step(params, opt_state, batch, measured, weight_l1, i_opt_batch,
                  global_batch, support_mask):
@@ -1838,6 +1980,154 @@ class Reconstructor:
                                         donate_argnums=donate)
         return jax.jit(mc_step, donate_argnums=donate)
 
+    def _build_mc_imm_step(self, apply_step, donate):
+        """Compile the mesh IMMEDIATE-update epoch (layout from
+        ``_build_mc_imm_layout``): one program per epoch scanning per-
+        batch steps — band psum in, rotate+grad the row band, band psum
+        back, exact per-plane rotation adjoint, shard-local slab add,
+        per-batch ``apply_step`` on the op-sharded params.
+
+        Trajectory-equal (to f32 reduction noise) to the single-device
+        immediate-fused epoch: the band decomposition is the same linear
+        chain AD differentiates there — rotation is per-y-plane, so
+        slicing the row band before rotating commutes with rotating the
+        full object, and the band psum/adjoint are the extraction
+        scatter's and rotation's exact transposes.
+        """
+        cfg = self.cfg
+        geo = cfg.geometry
+        mci = self._mci
+        mesh = self.mesh
+        dp_ax, op_ax = cfg.parallel.axis_names
+        from jax.sharding import PartitionSpec as P
+        from .ops.rotate import rotate, rotate_adjoint, rotate_and_bin_z
+        predict_patches = self.model.predict_from_patches
+        n_op, n_dp = mci['n_op'], mci['n_dp']
+        px0, px1 = mci['px0'], mci['px1']
+        py, px = mci['py'], mci['px']
+        mpp, mb = mci['mpp'], mci['mb']
+        Y, X, nz, nzb = mci['Y'], mci['X'], mci['nz'], mci['nzb']
+        prebin = mci['prebin']
+        stride = self._rowgrid_stride
+        S_u = Y // n_op
+        real_imag = cfg.train.unknown_type == 'real_imag'
+        interp = cfg.train.interpolation
+        pad_x = np.array([[0, 0], [px0, px1]], np.int64)
+
+        def grad_body(params_l, theta, i_theta, i_row, y0, pos_l, inds_l,
+                      data_l):
+            pos_r = pos_l[i_row, 0, 0]               # [mpp, 2] float
+            inds_r = inds_l[i_row, 0, 0]             # [mpp]
+            meas = data_l[i_theta, i_row, 0, 0]      # [mpp, py, px]
+            k = jax.lax.axis_index(op_ax)
+            obj = params_l['obj']                    # [S_u, X, nz, 2]
+            aux = {n: v for n, v in params_l.items() if n != 'obj'}
+
+            # Assemble the row's UNROTATED y-band from the op slabs: each
+            # shard contributes its owned rows, one psum merges them (at
+            # most two shards own any given row — contributions are
+            # disjoint).  Rows outside the object are vacuum, exactly the
+            # post-rotation padding of the single-device step (rotation
+            # preserves the constant vacuum plane bit-exactly, so
+            # vacuum-fill commutes with the per-plane rotation).
+            u = y0 + jnp.arange(py)                  # unpadded band rows
+            loc = u - k * S_u
+            own = (loc >= 0) & (loc < S_u)
+            idx = jnp.clip(loc, 0, S_u - 1)
+            band_k = jnp.where(own[:, None, None, None], obj[idx], 0.0)
+            band = jax.lax.psum(band_k, op_ax)       # [py, X, nz, 2]
+            valid = ((u >= 0) & (u < Y))[:, None, None, None]
+            if real_imag:
+                vac = jnp.zeros_like(band).at[..., 0].set(1.0)
+            else:
+                vac = jnp.zeros_like(band)
+            band = jnp.where(valid, band, vac)
+
+            # Rotate(+bin) the band — py planes, every device (duplicated
+            # work is ~py/Y of a full rotation), then pad x.
+            if prebin:
+                rb = rotate_and_bin_z(band, theta, geo.binning,
+                                      method=interp)
+            else:
+                rb = rotate(band, theta, method=interp)
+            rb = patch_ops.pad_object(rb, pad_x, cfg.train.unknown_type)
+            if cfg.train.run_bfloat16:
+                rb = rb.astype(jnp.bfloat16)
+
+            def mismatch(subobj, aux_p, batch, meas_c):
+                pred = predict_patches(aux_p, batch, subobj, cfg,
+                                       prebinned_z=prebin)
+                per_item = model_base.mismatch_loss(
+                    pred, meas_c, cfg.loss.loss_function_type,
+                    cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
+                    self.beamstop_mask, per_item=True)
+                # mpp of the batch's mb items live here; the psum of the
+                # partial sums restores the exact batch mean.
+                return jnp.sum(per_item) / mb
+
+            batch = {'i_theta': i_theta, 'theta': theta,
+                     'pos_batch': pos_r, 'ind_batch': inds_r}
+            posi = jnp.round(pos_r).astype(jnp.int32)
+            posi = jnp.stack([jnp.zeros_like(posi[:, 0]),
+                              posi[:, 1] + px0], axis=1)
+            subobj = patch_ops.extract_patches(rb, posi, (py, px))
+            loss_part, (g_sub, g_aux) = jax.value_and_grad(
+                mismatch, argnums=(0, 1))(subobj, aux, batch, meas)
+
+            acc = jnp.zeros((py, X + px0 + px1, nzb, 2), jnp.float32)
+            acc = patch_ops.scatter_rowgrid_add(acc, g_sub, posi[0, 0],
+                                                posi[0, 1], stride)
+            acc = jax.lax.psum(acc, (dp_ax, op_ax))
+            g_aux = jax.lax.psum(g_aux, (dp_ax, op_ax))
+            loss = jax.lax.psum(loss_part, (dp_ax, op_ax))
+
+            # Exact backward: crop x, expand z, per-plane rotation
+            # ADJOINT (the same linear transpose AD applies in the
+            # single-device immediate step — NOT the -theta interp).
+            gb = acc[:, px0:px0 + X]
+            if prebin:
+                gb = jnp.repeat(gb, geo.binning, axis=2)[:, :, :nz]
+            g_band = rotate_adjoint(gb, theta, method=interp)
+            g_band = jnp.where(valid, g_band, 0.0)
+            g_slab = jnp.zeros_like(obj).at[idx].add(
+                jnp.where(own[:, None, None, None], g_band, 0.0))
+            return g_slab, g_aux, loss
+
+        spec_params = {n: (P(op_ax) if n == 'obj' else P())
+                       for n in self.params}
+        grad_fn = jax.shard_map(
+            grad_body, mesh=mesh,
+            in_specs=(spec_params, P(), P(), P(), P(),
+                      P(None, op_ax, dp_ax), P(None, op_ax, dp_ax),
+                      P(None, None, op_ax, dp_ax)),
+            out_specs=(P(op_ax), P(), P()),
+            check_vma=False)
+
+        def mc_imm_epoch(params, opt_state, theta_b, itheta_b, irow_b,
+                         y0_b, pos_t, inds_t, data_t, i_opt0, gb0,
+                         support_mask):
+            """A whole immediate epoch of mesh per-batch steps as ONE
+            program (the mesh analog of ``epoch_fused``)."""
+
+            def body(carry, xs):
+                p, o, i_b = carry
+                theta, i_theta, i_row, y0 = xs
+                g_slab, g_aux, loss = grad_fn(p, theta, i_theta, i_row,
+                                              y0, pos_t, inds_t, data_t)
+                grads = dict(g_aux)
+                grads['obj'] = g_slab
+                p, o = apply_step(p, o, grads, i_opt0 + i_b, gb0 + i_b,
+                                  support_mask)
+                return (p, o, i_b + 1), loss
+
+            n_b = theta_b.shape[0]
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, jnp.asarray(0, jnp.int32)),
+                (theta_b, itheta_b, irow_b, y0_b))
+            return params, opt_state, losses
+
+        return jax.jit(mc_imm_epoch, donate_argnums=donate)
+
     # ------------------------------------------------------------------
     def make_batches(self, rng: np.random.Generator):
         """Same-angle minibatches, angles shuffled, positions in scan order
@@ -2007,6 +2297,66 @@ class Reconstructor:
             pr[rid[k][wmask[k]]] = per_shard[k][wmask[k]]
         return pr
 
+    def _mc_imm_ok(self, batches) -> bool:
+        """Epoch gate for the mesh immediate fast path: nothing needs a
+        mid-epoch host visit (shrink/batch dumps — mirrors
+        ``_mc_fused_ok``) and the epoch's batches are whole in-order rows
+        of the static table (``make_batches`` shuffles angles but keeps
+        positions in scan order unless ``randomize_probe_pos``)."""
+        if (self._mci is None or self.cfg.train.shrink_cycle is not None
+                or self._needs_weight_l1 or self.loader is not None
+                or self.expand_indices is not None
+                or (self.output_folder is not None
+                    and self.cfg.io.save_intermediate
+                    and self.cfg.io.save_intermediate_level == 'batch')):
+            return False
+        mb = self._mci['mb']
+        for _, inds in batches:
+            inds = np.asarray(inds)
+            if len(inds) != mb or inds[0] % mb or \
+                    not np.array_equal(inds,
+                                       np.arange(inds[0], inds[0] + mb)):
+                return False
+        return True
+
+    def _run_epoch_mc_imm(self, i_epoch: int, batches, callback) -> float:
+        """Whole immediate epoch of mesh per-batch steps in one program
+        (see ``mc_imm_epoch`` in _build_mc_imm_step)."""
+        return self._fused_finish(
+            self._mc_imm_dispatch(i_epoch, batches), callback)
+
+    def _mc_imm_dispatch(self, i_epoch: int, batches) -> dict:
+        """Mesh-immediate analog of :meth:`_fused_dispatch` (same
+        pending contract, so :meth:`run_epochs` can pipeline it)."""
+        mci = self._mci
+        dev = self._mc_imm_device_tables()
+        n_b = len(batches)
+        mb = mci['mb']
+        theta_b = np.empty(n_b, np.float32)
+        itheta_b = np.empty(n_b, np.int32)
+        irow_b = np.empty(n_b, np.int32)
+        for i, (i_theta, inds) in enumerate(batches):
+            theta_b[i] = self.theta_ls[i_theta]
+            itheta_b[i] = i_theta
+            irow_b[i] = inds[0] // mb
+        y0_b = mci['y0'][irow_b]
+        with self.timers.time('train_step'):
+            self.params, self.opt_state, losses = self._mc_imm_epoch(
+                self.params, self.opt_state, jnp.asarray(theta_b),
+                jnp.asarray(itheta_b), jnp.asarray(irow_b),
+                jnp.asarray(y0_b), dev['pos'], dev['inds'], dev['data'],
+                jnp.asarray(self.i_opt_batch, jnp.int32),
+                jnp.asarray(self.global_batch, jnp.int32),
+                self.finite_support_mask)
+        gb_before = self.global_batch
+        self.i_opt_batch += n_b
+        self.global_batch += n_b
+        self._rehome_state()
+        return {'i_epoch': i_epoch, 'losses': losses,
+                'map_losses': lambda ls: ls.ravel(),
+                'label': 'fused mesh immediate',
+                'gb_before': gb_before, 'gb_after': self.global_batch}
+
     def _fused_dispatch(self, i_epoch: int, groups) -> dict:
         """Stage + enqueue one whole-epoch ``angles_epoch`` program and
         return a pending handle WITHOUT fetching the losses — the D2H
@@ -2139,12 +2489,18 @@ class Reconstructor:
             mc_ok = (not fused_ok and self._per_angle_path_ok()
                      and self._mc is not None
                      and self._mc_fused_ok(groups))
-            if may_pipeline and (fused_ok or mc_ok):
+            imm_ok = (not (fused_ok or mc_ok)
+                      and not self._per_angle_path_ok()
+                      and self._mci is not None
+                      and self._mc_imm_ok(batches))
+            if may_pipeline and (fused_ok or mc_ok or imm_ok):
                 if fused_ok:
                     pend = self._fused_dispatch(i_epoch, groups)
-                else:
+                elif mc_ok:
                     pend = self._mc_fused_dispatch(
                         i_epoch, groups, self._mc_device_tables())
+                else:
+                    pend = self._mc_imm_dispatch(i_epoch, batches)
                 if pending is not None:
                     out.append(self._fused_finish(pending, callback))
                 pending = pend
@@ -2469,6 +2825,9 @@ class Reconstructor:
         data_bytes = (self.data.dtype.itemsize * len(batches)
                       * t.minibatch_size * int(np.prod(self.data.shape[2:]))
                       if self.data is not None else np.inf)
+        if (not use_accum and skip == 0 and self._mci is not None
+                and self._mc_imm_ok(batches)):
+            return self._run_epoch_mc_imm(i_epoch, batches, callback)
         if (not use_accum and not self.second_order and skip == 0
                 and self.external_algorithm is None
                 and self.loader is None and self.expand_indices is None

@@ -557,14 +557,25 @@ class Reconstructor:
         self._obj_offloaded = False
         want_obj_off = cfg.parallel.offload_object
         if want_obj_off == 'auto':
-            want_obj_off = (self._off_slabbed
-                            and obj_bytes > _prof.obj_offload_auto_bytes(hbm))
+            if mesh is not None:
+                # Mesh: each op shard holds obj/object_axis; offload when
+                # the PER-DEVICE share crosses the same fit boundary.
+                per_dev = obj_bytes / max(1, cfg.parallel.object_axis)
+                want_obj_off = (self._off_state
+                                and per_dev
+                                > _prof.obj_offload_auto_bytes(hbm))
+            else:
+                want_obj_off = (self._off_slabbed
+                                and obj_bytes
+                                > _prof.obj_offload_auto_bytes(hbm))
+        self._want_obj_off_mesh = False
         if want_obj_off and mesh is not None:
-            if cfg.parallel.offload_object is True:
-                raise ValueError(
-                    'offload_object requires a single-chip run (under a '
-                    'mesh, shard the object over more chips instead — or '
-                    'combine offload_optimizer_state with op-sharding)')
+            # Mesh composition: each op shard keeps ITS slab pinned-host
+            # (the shard IS the slab — reference analog: N-rank shared-
+            # file, ``adorym/array_ops.py:62-73``).  Resolved after the
+            # mc-layout build below, which defines the per-angle HBM-visit
+            # structure this rides on.
+            self._want_obj_off_mesh = cfg.parallel.offload_object
             want_obj_off = False
         if want_obj_off:
             problems = []
@@ -637,6 +648,38 @@ class Reconstructor:
             # entry is not a decline of THIS path.
             self._mc_decline_reasons = []
             self._mci = self._build_mc_imm_layout()
+        # Mesh x beyond-HBM object: per-op-shard pinned-host slabs,
+        # visiting HBM once per angle inside _mc_step (full-res slab in
+        # for the fused rotate+bin; slab+moments in/out for the update).
+        self._obj_off_mesh = False
+        if self._want_obj_off_mesh:
+            problems = []
+            if self._mc is None:
+                problems.append(
+                    'the mesh patch-granular fast path ('
+                    + ('; '.join(self._mc_decline_reasons) or 'geometry')
+                    + ')')
+            elif not self._mc['prebin']:
+                problems.append('prebin (delta_beta, binning>1)')
+            if not self._off_state:
+                problems.append('offload_optimizer_state')
+            if problems:
+                if self._want_obj_off_mesh is True:
+                    raise ValueError('offload_object under a mesh '
+                                     'requires: ' + '; '.join(problems))
+            else:
+                dev_sh = self.params['obj'].sharding
+                self._obj_mesh_dev_sh = dev_sh.with_memory_kind('device')
+                self._obj_mesh_host_sh = dev_sh.with_memory_kind(
+                    'pinned_host')
+                self.params = {**self.params,
+                               'obj': jax.device_put(
+                                   self.params['obj'],
+                                   self._obj_mesh_host_sh)}
+                self._obj_off_mesh = True
+                self._rehome_after_step = (
+                    self._rehome_after_step
+                    or jax.default_backend() == 'cpu')
         if (self._mc is None and self._mci is None
                 and self.mesh is not None
                 and cfg.parallel.object_axis > 1):
@@ -1088,6 +1131,10 @@ class Reconstructor:
         if self._obj_offloaded:
             self.params['obj'] = jax.tree.map(
                 jax.device_put, self.params['obj'], self._obj_host_sh)
+        if getattr(self, '_obj_off_mesh', False):
+            self.params = {**self.params,
+                           'obj': jax.device_put(self.params['obj'],
+                                                 self._obj_mesh_host_sh)}
 
     def _print(self, msg: str):
         print(msg, flush=True)
@@ -1230,7 +1277,12 @@ class Reconstructor:
         # the affected donations there — it only costs a transient host
         # copy.
         cpu = jax.default_backend() == 'cpu'
-        donate = (0,) if (cpu and self._off_state) else (0, 1)
+        if cpu and self._obj_off_mesh:
+            donate = ()        # host-kind leaves in BOTH params and state
+        elif cpu and self._off_state:
+            donate = (0,)
+        else:
+            donate = (0, 1)
 
         def grad_step(params, batch, measured, weight_l1):
             return jax.value_and_grad(self.loss_fn)(params, batch, measured,
@@ -1943,8 +1995,18 @@ class Reconstructor:
             out_specs=(P(op_ax), P(), P(None, op_ax)),
             check_vma=False)
 
+        obj_off = self._obj_off_mesh
+        cpu_be = jax.default_backend() == 'cpu'
+
         def mc_step(params, opt_state, theta, i_theta, pos_mc, inds_mc,
                     w_mc, data_mc, i_opt_batch, global_batch, support_mask):
+            if obj_off:
+                # Per-op-shard pinned-host slab: one HBM visit per angle
+                # (XLA:CPU cannot emit host-kind jit outputs — the driver
+                # re-homes eagerly there instead).
+                params = {**params,
+                          'obj': jax.device_put(params['obj'],
+                                                self._obj_mesh_dev_sh)}
             g_obj, g_aux, losses = grad_fn(params, theta, i_theta, pos_mc,
                                            inds_mc, w_mc, data_mc)
             grads = dict(g_aux)
@@ -1952,6 +2014,10 @@ class Reconstructor:
             params, opt_state = apply_step(params, opt_state, grads,
                                            i_opt_batch, global_batch,
                                            support_mask)
+            if obj_off and not cpu_be:
+                params = {**params,
+                          'obj': jax.device_put(params['obj'],
+                                                self._obj_mesh_host_sh)}
             return params, opt_state, losses
 
         def mc_angles_epoch(params, opt_state, theta_e, itheta_e, pos_mc,

@@ -125,7 +125,10 @@ def test_beamstop_parity(parity_setup):
     ref = run_reference(parity_setup, n_epochs, lr, 'gd',
                         extra=dict(beamstop=beamstop), tag='_bs')
     assert len(ref) == n_epochs, ref
-    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+    # Measured residual max 7.4e-6 (the masked-pixel loss normalizes by
+    # fewer terms, amplifying the f32 forward noise slightly); 2e-5
+    # keeps ~3x headroom.
+    np.testing.assert_allclose(ours, ref, rtol=2e-5)
 
 
 def run_ours(setup, n_epochs, lr, optimizer, refine=None, beamstop=None,
@@ -166,14 +169,24 @@ def run_ours(setup, n_epochs, lr, optimizer, refine=None, beamstop=None,
     return np.asarray(losses)
 
 
-@pytest.mark.parametrize('optimizer,lr', [('gd', 1e-3), ('adam', 1e-4)])
-def test_loss_curve_matches_reference(parity_setup, optimizer, lr):
+@pytest.mark.parametrize('optimizer,lr,rtol', [('gd', 1e-3, 1e-5),
+                                               ('adam', 1e-4, 5e-5)])
+def test_loss_curve_matches_reference(parity_setup, optimizer, lr, rtol):
+    """BASELINE.md north star: loss curves matching the PyTorch backend
+    to 1e-5.  Measured residual budget (PARITY.md 'Parity error budget'):
+    the FIRST epoch differs by 1.9e-6 for BOTH optimizers — the pure
+    f32 forward difference (torch pocketfft vs XLA FFT, reduction
+    order) — and stays there under GD (linear in the gradient; max
+    2.2e-6 over 5 epochs), so the GD row asserts the 1e-5 north star
+    with >4x headroom.  Adam divides by sqrt(v)+eps with v itself
+    noise-bearing early on, amplifying the same forward noise ~6x by
+    epoch 4 (measured 1.2e-5) — irreducibly above 1e-5 for ANY f32
+    implementation pair; its row pins 5e-5."""
     n_epochs = 5
     ours = run_ours(parity_setup, n_epochs, lr, optimizer)
     ref = run_reference(parity_setup, n_epochs, lr, optimizer)
     assert len(ref) == n_epochs, ref
-    # float32 forward + different FFT implementations bound agreement
-    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+    np.testing.assert_allclose(ours, ref, rtol=rtol)
 
 
 def test_probe_optimization_parity(parity_setup):
@@ -193,7 +206,8 @@ def test_probe_optimization_parity(parity_setup):
                                    probe_learning_rate=1e-4),
                         tag='_probe')
     assert len(ref) == n_epochs, ref
-    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+    # Measured residual max 2.5e-6: meets the 1e-5 north star.
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
 
 def test_probe_modes_parity(parity_setup):

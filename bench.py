@@ -108,6 +108,120 @@ def measure_ours(run_bfloat16: bool = False, time_box: float = 240.0) -> float:
     return tail[len(tail) // 2]
 
 
+def measure_flagship_epoch(run_bfloat16: bool = True,
+                           n_theta: int = 500, n_epochs: int = 2,
+                           outdir: str = None) -> dict:
+    """BASELINE.md's epoch-wall-time metric at the REAL flagship scale:
+    one full 500-angle epoch (529 positions x 72^2 patterns per angle,
+    ~5.5 GB measured data, device-resident), loss CSV ON (the reference
+    writes a loss row per angle; checkpoints follow the reference default
+    store_checkpoint=False).  Returns epoch_wall_s (median over
+    ``n_epochs`` pipelined epochs after the compile+staging warmup) and
+    the implied patterns/s."""
+    import tempfile
+    from adorym_tpu.config import Geometry, IOConfig, ReconConfig, TrainConfig
+    from adorym_tpu.recon import Reconstructor
+
+    pos = _positions()
+    n_batches = (len(pos) // MINIBATCH) * n_theta
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(N_OBJ, N_OBJ, N_OBJ),
+                          probe_size=(N_PROBE, N_PROBE),
+                          energy_ev=ENERGY_EV, psize_cm=PSIZE_CM,
+                          free_prop_cm='inf', binning=BINNING),
+        train=TrainConfig(minibatch_size=MINIBATCH, learning_rate=1e-7,
+                          optimizer='adam', rotate_out_of_loop=True,
+                          update_scheme='per angle',
+                          fused_multislice='auto',
+                          run_bfloat16=run_bfloat16),
+        # Loss CSV on (a row per angle, like the reference's per-angle
+        # log).  The reference's DEFAULT checkpoint cadence (every 10
+        # batches = ~2x per angle) is pathological on the axon tunnel's
+        # ~14 MB/s D2H (each ~0.5 GB state fetch = ~35 s, >epoch compute)
+        # and measures the link, not the framework; the epoch runs
+        # checkpoint-free and ONE checkpoint write is timed separately
+        # (reported as checkpoint_write_s).
+        io=IOConfig(n_batch_per_checkpoint=10 * n_batches),
+    )
+    rng = np.random.default_rng(0)
+    # ~5.5 GB: generate in float32 chunks to bound host RSS.
+    data = np.empty((n_theta, len(pos), N_PROBE, N_PROBE), np.float32)
+    for i in range(n_theta):
+        data[i] = rng.random((len(pos), N_PROBE, N_PROBE),
+                             np.float32)
+    theta_ls = np.linspace(0, np.pi, n_theta, endpoint=False)
+    obj0 = np.zeros((N_OBJ, N_OBJ, N_OBJ, 2), np.float32)
+    out = outdir or tempfile.mkdtemp(prefix='bench500_')
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0, output_folder=out)
+    t0 = time.time()
+    rec.run_epoch(0)       # compile + device staging warmup
+    warm_s = time.time() - t0
+    walls = []
+    for r in range(n_epochs):
+        t0 = time.time()
+        rec.run_epochs(1, start_epoch=1 + r)
+        walls.append(time.time() - t0)
+    walls.sort()
+    wall = walls[len(walls) // 2]
+    n_patterns = n_theta * len(pos)
+    t0 = time.time()
+    rec.save_checkpoint(n_epochs + 1, 0)
+    ckpt_s = time.time() - t0
+    print(f'500-angle epochs: warmup {warm_s:.1f}s, walls '
+          f'{[round(w, 1) for w in walls]}s, checkpoint {ckpt_s:.1f}s',
+          file=sys.stderr)
+    return {'epoch_wall_s': round(wall, 2),
+            'patterns_per_sec': round(n_patterns / wall, 1),
+            'n_theta': n_theta, 'loss_csv': True,
+            'checkpoint_write_s': round(ckpt_s, 2),
+            'dtype': 'bf16' if run_bfloat16 else 'f32'}
+
+
+def measure_immediate(run_bfloat16: bool = True,
+                      time_box: float = 120.0) -> float:
+    """Throughput of the reference's DEFAULT ``update_scheme='immediate'``
+    (rotation inside AD, one optimizer update per batch — the accuracy-
+    faithful mode; the per-angle headline trades per-batch updates for
+    fewer, larger steps).  Patterns/s over pipelined fused epochs on a
+    4-angle dataset, same geometry as the headline."""
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.recon import Reconstructor
+
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(N_OBJ, N_OBJ, N_OBJ),
+                          probe_size=(N_PROBE, N_PROBE),
+                          energy_ev=ENERGY_EV, psize_cm=PSIZE_CM,
+                          free_prop_cm='inf', binning=BINNING),
+        train=TrainConfig(minibatch_size=MINIBATCH, learning_rate=1e-7,
+                          optimizer='adam', update_scheme='immediate',
+                          fused_multislice='auto',
+                          run_bfloat16=run_bfloat16),
+    )
+    pos = _positions()
+    rng = np.random.default_rng(0)
+    n_theta = 4
+    data = rng.random((n_theta, len(pos), N_PROBE, N_PROBE)).astype(np.float32)
+    theta_ls = np.linspace(0, np.pi, n_theta, endpoint=False)
+    obj0 = np.zeros((N_OBJ, N_OBJ, N_OBJ, 2), np.float32)
+    rec = Reconstructor(cfg, data=data, probe_pos=pos, theta_ls=theta_ls,
+                        obj_init=obj0)
+    rec.run_epoch(0)
+    n_batches = len(rec.make_batches(np.random.default_rng(0)))
+    rates = []
+    t_start = time.time()
+    r = 0
+    while r < 2 or (time.time() - t_start < time_box and r < 8):
+        t0 = time.time()
+        rec.run_epoch(1 + r)
+        rates.append(n_batches * MINIBATCH / (time.time() - t0))
+        r += 1
+    print(f'immediate per-epoch patterns/s: '
+          f'{[round(x, 1) for x in rates]}', file=sys.stderr)
+    tail = sorted(rates[len(rates) // 2:])
+    return tail[len(tail) // 2]
+
+
 def measure_reference_baseline() -> float:
     """One training batch of the same config in the reference (PyTorch CPU),
     via its public wrappers — measured, not assumed."""
@@ -275,6 +389,26 @@ def main():
               file=sys.stderr)
         bf16 = None
     ours = max(f32, bf16) if bf16 else f32
+    # BASELINE-faithful artifacts: the 500-angle epoch wall time (the
+    # reference metric's own scale, loss CSV on) and the
+    # reference-DEFAULT immediate scheme's throughput.  The HEADLINE
+    # stays the per-angle+rol scheme (fewer, larger optimizer steps —
+    # the reference's own flagship demo uses rotate_out_of_loop; see
+    # README 'Benchmark' for the accuracy trade).
+    try:
+        ep500 = _with_timeout(1500, measure_flagship_epoch,
+                              run_bfloat16=bool(bf16))
+    except Exception as e:
+        print(f'500-angle epoch failed: {type(e).__name__}: {e}',
+              file=sys.stderr)
+        ep500 = None
+    try:
+        imm = _with_timeout(1200, measure_immediate,
+                            run_bfloat16=bool(bf16))
+    except Exception as e:
+        print(f'immediate measurement failed: {type(e).__name__}: {e}',
+              file=sys.stderr)
+        imm = None
     base = get_baseline()
     ref = base.get('reference_patterns_per_sec_8rank_cpu')
     vs = (ours / ref) if ref else None
@@ -285,6 +419,9 @@ def main():
         'vs_baseline': round(vs, 3) if vs else None,
         'f32_patterns_per_sec': round(f32, 3),
         'bf16_patterns_per_sec': round(bf16, 3) if bf16 else None,
+        'scheme': 'per angle + rotate_out_of_loop',
+        'epoch_500angle': ep500,
+        'immediate_patterns_per_sec': round(imm, 3) if imm else None,
     }))
 
 

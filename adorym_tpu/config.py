@@ -184,6 +184,14 @@ class TrainConfig:
     # the scatter-heavy exact transpose; True uses the exact linear-map
     # transpose of the forward rotation.
     exact_grad_rotation: bool = False
+    # Z-major patch extraction for the fused delta_beta Pallas path: keep
+    # the per-angle extraction copy pre-transposed to [zb, 2, Yp, Xp] so
+    # extracted chunks are already in the kernels' z-major operand layout,
+    # deleting the per-chunk moveaxis prep (~3.1 ms/chunk measured, round
+    # 3).  'off' (default until the TPU A/B validates a net win — the
+    # z-major extraction windows have different tiling economics) | 'on'.
+    # Bit-identical trajectories either way (pure relayout).
+    zmajor_extract: str = 'off'
     # Rotation resampling (reference kwarg ``interpolation``,
     # ``adorym/ptychography.py:72`` -> grid_sample mode
     # ``adorym/wrappers.py:1106``): 'bilinear' | 'nearest'.

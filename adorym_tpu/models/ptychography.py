@@ -139,8 +139,12 @@ def predict(params: Dict, batch: Dict, cfg: ReconConfig,
 
 
 def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
-                         return_wave: bool = False, prebinned_z: bool = False):
-    """Forward model from pre-extracted object patches ``[N, py, px, z, 2]``.
+                         return_wave: bool = False, prebinned_z: bool = False,
+                         zmajor: bool = False):
+    """Forward model from pre-extracted object patches ``[N, py, px, z, 2]``
+    — or, with ``zmajor=True``, ``[zb, 2, N, py, px]`` (the fused Pallas
+    kernels' operand layout; extraction emitted it directly and no
+    relayout happens on the fused path).
 
     ``prebinned_z``: the patches' z axis is already reduced in bins of
     ``geometry.binning`` (delta_beta sums) — the driver hoisted the bin
@@ -156,9 +160,19 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
         raise ValueError('prebinned_z requires the plain delta_beta '
                          'multislice branch')
     probe = prepare_probe(params, batch, cfg)
-    # [N, py, px, z, 2]
-    delta = subobj[..., 0]
-    beta = subobj[..., 1]
+    if zmajor:
+        if (geo.pure_projection or geo.slice_pos_cm_ls is not None
+                or cfg.train.unknown_type != 'delta_beta'):
+            raise ValueError('zmajor patches require the plain delta_beta '
+                             'multislice branch')
+        # Derived split views: consumed only by the non-fused fallback
+        # (dead-code-eliminated when the fused kernel takes db_zmajor).
+        delta = jnp.moveaxis(subobj[:, 0], 0, -1)
+        beta = jnp.moveaxis(subobj[:, 1], 0, -1)
+    else:
+        # [N, py, px, z, 2]
+        delta = subobj[..., 0]
+        beta = subobj[..., 1]
 
     probes = shifted_probes(probe, params, batch, cfg)
     if probes.ndim == 4:
@@ -171,14 +185,20 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
             probes[:, None, :, :],
             (probes.shape[0], delta.shape[0]) + probes.shape[-2:])
 
-    db_stack = subobj
+    db_stack = None if zmajor else subobj
+    db_zmajor = subobj if zmajor else None
     if cfg.train.run_bfloat16:
         # One cast of the packed stack (usually a no-op: the bf16-extract
         # path already hands bf16 patches); delta/beta slice from it so
         # every consumer sees the same values.
-        db_stack = subobj.astype(jnp.bfloat16)
-        delta = db_stack[..., 0]
-        beta = db_stack[..., 1]
+        if zmajor:
+            db_zmajor = subobj.astype(jnp.bfloat16)
+            delta = jnp.moveaxis(db_zmajor[:, 0], 0, -1)
+            beta = jnp.moveaxis(db_zmajor[:, 1], 0, -1)
+        else:
+            db_stack = subobj.astype(jnp.bfloat16)
+            delta = db_stack[..., 0]
+            beta = db_stack[..., 1]
 
     kappa = None
     if cfg.refine.optimize_ctf_lg_kappa:
@@ -226,7 +246,8 @@ def predict_from_patches(params: Dict, batch: Dict, subobj, cfg: ReconConfig,
             sign_convention=geo.sign_convention,
             scale_ri_by_k=geo.scale_ri_by_k, kappa=kappa, fused=fused,
             prebinned=prebinned_z, mxu_bf16=cfg.train.run_bfloat16,
-            final_prop=final_prop, db_stack=db_stack)
+            final_prop=final_prop, db_stack=db_stack,
+            db_zmajor=db_zmajor)
         if final_prop is not None:
             det_wave = exit_wave.astype(jnp.complex64)
             if return_wave:

@@ -72,6 +72,27 @@ def extract_patches(obj, positions, probe_size):
     return jax.vmap(slice_one)(positions.astype(jnp.int32))
 
 
+def extract_patches_zmajor(obj_zm, positions, probe_size):
+    """Z-major variant of :func:`extract_patches`: ``obj_zm`` is the
+    padded object pre-transposed to ``[zb, 2, Yp, Xp]`` so the extracted
+    stack ``[zb, 2, N, py, px]`` is ALREADY the fused delta_beta Pallas
+    kernels' operand layout — the per-chunk z-major ``moveaxis`` prep
+    (measured ~3.1 ms additive at the flagship chunk, not fused into the
+    Pallas call by XLA) disappears.  Values are bit-identical to
+    ``moveaxis(extract_patches(obj, pos), (-2, -1), (0, 1))``: both are
+    pure relayouts of the same windows."""
+    py, px = int(probe_size[0]), int(probe_size[1])
+    zb, ch = obj_zm.shape[0], obj_zm.shape[1]
+
+    def slice_one(pos):
+        return jax.lax.dynamic_slice(
+            obj_zm, (0, 0, pos[0], pos[1]), (zb, ch, py, px))
+
+    # [N, zb, 2, py, px] -> [zb, 2, N, py, px]
+    out = jax.vmap(slice_one)(positions.astype(jnp.int32))
+    return jnp.transpose(out, (1, 2, 0, 3, 4))
+
+
 def extract_patches_vacuum(obj, positions, probe_size,
                            unknown_type='delta_beta'):
     """Like :func:`extract_patches`, but windows reaching past the object

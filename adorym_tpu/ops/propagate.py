@@ -302,7 +302,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
                          scale_ri_by_k=True, kappa=None, repeats=None,
                          backprop=False, return_intermediate=False,
                          fused='auto', prebinned=False, mxu_bf16=False,
-                         final_prop=None, db_stack=None):
+                         final_prop=None, db_stack=None, db_zmajor=None):
     """Multislice (Fresnel beam) propagation through an object batch.
 
     TPU-native equivalent of ``multislice_propagate_batch``
@@ -375,6 +375,7 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
     if kappa is not None:
         beta = delta * kappa
         db_stack = None    # beta recomputed: the packed stack is stale
+        db_zmajor = None
 
     if final_prop is not None and backprop:
         raise ValueError('final_prop is a detector-side propagation; '
@@ -440,7 +441,17 @@ def multislice_propagate(delta, beta, wave, energy_ev, psize_cm,
     # delta_beta kernels — dead-code-eliminated everywhere else, just as
     # the split transposes are dead when the packed path runs.
     db_z = None
-    if db_stack is not None and unknown_type == 'delta_beta':
+    if db_zmajor is not None and unknown_type == 'delta_beta':
+        # Already [zb, 2, ..., y, x] (the z-major extraction path): no
+        # relayout at all — only the shared pad/reverse/bin prep.
+        db_z = db_zmajor
+        if not prebinned:
+            db_z = _pad_z_to_multiple(db_z, binning, unknown_type)
+        if backprop:
+            db_z = db_z[::-1]
+        if not prebinned:
+            db_z = _bin_slices(db_z, binning, unknown_type)
+    elif db_stack is not None and unknown_type == 'delta_beta':
         db_z = jnp.moveaxis(db_stack, (-2, -1), (0, 1))
         if not prebinned:
             db_z = _pad_z_to_multiple(db_z, binning, unknown_type)

@@ -353,6 +353,7 @@ class Reconstructor:
                               and jax.default_backend() == 'tpu')))
         bufs = 6 + 2 * cfg.train.n_probe_modes if pallas_db else 6
         self._chunk_bufs = bufs
+        self._pallas_db = pallas_db
         self._fuse_g = (int(max(1, min(64, avail // max(1, bufs * patch_bytes))))
                         if avail > 0 else 1)
         # Whole-chunk separable grid scatter (scatter_grid2d_add): when the
@@ -1343,10 +1344,18 @@ class Reconstructor:
             # band-kernel scatter 6.6->3.1 ms.
             obj_ex = (obj_pad.astype(jnp.bfloat16)
                       if cfg.train.run_bfloat16 else obj_pad)
+            # Z-major extraction (zmajor_extract='on'): keep the
+            # extraction copy pre-transposed so every chunk's patches are
+            # born in the fused kernels' [zb, 2, N, py, px] layout and
+            # the per-chunk moveaxis prep disappears.  Bit-identical
+            # trajectories (pure relayout on both sides of AD).
+            zm = (cfg.train.zmajor_extract == 'on' and self._pallas_db
+                  and not geo.two_d_mode)
+            obj_zx = (jnp.transpose(obj_ex, (2, 3, 0, 1)) if zm else None)
 
             def mismatch(subobj, aux_p, batch, meas, w):
                 pred = predict_patches(aux_p, batch, subobj, cfg,
-                                       prebinned_z=prebin)
+                                       prebinned_z=prebin, zmajor=zm)
                 per_item = model_base.mismatch_loss(
                     pred, meas, cfg.loss.loss_function_type,
                     cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
@@ -1360,7 +1369,10 @@ class Reconstructor:
                 batch = {'i_theta': i_theta, 'theta': theta,
                          'pos_batch': pos_c, 'ind_batch': inds_c}
                 pos_int = jnp.round(pos_c).astype(jnp.int32) + pad_off
-                if self._grid_scatter_rows == g:
+                if zm:
+                    subobj = patch_ops.extract_patches_zmajor(
+                        obj_zx, pos_int, geo.probe_size)
+                elif self._grid_scatter_rows == g:
                     # Complete-grid chunk: band-gather extraction (the
                     # exact transpose of the Pallas scatter below) —
                     # bit-identical patches, one band read per
@@ -1375,6 +1387,11 @@ class Reconstructor:
                 (_, per_batch), (g_sub, g_aux) = jax.value_and_grad(
                     mismatch, argnums=(0, 1), has_aux=True)(
                         subobj, aux, batch, meas_c, w)
+                if zm:
+                    # Back to the scatter layout [N, py, px, zb, 2] (the
+                    # backward's packed transpose — unchanged cost; only
+                    # the FORWARD relayout was deleted).
+                    g_sub = jnp.transpose(g_sub, (2, 3, 4, 0, 1))
                 if self._rowgrid_stride is not None:
                     # Constant-stride grid rows: lane decomposition
                     # instead of a scatter.  Full-grid chunks collapse

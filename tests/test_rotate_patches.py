@@ -402,3 +402,63 @@ def test_recon_converges_with_nearest_interpolation():
     for ep in range(1, 4):
         l_last = rec.run_epoch(ep)
     assert np.isfinite(l_last) and l_last < l0
+
+
+class TestZMajorExtract:
+    def test_zmajor_extraction_matches_moveaxis(self):
+        from adorym_tpu.ops.patches import (extract_patches,
+                                            extract_patches_zmajor)
+        rng = np.random.default_rng(31)
+        obj = jnp.asarray(rng.random((20, 22, 6, 2)).astype(np.float32))
+        pos = jnp.asarray([[0, 3], [5, 7], [12, 14]], dtype=jnp.int32)
+        ref = jnp.moveaxis(extract_patches(obj, pos, (8, 8)),
+                           (-2, -1), (0, 1))
+        got = extract_patches_zmajor(jnp.transpose(obj, (2, 3, 0, 1)),
+                                     pos, (8, 8))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_zmajor_trajectory_bit_identical(self):
+        """zmajor_extract='on' is a pure relayout: identical losses and
+        object, bit for bit, with the fused kernel forced on (interpret
+        mode off-TPU)."""
+        import dataclasses as dc
+        from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+        from adorym_tpu.recon import Reconstructor
+        from adorym_tpu.simulate import simulate
+        from adorym_tpu.utils.initialize import initialize_probe
+        n, pn, nz = 16, 8, 8
+        rng = np.random.default_rng(33)
+        obj_true = np.stack([rng.random((n, n, nz)) * 1e-3,
+                             rng.random((n, n, nz)) * 3e-5],
+                            -1).astype(np.float32)
+        probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                                 psize_cm=1e-7, probe_mag_sigma=2,
+                                 probe_phase_sigma=2, probe_phase_max=0.3)
+        xs = np.arange(0, n - pn + 1, 8)
+        yy, xx = np.meshgrid(xs, xs, indexing='ij')
+        pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+        theta_ls = np.linspace(0, np.pi, 2, endpoint=False)
+        base = ReconConfig(
+            geometry=Geometry(obj_size=(n, n, nz), probe_size=(pn, pn),
+                              energy_ev=5000.0, psize_cm=1e-7,
+                              free_prop_cm='inf', binning=2),
+            train=TrainConfig(minibatch_size=4, learning_rate=1e-4,
+                              update_scheme='per angle',
+                              rotate_out_of_loop=True,
+                              fused_multislice='on'))
+        data = simulate(base, obj_true, probe, pos, theta_ls)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        recs = []
+        for zmx in ('off', 'on'):
+            cfg = dc.replace(base, train=dc.replace(
+                base.train, zmajor_extract=zmx))
+            rec = Reconstructor(cfg, **kw)
+            if zmx == 'on':
+                assert rec._pallas_db   # the gate this path rides on
+            losses = [rec.run_epoch(ep) for ep in range(2)]
+            recs.append((rec, losses))
+        (r0, l0), (r1, l1) = recs
+        assert l0 == l1, (l0, l1)
+        np.testing.assert_array_equal(np.asarray(r0.params['obj']),
+                                      np.asarray(r1.params['obj']))

@@ -1361,3 +1361,93 @@ def test_baseline1_64cube_parity(tmp_path, monkeypatch):
         rec.run_epoch(ep, callback=lambda e, b, l: ours.append(l))
     assert len(ref) == len(ours)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4)
+
+
+def test_nearest_interpolation_parity(tmp_path, monkeypatch):
+    """LIVE parity for ``interpolation='nearest'`` (the reference's
+    alternative rotation resampling: torch grid_sample mode='nearest' /
+    round-and-clip index select, ``adorym/util.py:568-583`` — round-half-
+    even via torch.round, the same convention as ``jnp.round``; both
+    reference code paths verified to match our rotation EXACTLY on f32
+    coords).
+
+    Two quirks shape this row: (1) the reference's ``interpolation``
+    kwarg never reaches the IN-AD forward rotation —
+    ``adorym/forward_model.py:268`` calls ``apply_rotation`` without it,
+    so non-rol runs rotate bilinearly regardless (measured: 4e-2 loss
+    divergence when asserting nearest against a non-rol reference run);
+    parity is therefore asserted under ``rotate_out_of_loop=True``,
+    where both the pre-rotation (``ptychography.py:938``) and the
+    gradient rotate-back (``:1076``) honor nearest.  (2) The f16
+    coordinate tables would make the DISCONTINUOUS rounding flip voxels,
+    so the tables are regenerated at f32 through the reference's own
+    math (``_patch_f32_rotation_tables``)."""
+    monkeypatch.chdir(tmp_path)
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    from adorym_tpu.io.data import RawDataset
+    from adorym_tpu.recon import Reconstructor
+    from adorym_tpu.simulate import simulate_to_file
+
+    ref_recon = _import_reference()
+    _patch_f32_rotation_tables(monkeypatch)
+    n, pn, n_theta = 16, 16, 3
+    rng = np.random.default_rng(17)
+    obj_true = np.stack([rng.random((n, n, n)) * 1e-3,
+                         rng.random((n, n, n)) * 3e-5], -1).astype(np.float32)
+    probe = np.stack([np.ones((pn, pn)), np.zeros((pn, pn))], -1
+                     ).astype(np.float32)[None]
+    pos = np.array([[0.0, 0.0]])
+    theta_ls = np.linspace(0, np.pi, n_theta, endpoint=False)
+
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, n), probe_size=(pn, pn),
+                          energy_ev=800.0, psize_cm=0.67e-7,
+                          free_prop_cm='inf'),
+        train=TrainConfig(minibatch_size=1, learning_rate=1e-6,
+                          optimizer='gd', interpolation='nearest',
+                          update_scheme='per angle',
+                          rotate_out_of_loop=True))
+    simulate_to_file(str(tmp_path / 'dn.h5'), cfg, obj_true, probe, pos,
+                     theta_ls=theta_ls)
+
+    obj0_d = (rng.random((n, n, n)) * 1e-4).astype(np.float64)
+    obj0_b = (rng.random((n, n, n)) * 1e-6).astype(np.float64)
+
+    ref_recon(
+        fname='dn.h5', save_path=str(tmp_path), output_folder='refnn',
+        obj_size=(n, n, n), probe_pos=pos, theta_st=0, theta_end=np.pi,
+        energy_ev=800.0, psize_cm=0.67e-7, free_prop_cm='inf',
+        n_epochs=3, minibatch_size=1, n_dp_batch=1,
+        optimizer='gd', learning_rate=1e-6, dynamic_rate=False,
+        initial_guess=[obj0_d, obj0_b],
+        probe_type='supplied',
+        probe_initial=[np.ones((pn, pn)), np.zeros((pn, pn))],
+        alpha_d=None, alpha_b=None, gamma=0,
+        use_checkpoint=False, store_checkpoint=False,
+        save_intermediate=False, backend='pytorch', cpu_only=True,
+        precalculate_rotation_coords=True, interpolation='nearest',
+        rotate_out_of_loop=True, update_scheme='per angle',
+    )
+    csv = os.path.join(str(tmp_path), 'refnn', 'convergence',
+                       'loss_rank_0.txt')
+    rows = np.genfromtxt(csv, delimiter=',', names=True)
+    ref_losses = np.atleast_1d(rows['loss'])
+
+    ds = RawDataset(str(tmp_path / 'dn.h5'))
+    obj0 = np.stack([obj0_d, obj0_b], -1).astype(np.float32)
+    rec = Reconstructor(cfg, data=ds.all_magnitudes(), probe_pos=pos,
+                        probe_init=probe, obj_init=obj0, theta_ls=theta_ls)
+
+    def batches_like_reference(_):
+        order = np.arange(n_theta)
+        np.random.seed(rec._epoch_seed)
+        np.random.shuffle(order)
+        return [(int(t), np.array([0])) for t in order]
+
+    rec.make_batches = batches_like_reference
+    our_losses = []
+    for ep in range(3):
+        rec._epoch_seed = ep
+        rec.run_epoch(ep, callback=lambda e, b, l: our_losses.append(l))
+    np.testing.assert_allclose(np.asarray(our_losses), ref_losses,
+                               rtol=5e-4)

@@ -184,14 +184,21 @@ class TrainConfig:
     # the scatter-heavy exact transpose; True uses the exact linear-map
     # transpose of the forward rotation.
     exact_grad_rotation: bool = False
-    # Z-major patch extraction for the fused delta_beta Pallas path: keep
-    # the per-angle extraction copy pre-transposed to [zb, 2, Yp, Xp] so
-    # extracted chunks are already in the kernels' z-major operand layout,
-    # deleting the per-chunk moveaxis prep (~3.1 ms/chunk measured, round
-    # 3).  'off' (default until the TPU A/B validates a net win — the
-    # z-major extraction windows have different tiling economics) | 'on'.
-    # Bit-identical trajectories either way (pure relayout).
-    zmajor_extract: str = 'off'
+    # Z-major patch extraction for the delta_beta multislice patch path:
+    # keep the per-angle extraction copy pre-transposed to [zb, 2, Yp, Xp]
+    # so extracted chunks are born in the z-major layout BOTH kernel paths
+    # want (the fused Pallas kernels consume it directly; XLA's fallback
+    # cancels the adjacent transposes) — the per-chunk moveaxis prep
+    # disappears.  Measured interleaved at the flagship chunk (round 4):
+    # bf16 fwd+bwd 23.3 -> 20.9 ms (-10%), f32 59.3 -> 55.8 ms (-6%),
+    # charging the once-per-angle object transpose fully to the variant.
+    # At the EPOCH level the fused-angles scan already overlaps the chunk
+    # grad with neighboring phases, so whole-epoch throughput TIES
+    # (13.1-13.3k pps both, interleaved 4-epoch blocks) — the win is in
+    # the standalone/chunk-bound regimes.  'auto' (on for TPU 3D
+    # delta_beta multislice) | 'on' | 'off'.  Bit-identical trajectories
+    # either way (pure relayout).
+    zmajor_extract: str = 'auto'
     # Rotation resampling (reference kwarg ``interpolation``,
     # ``adorym/ptychography.py:72`` -> grid_sample mode
     # ``adorym/wrappers.py:1106``): 'bilinear' | 'nearest'.

@@ -118,8 +118,17 @@ def main():
 
     fa = build(a.shape, (U, 2, NB, P, P), NB)
     fb = build(b.shape, (U, 2, NBf, P * P), NBf)
-    fc = build_reshape()
-    fa(a); fb(b); fc(b)
+    fa(a); fb(b)
+    # The flat->panes in-kernel reshape is not Mosaic-lowerable on all
+    # toolchains ('unsupported shape cast'); measure it when it builds,
+    # report the failure otherwise — fa/fb still size the padding tax.
+    try:
+        fc = build_reshape()
+        fc(b)
+    except Exception as e:
+        print(f'flat+reshape variant unavailable: {type(e).__name__}: '
+              f'{str(e)[:120]}', file=sys.stderr)
+        fc = None
 
     tiny = jnp.zeros((8,), jnp.float32)
     jtiny = jax.jit(lambda x: jnp.sum(x + 1.0))
@@ -132,8 +141,9 @@ def main():
         sa.append((time.perf_counter() - t0) * 1e3)
         t0 = time.perf_counter(); fb(b)
         sb.append((time.perf_counter() - t0) * 1e3)
-        t0 = time.perf_counter(); fc(b)
-        sc.append((time.perf_counter() - t0) * 1e3)
+        if fc is not None:
+            t0 = time.perf_counter(); fc(b)
+            sc.append((time.perf_counter() - t0) * 1e3)
     floor = np.median(floors)
     gb = a.size * a.dtype.itemsize * 2 / 1e9   # read + write, logical
     gbf = b.size * b.dtype.itemsize * 2 / 1e9  # flat incl. batch zero-pad
@@ -142,9 +152,11 @@ def main():
     print(f'floor {floor:.1f} ms; logical traffic {gb:.2f} GB (r+w); '
           f'flat batch-padded {N}->{Nf} ({gbf:.2f} GB moved)')
     print(f'  padded  [..,{P},{P}]: {av:6.2f} ms  ({gb / av * 1e3:5.0f} GB/s)')
-    cv = np.median(np.asarray(sc) - floor)
     print(f'  flat    [..,{P * P}]: {bv:6.2f} ms  ({gbf / bv * 1e3:5.0f} GB/s)')
-    print(f'  flat+reshape panes : {cv:6.2f} ms  ({gbf / cv * 1e3:5.0f} GB/s)')
+    if sc:
+        cv = np.median(np.asarray(sc) - floor)
+        print(f'  flat+reshape panes : {cv:6.2f} ms  '
+              f'({gbf / cv * 1e3:5.0f} GB/s)')
 
 
 if __name__ == '__main__':

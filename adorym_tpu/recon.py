@@ -1031,8 +1031,6 @@ class Reconstructor:
             why.append('model has no patch-granular forward')
         if self.transform_measured is not None:
             why.append('measured-data transform active')
-        if self.reg_list:
-            why.append('regularizers need the full rotated object')
         if self.second_order:
             why.append('second-order optimizer')
         if cfg.refine.tilt_active:
@@ -2193,26 +2191,51 @@ class Reconstructor:
             out_specs=(P(op_ax), P(), P()),
             check_vma=False)
 
+        reg_list = self.reg_list
+        needs_wl1 = self._needs_weight_l1
+
         def mc_imm_epoch(params, opt_state, theta_b, itheta_b, irow_b,
-                         y0_b, pos_t, inds_t, data_t, i_opt0, gb0,
-                         support_mask):
+                         y0_b, pos_t, inds_t, data_t, weight_l1, i_opt0,
+                         gb0, support_mask):
             """A whole immediate epoch of mesh per-batch steps as ONE
-            program (the mesh analog of ``epoch_fused``)."""
+            program (the mesh analog of ``epoch_fused``).  Regularizers
+            evaluate OUTSIDE the shard_map via GSPMD on the op-sharded
+            object — their stencils (TV's 1-voxel neighbors) partition
+            into automatic halo exchanges, never a full-object gather —
+            and their gradient adds to the band gradient (sum rule; same
+            total as the single-device joint AD).  The reweighted-L1
+            weights refresh in-scan on the reference's 10-batch cadence
+            like ``epoch_fused``."""
 
             def body(carry, xs):
-                p, o, i_b = carry
+                p, o, i_b, wl1 = carry
                 theta, i_theta, i_row, y0 = xs
                 g_slab, g_aux, loss = grad_fn(p, theta, i_theta, i_row,
                                               y0, pos_t, inds_t, data_t)
                 grads = dict(g_aux)
                 grads['obj'] = g_slab
+                if reg_list:
+                    if needs_wl1:
+                        wl1 = jax.lax.cond(
+                            i_b % 10 == 0,
+                            lambda ob, _: Reconstructor._weight_l1_refresh(
+                                ob),
+                            lambda _, w: w, p['obj'], wl1)
+                    rv, rg = jax.value_and_grad(
+                        lambda ob: regs.total_regularization(
+                            reg_list, ob, weight_l1=wl1))(p['obj'])
+                    grads['obj'] = grads['obj'] + rg
+                    loss = loss + rv
                 p, o = apply_step(p, o, grads, i_opt0 + i_b, gb0 + i_b,
                                   support_mask)
-                return (p, o, i_b + 1), loss
+                return (p, o, i_b + 1, wl1), loss
 
             n_b = theta_b.shape[0]
-            (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, jnp.asarray(0, jnp.int32)),
+            wl1_0 = (weight_l1 if needs_wl1
+                     else jnp.zeros((), jnp.float32))
+            (params, opt_state, _, _), losses = jax.lax.scan(
+                body, (params, opt_state, jnp.asarray(0, jnp.int32),
+                       wl1_0),
                 (theta_b, itheta_b, irow_b, y0_b))
             return params, opt_state, losses
 
@@ -2394,7 +2417,7 @@ class Reconstructor:
         of the static table (``make_batches`` shuffles angles but keeps
         positions in scan order unless ``randomize_probe_pos``)."""
         if (self._mci is None or self.cfg.train.shrink_cycle is not None
-                or self._needs_weight_l1 or self.loader is not None
+                or self.loader is not None
                 or self.expand_indices is not None
                 or (self.output_folder is not None
                     and self.cfg.io.save_intermediate
@@ -2435,6 +2458,7 @@ class Reconstructor:
                 self.params, self.opt_state, jnp.asarray(theta_b),
                 jnp.asarray(itheta_b), jnp.asarray(irow_b),
                 jnp.asarray(y0_b), dev['pos'], dev['inds'], dev['data'],
+                self.weight_l1,
                 jnp.asarray(self.i_opt_batch, jnp.int32),
                 jnp.asarray(self.global_batch, jnp.int32),
                 self.finite_support_mask)

@@ -49,9 +49,9 @@ def _pair(cfg, obj_true, probe, pos, theta_ls, data, dp, op):
     kw = dict(data=data, probe_pos=pos, probe_init=probe,
               theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
     rec1 = Reconstructor(cfg, **kw)
+    import dataclasses as dc
     pcfg = ParallelConfig(data_axis=dp, object_axis=op)
-    cfg_m = ReconConfig(geometry=cfg.geometry, refine=cfg.refine,
-                        train=cfg.train, parallel=pcfg)
+    cfg_m = dc.replace(cfg, parallel=pcfg)
     rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
     return rec1, rec8
 
@@ -137,7 +137,7 @@ class TestMcImmediate:
                 jnp.asarray([i_theta], jnp.int32),
                 jnp.asarray([irow], jnp.int32),
                 jnp.asarray([mci['y0'][irow]], jnp.int32),
-                dev['pos'], dev['inds'], dev['data'],
+                dev['pos'], dev['inds'], dev['data'], None,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                 None)
             np.testing.assert_allclose(float(l1), float(l8[0]), rtol=1e-5)
@@ -206,7 +206,7 @@ class TestMcImmediate:
             rec.params, rec.opt_state,
             jnp.zeros(nb, jnp.float32), jnp.zeros(nb, jnp.int32),
             jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32),
-            dev['pos'], dev['inds'], dev['data'],
+            dev['pos'], dev['inds'], dev['data'], None,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             None).compile().as_text()
 
@@ -254,3 +254,51 @@ def test_run_epochs_pipelines_mc_imm():
     seq = [rec_a.run_epoch(ep) for ep in range(3)]
     pip = rec_b.run_epochs(3, start_epoch=0)
     np.testing.assert_allclose(seq, pip, rtol=0, atol=0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_regularizers_compose_with_mc_imm():
+    """Regularized immediate runs (the reference FLAGSHIP demo config has
+    alpha_d/alpha_b/gamma on) take the mesh fast path: the reg terms
+    evaluate via GSPMD stencils on the sharded object and the trajectory
+    matches single-device (GD for the tight bound), with no full-object
+    all-gather introduced."""
+    import dataclasses as dc
+    from adorym_tpu.config import LossConfig
+    cfg, obj_true, probe, pos, theta_ls, data = _setup(
+        seed=11, optimizer='gd', learning_rate=1e-3)
+    n3 = float(np.prod(cfg.geometry.obj_size))
+    cfg = dc.replace(cfg, loss=LossConfig(alpha_d=1e-9 * n3,
+                                          alpha_b=1e-10 * n3,
+                                          gamma=1e-9 * n3))
+    rec1, rec8 = _pair(cfg, obj_true, probe, pos, theta_ls, data, 2, 2)
+    assert rec8._mci is not None, rec8._mc_decline_reasons
+    assert rec8.reg_list
+    for ep in range(2):
+        l1 = rec1.run_epoch(ep)
+        l8 = rec8.run_epoch(ep)
+        np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                               np.asarray(rec1.params['obj']),
+                               rtol=1e-3, atol=1e-6)
+    # HLO check: the reg stencils must not introduce a full-object
+    # all-gather.
+    dev = rec8._mc_imm_device_tables()
+    mci = rec8._mci
+    import jax.numpy as jnp
+    nb = 2
+    txt = rec8._mc_imm_epoch.lower(
+        rec8.params, rec8.opt_state,
+        jnp.zeros(nb, jnp.float32), jnp.zeros(nb, jnp.int32),
+        jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32),
+        dev['pos'], dev['inds'], dev['data'], rec8.weight_l1,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        None).compile().as_text()
+    Y = cfg.geometry.obj_size[0]
+    import re as _re
+    for l in txt.splitlines():
+        if 'all-gather(' in l and '=' in l:
+            for d in _re.findall(r'f32\[([\d,]+)\]', l):
+                dims = tuple(map(int, d.split(',')))
+                if len(dims) >= 3:
+                    assert dims[0] < Y, (dims, l)

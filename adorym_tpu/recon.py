@@ -379,6 +379,19 @@ class Reconstructor:
         # dataset fits alongside the working set (object buffers + fused
         # patch stacks); multi-chip keeps per-angle staging (the dataset
         # would need dp-sharding, and local links don't have the problem).
+        # Device residency beats a larger gradient chunk: per-angle host
+        # staging serializes with compute on remote-dispatch links
+        # (measured 4-5x epoch wall, round 2) while chunk-fusion gains
+        # saturate well below the cap — so when shrinking fuse_g would
+        # let the dataset live on-device (inside the conservative
+        # xla-reserve budget), shrink it.
+        if (mesh is None and self.data is not None
+                and not _obj_off_likely):
+            fit = ((hbm - _prof.xla_reserve_bytes(hbm)) - 6 * _obj_budget
+                   - self.data.nbytes)
+            g_fit = int(fit // max(1, bufs * patch_bytes))
+            if 1 <= g_fit < self._fuse_g:
+                self._fuse_g = g_fit
         ws_bytes = 6 * _obj_budget + bufs * patch_bytes * self._fuse_g
         self._data_dev_ok = (mesh is None
                              and self.data is not None

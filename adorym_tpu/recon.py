@@ -1771,6 +1771,109 @@ class Reconstructor:
         if self._mci is not None:
             self._mc_imm_epoch = self._build_mc_imm_step(apply_step, donate)
 
+        # Band-granular immediate step: the reference's DEFAULT
+        # update_scheme='immediate' differentiates through the rotation
+        # of the FULL object every batch (exact adjoint ~28 ms at the
+        # flagship), but every minibatch of a row-grid table touches only
+        # its row's py object planes — rotation is per-y-plane, so
+        # rotating/adjoining just the band is the same linear chain AD
+        # applies to the full object (the mesh immediate path's
+        # decomposition, proven to 1.6e-8 there).  Rotation cost drops by
+        # ~py/Y per batch.  Regularizers evaluate on the full object via
+        # their own AD and add by the sum rule.
+        band_ok = (self.mesh is None and not cfg.geometry.two_d_mode
+                   and cfg.train.update_scheme == 'immediate'
+                   and not cfg.train.rotate_out_of_loop
+                   and not cfg.refine.tilt_active
+                   and not self.second_order
+                   and self._rowgrid_stride is not None
+                   and self.model is ptycho_model
+                   and hasattr(self.model, 'predict_from_patches')
+                   and self.transform_measured is None
+                   and self.external_algorithm is None)
+
+        def step_band(params, opt_state, batch, measured, weight_l1,
+                      i_opt_batch, global_batch, support_mask):
+            from .ops.rotate import (rotate, rotate_adjoint,
+                                     rotate_and_bin_z)
+            geo = cfg.geometry
+            Y, X, nz = geo.obj_size
+            py, px = geo.probe_size
+            px0, px1 = int(self.pad_arr[1][0]), int(self.pad_arr[1][1])
+            prebin = self._prebin
+            nzb = -(-nz // geo.binning) if prebin else nz
+            stride = self._rowgrid_stride
+            interp = cfg.train.interpolation
+            real_imag = cfg.train.unknown_type == 'real_imag'
+            theta = batch['theta']
+            obj = params['obj']
+            aux = {n: v for n, v in params.items() if n != 'obj'}
+            mb = measured.shape[0]
+
+            y0 = jnp.round(batch['pos_batch'][0, 0]).astype(jnp.int32)
+            u = y0 + jnp.arange(py)
+            valid = ((u >= 0) & (u < Y))[:, None, None, None]
+            idx = jnp.clip(u, 0, Y - 1)
+            band = obj[idx]
+            if real_imag:
+                vac = jnp.zeros_like(band).at[..., 0].set(1.0)
+            else:
+                vac = jnp.zeros_like(band)
+            band = jnp.where(valid, band, vac)
+            if prebin:
+                rb = rotate_and_bin_z(band, theta, geo.binning,
+                                      method=interp)
+            else:
+                rb = rotate(band, theta, method=interp)
+            rb = patch_ops.pad_object(
+                rb, np.array([[0, 0], [px0, px1]], np.int64),
+                cfg.train.unknown_type)
+            if cfg.train.run_bfloat16:
+                rb = rb.astype(jnp.bfloat16)
+
+            posi = jnp.round(batch['pos_batch']).astype(jnp.int32)
+            posi = jnp.stack([jnp.zeros_like(posi[:, 0]),
+                              posi[:, 1] + px0], axis=1)
+
+            def mismatch(subobj, aux_p):
+                pred = self.model.predict_from_patches(
+                    aux_p, batch, subobj, cfg, prebinned_z=prebin)
+                return model_base.mismatch_loss(
+                    pred, measured, cfg.loss.loss_function_type,
+                    cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
+                    self.beamstop_mask)
+
+            subobj = patch_ops.extract_patches(rb, posi, (py, px))
+            loss, (g_sub, g_aux) = jax.value_and_grad(
+                mismatch, argnums=(0, 1))(subobj, aux)
+
+            acc = jnp.zeros((py, X + px0 + px1, nzb, 2), jnp.float32)
+            acc = patch_ops.scatter_rowgrid_add(acc, g_sub, posi[0, 0],
+                                                posi[0, 1], stride)
+            gb = acc[:, px0:px0 + X]
+            if prebin:
+                gb = jnp.repeat(gb, geo.binning, axis=2)[:, :, :nz]
+            g_band = rotate_adjoint(gb, theta, method=interp)
+            g_band = jnp.where(valid, g_band, 0.0)
+            g_obj = jnp.zeros_like(obj).at[idx].add(
+                jnp.where(valid, g_band, 0.0))
+            grads = dict(g_aux)
+            grads['obj'] = g_obj
+            if self.reg_list:
+                rv, rg = jax.value_and_grad(
+                    lambda ob: regs.total_regularization(
+                        self.reg_list, ob, weight_l1=weight_l1))(obj)
+                grads['obj'] = grads['obj'] + rg
+                loss = loss + rv
+
+            mask = update_mask(global_batch)
+            upd_params, opt_state = apply_updates(params, grads, opt_state,
+                                                  i_opt_batch, mask)
+            upd_params = param_lib.apply_param_constraints(upd_params, cfg)
+            upd_params['obj'] = param_lib.apply_object_constraints(
+                upd_params['obj'], cfg, support_mask)
+            return upd_params, opt_state, loss
+
         def step(params, opt_state, batch, measured, weight_l1, i_opt_batch,
                  global_batch, support_mask):
             loss, grads = jax.value_and_grad(self.loss_fn)(
@@ -1852,7 +1955,8 @@ class Reconstructor:
                         i_b % 10 == 0,
                         lambda o, _: Reconstructor._weight_l1_refresh(o),
                         lambda _, w: w, params['obj'], wl1)
-                params, opt_state, loss = step(
+                params, opt_state, loss = (step_band if band_ok
+                                            else step)(
                     params, opt_state, batch, meas,
                     wl1 if needs_wl1 else weight_l1,
                     i_opt_batch0 + i_b, global_batch0 + i_b,

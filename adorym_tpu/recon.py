@@ -1981,7 +1981,8 @@ class Reconstructor:
             return params, opt_state, (mask if has_mask else None), losses
 
         self._epoch_fused = jax.jit(epoch_fused, donate_argnums=donate)
-        return jax.jit(step, donate_argnums=donate)
+        return jax.jit(step_band if band_ok else step,
+                       donate_argnums=donate)
 
     def _build_mc_step(self, apply_step, donate):
         """Compile the mesh patch-granular angle step (layout from

@@ -387,8 +387,16 @@ class Reconstructor:
         # xla-reserve budget), shrink it.
         if (mesh is None and self.data is not None
                 and not _obj_off_likely):
-            fit = ((hbm - _prof.xla_reserve_bytes(hbm)) - 6 * _obj_budget
-                   - self.data.nbytes)
+            # The full xla_reserve double-counts here: the reserve was
+            # measured at flagship shapes WITH the chunk buffers this
+            # formula already accounts (bufs * patch_bytes * g).  The
+            # residual (rotation temps, streams, fragmentation) measured
+            # <= 3.8 GB at the 500-angle flagship fit (data 5.48 G +
+            # chunks 5.6 G at whole-angle g=23 + object buffers ran with
+            # ~3.8 G unaccounted, no OOM); 3.5 GB scaled to HBM keeps a
+            # whole-angle chunk there.
+            resid = min(3.5e9, 0.22 * hbm)
+            fit = (hbm - resid) - 6 * _obj_budget - self.data.nbytes
             g_fit = int(fit // max(1, bufs * patch_bytes))
             if 1 <= g_fit < self._fuse_g:
                 self._fuse_g = g_fit

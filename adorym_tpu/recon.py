@@ -2333,8 +2333,11 @@ class Reconstructor:
             weights refresh in-scan on the reference's 10-batch cadence
             like ``epoch_fused``."""
 
+            t = cfg.train
+            has_mask = support_mask is not None
+
             def body(carry, xs):
-                p, o, i_b, wl1 = carry
+                p, o, i_b, wl1, mask = carry
                 theta, i_theta, i_row, y0 = xs
                 g_slab, g_aux, loss = grad_fn(p, theta, i_theta, i_row,
                                               y0, pos_t, inds_t, data_t)
@@ -2353,17 +2356,27 @@ class Reconstructor:
                     grads['obj'] = grads['obj'] + rg
                     loss = loss + rv
                 p, o = apply_step(p, o, grads, i_opt0 + i_b, gb0 + i_b,
-                                  support_mask)
-                return (p, o, i_b + 1, wl1), loss
+                                  mask if has_mask else None)
+                # In-scan shrink-wrap on the reference cadence, like the
+                # single-chip epoch_fused (elementwise on the sharded
+                # object — GSPMD, no collectives).
+                if has_mask and t.shrink_cycle is not None:
+                    gate = jnp.logical_and(i_b > 0,
+                                           i_b % t.shrink_cycle == 0)
+                    shrunk = mask * (p['obj'][..., 0]
+                                     >= t.shrink_threshold)
+                    mask = jnp.where(gate, shrunk, mask)
+                return (p, o, i_b + 1, wl1, mask), loss
 
             n_b = theta_b.shape[0]
-            wl1_0 = (weight_l1 if needs_wl1
-                     else jnp.zeros((), jnp.float32))
-            (params, opt_state, _, _), losses = jax.lax.scan(
+            zero = jnp.zeros((), jnp.float32)
+            wl1_0 = weight_l1 if needs_wl1 else zero
+            mask0 = support_mask if has_mask else zero
+            (params, opt_state, _, _, mask), losses = jax.lax.scan(
                 body, (params, opt_state, jnp.asarray(0, jnp.int32),
-                       wl1_0),
+                       wl1_0, mask0),
                 (theta_b, itheta_b, irow_b, y0_b))
-            return params, opt_state, losses
+            return params, opt_state, (mask if has_mask else None), losses
 
         return jax.jit(mc_imm_epoch, donate_argnums=donate)
 
@@ -2538,12 +2551,11 @@ class Reconstructor:
 
     def _mc_imm_ok(self, batches) -> bool:
         """Epoch gate for the mesh immediate fast path: nothing needs a
-        mid-epoch host visit (shrink/batch dumps — mirrors
-        ``_mc_fused_ok``) and the epoch's batches are whole in-order rows
+        mid-epoch host visit (batch dumps; shrink-wrap runs IN-scan) and
+        the epoch's batches are whole in-order rows
         of the static table (``make_batches`` shuffles angles but keeps
         positions in scan order unless ``randomize_probe_pos``)."""
-        if (self._mci is None or self.cfg.train.shrink_cycle is not None
-                or self.loader is not None
+        if (self._mci is None or self.loader is not None
                 or self.expand_indices is not None
                 or (self.output_folder is not None
                     and self.cfg.io.save_intermediate
@@ -2580,7 +2592,7 @@ class Reconstructor:
             irow_b[i] = inds[0] // mb
         y0_b = mci['y0'][irow_b]
         with self.timers.time('train_step'):
-            self.params, self.opt_state, losses = self._mc_imm_epoch(
+            self.params, self.opt_state, mask, losses = self._mc_imm_epoch(
                 self.params, self.opt_state, jnp.asarray(theta_b),
                 jnp.asarray(itheta_b), jnp.asarray(irow_b),
                 jnp.asarray(y0_b), dev['pos'], dev['inds'], dev['data'],
@@ -2588,6 +2600,8 @@ class Reconstructor:
                 jnp.asarray(self.i_opt_batch, jnp.int32),
                 jnp.asarray(self.global_batch, jnp.int32),
                 self.finite_support_mask)
+        if mask is not None:
+            self.finite_support_mask = mask
         gb_before = self.global_batch
         self.i_opt_batch += n_b
         self.global_batch += n_b

@@ -131,7 +131,7 @@ class TestMcImmediate:
                                    jnp.asarray(0, jnp.int32),
                                    jnp.asarray(0, jnp.int32), None)
             irow = inds[0] // mci['mb']
-            p8, _, l8 = rec8._mc_imm_epoch(
+            p8, _, _, l8 = rec8._mc_imm_epoch(
                 cp(rec8.params), cp(rec8.opt_state),
                 jnp.asarray([theta], jnp.float32),
                 jnp.asarray([i_theta], jnp.int32),
@@ -302,3 +302,32 @@ def test_regularizers_compose_with_mc_imm():
                 dims = tuple(map(int, d.split(',')))
                 if len(dims) >= 3:
                     assert dims[0] < Y, (dims, l)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_shrink_wrap_composes_with_mc_imm():
+    """In-scan shrink-wrap (reference cadence) runs inside the mesh
+    immediate epoch and matches the single-device fused epoch."""
+    import dataclasses as dc
+    args = _setup(seed=13, optimizer='gd', learning_rate=1e-3)
+    cfg = dc.replace(args[0], train=dc.replace(
+        args[0].train, shrink_cycle=4, shrink_threshold=1e-9,
+        non_negativity=True))
+    obj_true, probe, pos, theta_ls, data = args[1:]
+    mask = np.ones(cfg.geometry.obj_size, np.float32)
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy(),
+              finite_support_mask=mask)
+    from adorym_tpu.parallel.mesh import make_mesh
+    rec1 = Reconstructor(cfg, **kw)
+    pcfg = ParallelConfig(data_axis=2, object_axis=2)
+    cfg_m = dc.replace(cfg, parallel=pcfg)
+    rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+    assert rec8._mci is not None, rec8._mc_decline_reasons
+    for ep in range(2):
+        l1 = rec1.run_epoch(ep)
+        l8 = rec8.run_epoch(ep)
+        np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(rec1.finite_support_mask),
+        np.asarray(rec8.finite_support_mask))

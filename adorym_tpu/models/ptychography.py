@@ -73,7 +73,13 @@ def rotated_object(params: Dict, batch: Dict, cfg: ReconConfig):
         return obj
     if cfg.refine.tilt_active:
         tilts = params['tilt_ls'][:, batch['i_theta']]
-        return tilt_rotate(obj, tilts, method=cfg.train.interpolation)
+        # The tilt path stays BILINEAR regardless of ``interpolation``:
+        # the reference's tilt branch calls ``w.rotate`` which has no
+        # interpolation kwarg (``adorym/forward_model.py:274-276``,
+        # ``wrappers.py:1178``) — and nearest's rounded-index gather has
+        # zero gradient w.r.t. the angles, which would silently freeze
+        # tilt refinement.
+        return tilt_rotate(obj, tilts)
     if cfg.train.rotate_out_of_loop:
         # Driver rotates once per angle outside AD and rotates the gradient
         # back (``adorym/ptychography.py:937-940,1069-1078``).

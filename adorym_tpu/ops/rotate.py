@@ -61,6 +61,9 @@ def _nearest_gather_plane(vol, c1, c2, ax1, ax2):
 def _gather_plane(vol, c1, c2, ax1, ax2, method):
     if method == 'nearest':
         return _nearest_gather_plane(vol, c1, c2, ax1, ax2)
+    if method != 'bilinear':
+        raise ValueError(f'unknown interpolation method {method!r} '
+                         "(expected 'bilinear' or 'nearest')")
     return _bilinear_gather_plane(vol, c1, c2, ax1, ax2)
 
 
@@ -174,6 +177,9 @@ def _bilinear_gather_plane_mapped_z(vol_b, c1, c2, nz_full, binning,
     corner lookup changes).  ``vol_b``: [x, zb, ...]; returns the plane
     ``c1.shape + trailing``."""
     s1 = vol_b.shape[0]
+    if method not in ('bilinear', 'nearest'):
+        raise ValueError(f'unknown interpolation method {method!r} '
+                         "(expected 'bilinear' or 'nearest')")
     if method == 'nearest':
         i1 = jnp.clip(jnp.round(c1), 0, s1 - 1).astype(jnp.int32)
         i2 = (jnp.clip(jnp.round(c2), 0, nz_full - 1).astype(jnp.int32)

@@ -1098,11 +1098,10 @@ class Reconstructor:
         pos_imm = pos.reshape(n_rows, n_op, n_dp, mpp, 2)
         inds_imm = np.arange(self.n_pos, dtype=np.int32).reshape(
             n_rows, n_op, n_dp, mpp)
-        from .utils import profiling as _prof2
-        hbm = _prof2.hbm_limit_bytes()
+        hbm = _prof.hbm_limit_bytes()
         data_dev_bytes = self.n_theta * n_rows * mpp * py * px * 4
         band_bytes = py * (X + px0 + px1) * nz * 2 * 4
-        if data_dev_bytes > ((hbm - _prof2.data_headroom_bytes(hbm))
+        if data_dev_bytes > ((hbm - _prof.data_headroom_bytes(hbm))
                              - (6 * band_bytes
                                 + self._chunk_bufs * mpp * py * px
                                 * nzb * 2 * 4)):
@@ -1125,10 +1124,11 @@ class Reconstructor:
         dp, op = self.cfg.parallel.axis_names
         ns = lambda spec: NamedSharding(self.mesh, spec)
         # Spots are contiguous per device block, so the data table is a
-        # pure reshape of the dataset.
-        data_imm = np.ascontiguousarray(self.data.reshape(
+        # pure reshape (a VIEW) of the dataset — no host-side copy of the
+        # multi-GB array before the device transfer.
+        data_imm = self.data.reshape(
             self.n_theta, mci['n_rows'], mci['n_op'], mci['n_dp'],
-            mci['mpp'], mci['py'], mci['px']))
+            mci['mpp'], mci['py'], mci['px'])
         dev = dict(
             pos=jax.device_put(jnp.asarray(mci['pos_imm']),
                                ns(P(None, op, dp))),
@@ -1816,7 +1816,6 @@ class Reconstructor:
             theta = batch['theta']
             obj = params['obj']
             aux = {n: v for n, v in params.items() if n != 'obj'}
-            mb = measured.shape[0]
 
             y0 = jnp.round(batch['pos_batch'][0, 0]).astype(jnp.int32)
             u = y0 + jnp.arange(py)
@@ -1862,7 +1861,6 @@ class Reconstructor:
             if prebin:
                 gb = jnp.repeat(gb, geo.binning, axis=2)[:, :, :nz]
             g_band = rotate_adjoint(gb, theta, method=interp)
-            g_band = jnp.where(valid, g_band, 0.0)
             g_obj = jnp.zeros_like(obj).at[idx].add(
                 jnp.where(valid, g_band, 0.0))
             grads = dict(g_aux)

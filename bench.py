@@ -168,6 +168,11 @@ def measure_flagship_epoch(run_bfloat16: bool = True,
     t0 = time.time()
     rec.save_checkpoint(n_epochs + 1, 0)
     ckpt_s = time.time() - t0
+    if outdir is None:
+        # Don't leak bench500_* temp dirs (each holds a ~0.5 GB
+        # checkpoint) on the shared machine.
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
     print(f'500-angle epochs: warmup {warm_s:.1f}s, walls '
           f'{[round(w, 1) for w in walls]}s, checkpoint {ckpt_s:.1f}s',
           file=sys.stderr)

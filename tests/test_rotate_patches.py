@@ -462,3 +462,36 @@ class TestZMajorExtract:
         assert l0 == l1, (l0, l1)
         np.testing.assert_array_equal(np.asarray(r0.params['obj']),
                                       np.asarray(r1.params['obj']))
+
+
+def test_nearest_keeps_tilt_refinable():
+    """interpolation='nearest' must NOT freeze tilt refinement: the tilt
+    path stays bilinear like the reference (its w.rotate has no
+    interpolation kwarg, adorym/forward_model.py:274-276) — nearest's
+    rounded-index gather has zero gradient w.r.t. the angles."""
+    import dataclasses as dc
+    from adorym_tpu.config import Geometry, ReconConfig, RefineConfig, TrainConfig
+    from adorym_tpu.models.ptychography import rotated_object
+    rng = np.random.default_rng(41)
+    obj = jnp.asarray(rng.random((8, 8, 8, 2)).astype(np.float32))
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(8, 8, 8), probe_size=(4, 4)),
+        refine=RefineConfig(optimize_tilt=True),
+        train=TrainConfig(interpolation='nearest'))
+    tilts = jnp.asarray([[0.1], [0.2], [0.3]], jnp.float32)
+
+    def loss(t):
+        params = {'obj': obj, 'tilt_ls': t}
+        batch = {'i_theta': jnp.asarray(0, jnp.int32),
+                 'theta': jnp.asarray(0.0, jnp.float32)}
+        return jnp.sum(rotated_object(params, batch, cfg) ** 2)
+
+    g = jax.grad(loss)(tilts)
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_unknown_interpolation_method_raises():
+    rng = np.random.default_rng(42)
+    obj = jnp.asarray(rng.random((6, 6, 6, 2)).astype(np.float32))
+    with pytest.raises(ValueError, match='unknown interpolation'):
+        rotate(obj, 0.3, method='nearset')

@@ -61,6 +61,54 @@ def build_regularizers(cfg: ReconConfig) -> List[regs.Regularizer]:
 
 
 
+def _band_rotate_fwd(band, valid, theta, cfg, px0, px1):
+    """Shared band-decomposition FORWARD (single-device ``step_band`` and
+    the mesh ``_build_mc_imm_step.grad_body``): vacuum-fill invalid rows
+    (rotation preserves the constant vacuum plane exactly, so filling
+    before rotating matches the reference's rotate-then-pad order),
+    rotate(+prebin) the band, pad x, cast for bf16 extraction."""
+    import numpy as _np
+    from .ops.rotate import rotate, rotate_and_bin_z
+    geo = cfg.geometry
+    if cfg.train.unknown_type == 'real_imag':
+        vac = jnp.zeros_like(band).at[..., 0].set(1.0)
+    else:
+        vac = jnp.zeros_like(band)
+    band = jnp.where(valid, band, vac)
+    prebin = _band_prebin(cfg)
+    interp = cfg.train.interpolation
+    if prebin:
+        rb = rotate_and_bin_z(band, theta, geo.binning, method=interp)
+    else:
+        rb = rotate(band, theta, method=interp)
+    rb = patch_ops.pad_object(rb, _np.array([[0, 0], [px0, px1]], _np.int64),
+                              cfg.train.unknown_type)
+    if cfg.train.run_bfloat16:
+        rb = rb.astype(jnp.bfloat16)
+    return rb
+
+
+def _band_adjoint_back(acc, valid, theta, cfg, px0, X, nz):
+    """Shared band-decomposition BACKWARD: crop the x padding from the
+    band cotangent, expand z, apply the EXACT per-plane rotation adjoint
+    (the same linear transpose AD uses on the full object), and mask the
+    vacuum rows out."""
+    from .ops.rotate import rotate_adjoint
+    geo = cfg.geometry
+    gb = acc[:, px0:px0 + X]
+    if _band_prebin(cfg):
+        gb = jnp.repeat(gb, geo.binning, axis=2)[:, :, :nz]
+    g_band = rotate_adjoint(gb, theta, method=cfg.train.interpolation)
+    return jnp.where(valid, g_band, 0.0)
+
+
+def _band_prebin(cfg) -> bool:
+    geo = cfg.geometry
+    return (cfg.train.prebin_z in ('auto', 'on') and geo.binning > 1
+            and cfg.train.unknown_type == 'delta_beta'
+            and not geo.pure_projection and geo.slice_pos_cm_ls is None)
+
+
 def _slab_order(keys):
     """Numeric slab-key order ('s0', 's10', 's100' — lexicographic sort
     scrambles above 100 slabs)."""
@@ -1802,17 +1850,13 @@ class Reconstructor:
 
         def step_band(params, opt_state, batch, measured, weight_l1,
                       i_opt_batch, global_batch, support_mask):
-            from .ops.rotate import (rotate, rotate_adjoint,
-                                     rotate_and_bin_z)
             geo = cfg.geometry
             Y, X, nz = geo.obj_size
             py, px = geo.probe_size
             px0, px1 = int(self.pad_arr[1][0]), int(self.pad_arr[1][1])
-            prebin = self._prebin
+            prebin = _band_prebin(cfg)   # == self._prebin under band_ok
             nzb = -(-nz // geo.binning) if prebin else nz
             stride = self._rowgrid_stride
-            interp = cfg.train.interpolation
-            real_imag = cfg.train.unknown_type == 'real_imag'
             theta = batch['theta']
             obj = params['obj']
             aux = {n: v for n, v in params.items() if n != 'obj'}
@@ -1821,22 +1865,7 @@ class Reconstructor:
             u = y0 + jnp.arange(py)
             valid = ((u >= 0) & (u < Y))[:, None, None, None]
             idx = jnp.clip(u, 0, Y - 1)
-            band = obj[idx]
-            if real_imag:
-                vac = jnp.zeros_like(band).at[..., 0].set(1.0)
-            else:
-                vac = jnp.zeros_like(band)
-            band = jnp.where(valid, band, vac)
-            if prebin:
-                rb = rotate_and_bin_z(band, theta, geo.binning,
-                                      method=interp)
-            else:
-                rb = rotate(band, theta, method=interp)
-            rb = patch_ops.pad_object(
-                rb, np.array([[0, 0], [px0, px1]], np.int64),
-                cfg.train.unknown_type)
-            if cfg.train.run_bfloat16:
-                rb = rb.astype(jnp.bfloat16)
+            rb = _band_rotate_fwd(obj[idx], valid, theta, cfg, px0, px1)
 
             posi = jnp.round(batch['pos_batch']).astype(jnp.int32)
             posi = jnp.stack([jnp.zeros_like(posi[:, 0]),
@@ -1857,12 +1886,9 @@ class Reconstructor:
             acc = jnp.zeros((py, X + px0 + px1, nzb, 2), jnp.float32)
             acc = patch_ops.scatter_rowgrid_add(acc, g_sub, posi[0, 0],
                                                 posi[0, 1], stride)
-            gb = acc[:, px0:px0 + X]
-            if prebin:
-                gb = jnp.repeat(gb, geo.binning, axis=2)[:, :, :nz]
-            g_band = rotate_adjoint(gb, theta, method=interp)
-            g_obj = jnp.zeros_like(obj).at[idx].add(
-                jnp.where(valid, g_band, 0.0))
+            g_band = _band_adjoint_back(acc, valid, theta, cfg, px0, X,
+                                        nz)
+            g_obj = jnp.zeros_like(obj).at[idx].add(g_band)
             grads = dict(g_aux)
             grads['obj'] = g_obj
             if self.reg_list:
@@ -2249,22 +2275,11 @@ class Reconstructor:
             band_k = jnp.where(own[:, None, None, None], obj[idx], 0.0)
             band = jax.lax.psum(band_k, op_ax)       # [py, X, nz, 2]
             valid = ((u >= 0) & (u < Y))[:, None, None, None]
-            if real_imag:
-                vac = jnp.zeros_like(band).at[..., 0].set(1.0)
-            else:
-                vac = jnp.zeros_like(band)
-            band = jnp.where(valid, band, vac)
-
-            # Rotate(+bin) the band — py planes, every device (duplicated
-            # work is ~py/Y of a full rotation), then pad x.
-            if prebin:
-                rb = rotate_and_bin_z(band, theta, geo.binning,
-                                      method=interp)
-            else:
-                rb = rotate(band, theta, method=interp)
-            rb = patch_ops.pad_object(rb, pad_x, cfg.train.unknown_type)
-            if cfg.train.run_bfloat16:
-                rb = rb.astype(jnp.bfloat16)
+            # Shared band decomposition (same code as the single-device
+            # step_band): vacuum fill, rotate(+bin) the py planes
+            # (duplicated per device — ~py/Y of a full rotation), x pad,
+            # bf16 cast.
+            rb = _band_rotate_fwd(band, valid, theta, cfg, px0, px1)
 
             def mismatch(subobj, aux_p, batch, meas_c):
                 pred = predict_patches(aux_p, batch, subobj, cfg,
@@ -2293,14 +2308,11 @@ class Reconstructor:
             g_aux = jax.lax.psum(g_aux, (dp_ax, op_ax))
             loss = jax.lax.psum(loss_part, (dp_ax, op_ax))
 
-            # Exact backward: crop x, expand z, per-plane rotation
-            # ADJOINT (the same linear transpose AD applies in the
-            # single-device immediate step — NOT the -theta interp).
-            gb = acc[:, px0:px0 + X]
-            if prebin:
-                gb = jnp.repeat(gb, geo.binning, axis=2)[:, :, :nz]
-            g_band = rotate_adjoint(gb, theta, method=interp)
-            g_band = jnp.where(valid, g_band, 0.0)
+            # Exact backward (shared): crop x, expand z, per-plane
+            # rotation ADJOINT (the same linear transpose AD applies in
+            # the single-device immediate step — NOT the -theta interp).
+            g_band = _band_adjoint_back(acc, valid, theta, cfg, px0, X,
+                                        nz)
             g_slab = jnp.zeros_like(obj).at[idx].add(
                 jnp.where(own[:, None, None, None], g_band, 0.0))
             return g_slab, g_aux, loss

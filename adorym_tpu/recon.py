@@ -963,10 +963,7 @@ class Reconstructor:
             why.append(f'probe height {py} or halo exceeds the per-shard '
                        f'slab ({S_p} padded / {S_u} unpadded rows)')
             return None
-        prebin = (cfg.train.prebin_z in ('auto', 'on') and geo.binning > 1
-                  and cfg.train.unknown_type == 'delta_beta'
-                  and not geo.pure_projection
-                  and geo.slice_pos_cm_ls is None)
+        prebin = _band_prebin(cfg)
         nzb = -(-nz // geo.binning) if prebin else nz
         pos = np.round(self.probe_pos).astype(np.int64)
         n_rows = pos.shape[0] // mb
@@ -1132,10 +1129,7 @@ class Reconstructor:
             return None
         p = self.pad_arr
         px0, px1 = int(p[1][0]), int(p[1][1])
-        prebin = (cfg.train.prebin_z in ('auto', 'on') and geo.binning > 1
-                  and cfg.train.unknown_type == 'delta_beta'
-                  and not geo.pure_projection
-                  and geo.slice_pos_cm_ls is None)
+        prebin = _band_prebin(cfg)
         nzb = -(-nz // geo.binning) if prebin else nz
         mpp = mb // n_dev
         pos = np.asarray(self.probe_pos, np.float32)

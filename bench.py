@@ -359,7 +359,16 @@ def _with_timeout(seconds, fn, *args, **kwargs):
         signal.signal(signal.SIGALRM, old)
 
 
+#: Global wall budget for main(): the driver runs this at round end and
+#: takes the LAST printed JSON line — if measurements overrun whatever
+#: budget the driver enforces, we must still have printed the headline.
+#: The extras (500-angle epoch, immediate scheme) are skipped when the
+#: core measurements already consumed most of the budget.
+MAIN_BUDGET_S = 2700.0
+
+
 def main():
+    t_main0 = time.time()
     if not wait_for_pool():
         print(json.dumps({
             'metric': 'ptychotomo_256_patterns_per_sec_per_chip',
@@ -400,20 +409,31 @@ def main():
     # stays the per-angle+rol scheme (fewer, larger optimizer steps —
     # the reference's own flagship demo uses rotate_out_of_loop; see
     # README 'Benchmark' for the accuracy trade).
-    try:
-        ep500 = _with_timeout(1500, measure_flagship_epoch,
-                              run_bfloat16=bool(bf16))
-    except Exception as e:
-        print(f'500-angle epoch failed: {type(e).__name__}: {e}',
-              file=sys.stderr)
-        ep500 = None
-    try:
-        imm = _with_timeout(1200, measure_immediate,
-                            run_bfloat16=bool(bf16))
-    except Exception as e:
-        print(f'immediate measurement failed: {type(e).__name__}: {e}',
-              file=sys.stderr)
-        imm = None
+    def budget_left():
+        return MAIN_BUDGET_S - (time.time() - t_main0)
+
+    ep500 = None
+    if budget_left() > 900:
+        try:
+            ep500 = _with_timeout(min(1500, budget_left()),
+                                  measure_flagship_epoch,
+                                  run_bfloat16=bool(bf16))
+        except Exception as e:
+            print(f'500-angle epoch failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+    else:
+        print('skipping 500-angle epoch (budget)', file=sys.stderr)
+    imm = None
+    if budget_left() > 600:
+        try:
+            imm = _with_timeout(min(1200, budget_left()),
+                                measure_immediate,
+                                run_bfloat16=bool(bf16))
+        except Exception as e:
+            print(f'immediate measurement failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+    else:
+        print('skipping immediate measurement (budget)', file=sys.stderr)
     # The 500-angle epoch IS the flagship workload at its real scale
     # (the 4-angle blocks exist to sample pool variance quickly); since
     # the full-scale epoch amortizes per-epoch overheads it can exceed

@@ -331,3 +331,21 @@ def test_shrink_wrap_composes_with_mc_imm():
     np.testing.assert_array_equal(
         np.asarray(rec1.finite_support_mask),
         np.asarray(rec8.finite_support_mask))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_probe_pos_correction_composes_with_mc_imm():
+    """Per-spot position refinement (probe_pos_correction, indexed by the
+    device-local ind_batch) rides the aux psum and matches single-device."""
+    args = _setup(seed=15, refine=RefineConfig(
+        optimize_all_probe_pos=True, all_probe_pos_learning_rate=1e-3))
+    rec1, rec8 = _pair(*args, 2, 2)
+    assert rec8._mci is not None, rec8._mc_decline_reasons
+    for ep in range(2):
+        l1 = rec1.run_epoch(ep)
+        l8 = rec8.run_epoch(ep)
+        np.testing.assert_allclose(l1, l8, rtol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(rec8.params['probe_pos_correction']),
+        np.asarray(rec1.params['probe_pos_correction']),
+        rtol=5e-3, atol=1e-6)

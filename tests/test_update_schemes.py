@@ -309,3 +309,30 @@ def test_band_immediate_matches_full_rotation_immediate():
     np.testing.assert_allclose(np.asarray(rec_band.params['obj']),
                                np.asarray(rec_full.params['obj']),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_band_immediate_with_position_refinement():
+    """The band step's aux gradients (per-spot probe_pos_correction via
+    ind_batch) match the full-rotation immediate step."""
+    from adorym_tpu.config import Geometry, ReconConfig, RefineConfig, TrainConfig
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup(seed=6)
+    cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                      refine=RefineConfig(optimize_all_probe_pos=True,
+                                          all_probe_pos_learning_rate=1e-3),
+                      train=TrainConfig(minibatch_size=3, learning_rate=1e-3,
+                                        optimizer='gd',
+                                        update_scheme='immediate', seed=9))
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=np.zeros_like(obj_true))
+    rec_band = Reconstructor(cfg, **kw)
+    rec_full = Reconstructor(cfg, **kw)
+    rec_full._rowgrid_stride = None
+    rec_full._step = rec_full._build_step()
+    for ep in range(2):
+        l_b = rec_band.run_epoch(ep)
+        l_f = rec_full.run_epoch(ep)
+        np.testing.assert_allclose(l_b, l_f, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(rec_band.params['probe_pos_correction']),
+        np.asarray(rec_full.params['probe_pos_correction']),
+        rtol=1e-3, atol=1e-7)

@@ -336,3 +336,29 @@ def test_band_immediate_with_position_refinement():
         np.asarray(rec_band.params['probe_pos_correction']),
         np.asarray(rec_full.params['probe_pos_correction']),
         rtol=1e-3, atol=1e-7)
+
+
+def test_band_immediate_with_probe_modes_and_poisson():
+    """Band step x incoherent probe modes x Poisson loss: equality with
+    the full-rotation step holds across the loss/mode branches."""
+    import dataclasses as dc
+    from adorym_tpu.config import (Geometry, LossConfig, ReconConfig,
+                                   TrainConfig)
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup(seed=8)
+    probe2 = np.concatenate([probe, probe * 0.3], axis=0)
+    cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                      loss=LossConfig(loss_function_type='poisson',
+                                      poisson_multiplier=1e4),
+                      train=TrainConfig(minibatch_size=3, learning_rate=1e-4,
+                                        optimizer='gd', n_probe_modes=2,
+                                        update_scheme='immediate', seed=11))
+    kw = dict(data=data, probe_pos=pos, probe_init=probe2,
+              theta_ls=theta_ls, obj_init=np.zeros_like(obj_true))
+    rec_band = Reconstructor(cfg, **kw)
+    rec_full = Reconstructor(cfg, **kw)
+    rec_full._rowgrid_stride = None
+    rec_full._step = rec_full._build_step()
+    for ep in range(2):
+        l_b = rec_band.run_epoch(ep)
+        l_f = rec_full.run_epoch(ep)
+        np.testing.assert_allclose(l_b, l_f, rtol=1e-4)

@@ -455,13 +455,17 @@ class Reconstructor:
                              <= (hbm - _prof.data_headroom_bytes(hbm))
                              - ws_bytes)
         if (not self._data_dev_ok and mesh is None
-                and self.data is not None):
+                and self.data is not None
+                and jax.default_backend() == 'tpu'):
+            # Only the remote-dispatch (TPU tunnel) backend serializes
+            # per-angle host staging with compute; local CPU/GPU backends
+            # stage cheaply, so the warning would be noise there.
             import warnings
             warnings.warn(
                 f'dataset ({self.data.nbytes / 1e9:.2f} GB) does not fit '
                 'device-resident next to the working set '
-                f'({ws_bytes / 1e9:.2f} GB); per-angle host staging will '
-                'serialize with compute on remote-dispatch links')
+                f'({ws_bytes / 1e9:.2f} GB); per-angle host staging may '
+                'serialize with compute on this remote-dispatch link')
         self.beamstop_mask = model_base.make_beamstop_mask(beamstop)
         self.finite_support_mask = (None if finite_support_mask is None
                                     else jnp.asarray(finite_support_mask))

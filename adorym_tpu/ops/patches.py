@@ -166,6 +166,41 @@ def detect_row_grid(pos_table, minibatch_size, probe_size):
     return s
 
 
+def detect_row_grid_ragged(pos_table, minibatch_size, probe_size):
+    """Like :func:`detect_row_grid` but also accepts a final PARTIAL row
+    (``len(pos) % minibatch_size != 0``) — the common real-scan shape the
+    reference handles by re-drawing spots into the last batch
+    (``adorym/ptychography.py:816-846``).
+
+    The full rows must pass the strict check; the trailing partial row
+    must be one constant-stride run at the same stride (a single spot is
+    accepted as-is).  Returns ``(stride, n_last)`` with ``n_last`` the
+    real-spot count of the LAST row (``== minibatch_size`` when the
+    table divides), or None.
+    """
+    pos = np.round(np.asarray(pos_table)).astype(np.int64)
+    if pos.ndim != 2 or len(pos) == 0 or minibatch_size < 2:
+        return None
+    n_full = len(pos) // minibatch_size
+    n_last = len(pos) - n_full * minibatch_size
+    if n_full == 0:
+        return None
+    s = detect_row_grid(pos[:n_full * minibatch_size], minibatch_size,
+                        probe_size)
+    if s is None:
+        return None
+    if n_last == 0:
+        return s, minibatch_size
+    tail = pos[n_full * minibatch_size:]
+    if not np.all(tail[:, 0] == tail[0, 0]):
+        return None
+    if n_last >= 2:
+        dx = np.diff(tail[:, 1])
+        if not np.all(dx == s):
+            return None
+    return s, n_last
+
+
 def scatter_rowgrid_add(acc, cot, y0, x0, stride):
     """Add ``cot[N, py, px, ...]`` patch cotangents whose windows sit at
     ``(y0, x0 + stride*j)`` into ``acc`` — the structured replacement for

@@ -63,17 +63,24 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
             for k, v in params.items()}
 
 
-def batch_specs(pcfg: ParallelConfig):
+def batch_specs(pcfg: ParallelConfig, minibatch_size: int = 0):
     """The minibatch (positions, indices, measured patterns) shards its
-    leading axis over 'dp'; per-angle scalars are replicated."""
+    leading axis over 'dp'; per-angle scalars are replicated.  Batch
+    sizes the data axis does not divide (e.g. the flagship's prime
+    23-wide rows on any mesh — ``device_put`` rejects uneven shardings)
+    stay REPLICATED: correct, at redundant-compute cost; the structured
+    fast paths handle these geometries with weight-0 spot padding
+    instead."""
     dp = pcfg.axis_names[0]
-    return ({'i_theta': P(), 'theta': P(), 'pos_batch': P(dp),
-             'ind_batch': P(dp)}, P(dp))
+    b = (P(dp) if minibatch_size % max(1, pcfg.data_axis) == 0 else P())
+    return ({'i_theta': P(), 'theta': P(), 'pos_batch': b,
+             'ind_batch': b}, b)
 
 
 def shard_batch(batch: Dict[str, Any], measured, mesh: Mesh,
                 pcfg: ParallelConfig):
-    bspecs, mspec = batch_specs(pcfg)
+    n = int(np.shape(batch['pos_batch'])[0])
+    bspecs, mspec = batch_specs(pcfg, n)
     batch = {k: jax.device_put(v, NamedSharding(mesh, bspecs[k]))
              for k, v in batch.items()}
     measured = jax.device_put(measured, NamedSharding(mesh, mspec))

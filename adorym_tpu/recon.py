@@ -234,8 +234,10 @@ class Reconstructor:
         if mesh is not None:
             from .parallel.mesh import shard_params
             self.params = params = shard_params(params, mesh, cfg.parallel)
-            assert cfg.train.minibatch_size % cfg.parallel.data_axis == 0, (
-                'minibatch_size must divide evenly over the data axis')
+            # A minibatch the data axis does not divide (prime widths like
+            # the flagship's 23) is handled: the structured fast paths pad
+            # spots at weight 0, and the generic path stages such batches
+            # replicated (parallel.mesh.batch_specs).
 
         self.specs = param_lib.build_opt_specs(cfg)
         # Second-order object optimizers keep their own state; auxiliary
@@ -735,6 +737,11 @@ class Reconstructor:
                     + ')')
             elif not self._mc['prebin']:
                 problems.append('prebin (delta_beta, binning>1)')
+            if self.reg_list or self._needs_weight_l1:
+                # Regularizers materialize the rotated FULL-res object in
+                # HBM (they ride GSPMD outside the shard_map) — defeats
+                # the beyond-HBM streaming contract.
+                problems.append('no regularizers')
             if not self._off_state:
                 problems.append('offload_optimizer_state')
             if problems:
@@ -927,8 +934,6 @@ class Reconstructor:
             why.append('model has no patch-granular forward')
         if self.transform_measured is not None:
             why.append('measured-data transform active')
-        if self.reg_list:
-            why.append('regularizers active')
         if self.second_order:
             why.append('second-order optimizer')
         if cfg.refine.tilt_active:
@@ -948,13 +953,25 @@ class Reconstructor:
         mb = cfg.train.minibatch_size
         Y, X, nz = geo.obj_size
         py, px = geo.probe_size
-        if mb % n_dp or Y % n_op:
-            why.append(f'divisibility: minibatch {mb} %% data_axis {n_dp} '
-                       f'or object y {Y} %% object_axis {n_op} != 0')
+        if Y % n_op:
+            why.append(f'divisibility: object y {Y} %% object_axis '
+                       f'{n_op} != 0')
             return None
+        # Prime/ragged row widths (the REAL flagship scans 23-wide rows,
+        # demos/multislice_ptycho_256_theta.py:66-87) pad each row's mb
+        # spots to mp*n_dp with weight-0 virtual spots that CONTINUE the
+        # row's stride — the per-row mean stays exact (weighted sum / mb)
+        # and the structured scatter keeps its constant-stride shape; the
+        # analog of the reference's padded alltoall
+        # (adorym/util.py:889-1003).
+        stride = self._rowgrid_stride
+        mp = -(-mb // n_dp)
+        mb_pad = mp * n_dp
         p = self.pad_arr
         p0, p1 = int(p[0][0]), int(p[0][1])
         px0, px1 = int(p[1][0]), int(p[1][1])
+        # Extra vacuum columns keep the padded virtual spots in-frame.
+        px1 += stride * (mb_pad - mb)
         # Extra vacuum rows so the padded working extent divides 'op'
         # (harmless: positions are unchanged, the surplus is cropped with
         # the rest of the padding).
@@ -977,8 +994,7 @@ class Reconstructor:
         n_max = max((len(r) for r in rows_by), default=0) or 1
         # Per-device chunk sizing: same working-set model as the
         # single-chip _fuse_g, with slab-sized object buffers and
-        # per-device (mb/n_dp-wide) patch stacks.
-        mp = mb // n_dp
+        # per-device (ceil(mb/n_dp)-wide) patch stacks.
         from .utils import profiling as _prof
         hbm = _prof.hbm_limit_bytes()
         slab_bytes = S_p * (X + px0 + px1) * nzb * 2 * 4
@@ -1000,22 +1016,33 @@ class Reconstructor:
             # shards with no rows run row 0 at weight 0 (pure padding)
         # Per-device patch tables: positions in the shard-LOCAL padded
         # frame (y) / global padded frame (x), spot indices for data and
-        # probe_pos_correction.
+        # probe_pos_correction.  Spot slots j >= mb are the weight-0
+        # virtual pads: index clamps to the row's last real spot (any
+        # valid data row works — the weight zeroes the contribution), x
+        # continues the row's stride (detect_row_grid guarantees
+        # x_j = x_0 + stride*j for the real spots).
+        j_all = np.arange(mb_pad)
         spot = (row_ids[..., None] * mb
-                + np.arange(mb)).reshape(n_op, R, n_dp, mp)
+                + np.minimum(j_all, mb - 1)).reshape(n_op, R, n_dp, mp)
+        x_tab = (pos[row_ids * mb, 1][..., None]
+                 + stride * j_all).reshape(n_op, R, n_dp, mp)
+        # Per-spot weights: row weight x spot-slot validity.
+        wsp = (w[..., None]
+               * (j_all < mb)).astype(np.float32).reshape(
+                   n_op, R, n_dp, mp)
         y_loc = (y0_pad[row_ids] - np.arange(n_op)[:, None] * S_p)
         pos_mc = np.zeros((n_c, n_op, n_dp, g_rows * mp, 2), np.float32)
         inds_mc = np.zeros((n_c, n_op, n_dp, g_rows * mp), np.int32)
+        ws_mc = np.zeros((n_c, n_op, n_dp, g_rows * mp), np.float32)
         for k in range(n_op):
             for c in range(n_c):
                 sl = slice(c * g_rows, (c + 1) * g_rows)
                 for d in range(n_dp):
-                    sp = spot[k, sl, d].reshape(-1)
-                    inds_mc[c, k, d] = sp
+                    inds_mc[c, k, d] = spot[k, sl, d].reshape(-1)
                     pos_mc[c, k, d, :, 0] = np.repeat(y_loc[k, sl], mp)
-                    pos_mc[c, k, d, :, 1] = pos[sp, 1] + px0
-        w_mc = np.ascontiguousarray(
-            w.reshape(n_op, n_c, g_rows).transpose(1, 0, 2))
+                    pos_mc[c, k, d, :, 1] = x_tab[k, sl, d].reshape(-1) \
+                        + px0
+                    ws_mc[c, k, d] = wsp[k, sl, d].reshape(-1)
         # Device-resident measured data in the same layout; fall back to
         # the generic path when the per-device share cannot fit next to
         # the working set.
@@ -1031,7 +1058,7 @@ class Reconstructor:
                     px1=px1, h1=h1, h2=h2, py=py, px=px, Y=Y, X=X, nz=nz,
                     nzb=nzb, prebin=prebin, n_rows=n_rows,
                     row_ids=row_ids, w=w, pos_mc=pos_mc, inds_mc=inds_mc,
-                    w_mc=w_mc, dev=None)
+                    ws_mc=ws_mc, dev=None)
 
     def _mc_device_tables(self):
         """Lazily stage the static mc tables + the full dataset onto the
@@ -1054,7 +1081,7 @@ class Reconstructor:
                                ns(P(None, op, dp))),
             inds=jax.device_put(jnp.asarray(mc['inds_mc']),
                                 ns(P(None, op, dp))),
-            w=jax.device_put(jnp.asarray(mc['w_mc']), ns(P(None, op))),
+            w=jax.device_put(jnp.asarray(mc['ws_mc']), ns(P(None, op, dp))),
             data=jax.device_put(jnp.asarray(data_mc), ns(P(None, op, dp))))
         mc['dev'] = dev
         return dev
@@ -1093,8 +1120,17 @@ class Reconstructor:
         if mesh is None or cfg.train.update_scheme != 'immediate':
             return None
         why = self._mc_decline_reasons
-        if self._rowgrid_stride is None:
-            why.append('scan table is not a constant-stride row grid')
+        # Ragged-aware detection: a final PARTIAL row is accepted here
+        # (weight-padded below) even though the strict single-chip
+        # structured-scatter paths decline it.
+        rg = None
+        if (self.model is ptycho_model and self.probe_pos.ndim == 2
+                and not cfg.train.randomize_probe_pos):
+            rg = patch_ops.detect_row_grid_ragged(
+                self.probe_pos, cfg.train.minibatch_size, geo.probe_size)
+        if rg is None:
+            why.append('scan table is not a (possibly ragged) '
+                       'constant-stride row grid')
         if self.model is not ptycho_model:
             why.append('model is not far-field ptychography')
         elif not hasattr(self.model, 'predict_from_patches'):
@@ -1126,24 +1162,49 @@ class Reconstructor:
         mb = cfg.train.minibatch_size
         Y, X, nz = geo.obj_size
         py, px = geo.probe_size
-        if mb % n_dev or Y % n_op or self.n_pos % mb:
-            why.append(f'divisibility: minibatch {mb} % devices {n_dev}, '
-                       f'object y {Y} % object_axis {n_op}, or positions '
-                       f'{self.n_pos} % minibatch != 0')
+        if Y % n_op:
+            why.append(f'divisibility: object y {Y} % object_axis '
+                       f'{n_op} != 0')
             return None
+        stride, n_last = rg
         p = self.pad_arr
         px0, px1 = int(p[1][0]), int(p[1][1])
+        # Prime/ragged widths pad each row's spot slots to mpp*n_dev with
+        # weight-0 virtual spots continuing the stride (the per-angle
+        # layout's technique); a RAGGED final row additionally matches
+        # ``make_batches``'s deterministic repeat-last padding by giving
+        # the last real spot weight 1 + n_duplicates — exactly the
+        # duplicate-spot semantics of the generic per-batch step, since
+        # duplicated patches are identical functions of the params.
+        mpp = -(-mb // n_dev)
+        mb_pad = mpp * n_dev
+        px1 += stride * (mb_pad - mb)
         prebin = _band_prebin(cfg)
         nzb = -(-nz // geo.binning) if prebin else nz
-        mpp = mb // n_dev
         pos = np.asarray(self.probe_pos, np.float32)
-        n_rows = self.n_pos // mb
+        n_rows = -(-self.n_pos // mb)
         y0 = np.round(pos[::mb, 0]).astype(np.int32)
         # Per-device tables: device (k, d) owns the row's contiguous spot
-        # block [(k*n_dp + d)*mpp, ...+mpp).
-        pos_imm = pos.reshape(n_rows, n_op, n_dp, mpp, 2)
-        inds_imm = np.arange(self.n_pos, dtype=np.int32).reshape(
-            n_rows, n_op, n_dp, mpp)
+        # block [(k*n_dp + d)*mpp, ...+mpp).  Virtual pad slots continue
+        # the row's stride from its LAST REAL spot; their indices clamp
+        # to it (weight 0 makes the data value irrelevant).
+        pos_imm = np.zeros((n_rows, mb_pad, 2), np.float32)
+        inds_imm = np.zeros((n_rows, mb_pad), np.int32)
+        ws_imm = np.zeros((n_rows, mb_pad), np.float32)
+        for r in range(n_rows):
+            st = r * mb
+            n_real = min(mb, self.n_pos - st)
+            pos_imm[r, :n_real] = pos[st:st + n_real]
+            j = np.arange(n_real, mb_pad)
+            pos_imm[r, n_real:, 0] = pos[st, 0]
+            pos_imm[r, n_real:, 1] = (pos[st + n_real - 1, 1]
+                                      + stride * (j - (n_real - 1)))
+            inds_imm[r] = st + np.minimum(np.arange(mb_pad), n_real - 1)
+            ws_imm[r, :n_real] = 1.0
+            ws_imm[r, n_real - 1] += mb - n_real   # repeat-last duplicates
+        pos_imm = pos_imm.reshape(n_rows, n_op, n_dp, mpp, 2)
+        inds_imm = inds_imm.reshape(n_rows, n_op, n_dp, mpp)
+        ws_imm = ws_imm.reshape(n_rows, n_op, n_dp, mpp)
         hbm = _prof.hbm_limit_bytes()
         data_dev_bytes = self.n_theta * n_rows * mpp * py * px * 4
         band_bytes = py * (X + px0 + px1) * nz * 2 * 4
@@ -1155,10 +1216,11 @@ class Reconstructor:
                        f'({data_dev_bytes / 1e9:.2f} GB/device) does not '
                        'fit next to the working set')
             return None
-        return dict(n_dp=n_dp, n_op=n_op, mb=mb, mpp=mpp, px0=px0,
+        return dict(n_dp=n_dp, n_op=n_op, mb=mb, mpp=mpp, mb_pad=mb_pad,
+                    stride=stride, n_last=n_last, px0=px0,
                     px1=px1, py=py, px=px, Y=Y, X=X, nz=nz, nzb=nzb,
                     prebin=prebin, n_rows=n_rows, y0=y0, pos_imm=pos_imm,
-                    inds_imm=inds_imm, dev=None)
+                    inds_imm=inds_imm, ws_imm=ws_imm, dev=None)
 
     def _mc_imm_device_tables(self):
         """Lazily stage the immediate-path tables + the full dataset onto
@@ -1169,17 +1231,26 @@ class Reconstructor:
         from jax.sharding import NamedSharding, PartitionSpec as P
         dp, op = self.cfg.parallel.axis_names
         ns = lambda spec: NamedSharding(self.mesh, spec)
-        # Spots are contiguous per device block, so the data table is a
-        # pure reshape (a VIEW) of the dataset — no host-side copy of the
-        # multi-GB array before the device transfer.
-        data_imm = self.data.reshape(
-            self.n_theta, mci['n_rows'], mci['n_op'], mci['n_dp'],
-            mci['mpp'], mci['py'], mci['px'])
+        # Spots are contiguous per device block, so when no slots were
+        # padded the data table is a pure reshape (a VIEW) of the dataset
+        # — no host-side copy of the multi-GB array before the device
+        # transfer.  Padded layouts (prime/ragged widths) gather by the
+        # clamped index table instead (a host copy; the weight-0 pad
+        # slots just repeat a real row).
+        shape_imm = (self.n_theta, mci['n_rows'], mci['n_op'],
+                     mci['n_dp'], mci['mpp'], mci['py'], mci['px'])
+        if mci['mb_pad'] == mci['mb'] and self.n_pos % mci['mb'] == 0:
+            data_imm = self.data.reshape(shape_imm)
+        else:
+            data_imm = self.data[:, mci['inds_imm'].reshape(-1)].reshape(
+                shape_imm)
         dev = dict(
             pos=jax.device_put(jnp.asarray(mci['pos_imm']),
                                ns(P(None, op, dp))),
             inds=jax.device_put(jnp.asarray(mci['inds_imm']),
                                 ns(P(None, op, dp))),
+            w=jax.device_put(jnp.asarray(mci['ws_imm']),
+                             ns(P(None, op, dp))),
             data=jax.device_put(jnp.asarray(data_imm),
                                 ns(P(None, None, op, dp))))
         mci['dev'] = dev
@@ -2039,7 +2110,7 @@ class Reconstructor:
         S_u, S_p = mc['S_u'], mc['S_p']
         p0, px0, px1 = mc['p0'], mc['px0'], mc['px1']
         py, px = mc['py'], mc['px']
-        gp, mp = mc['g_rows'], mc['mp']
+        gp, mp, mb = mc['g_rows'], mc['mp'], mc['mb']
         Y, X, nz, nzb = mc['Y'], mc['X'], mc['nz'], mc['nzb']
         prebin = mc['prebin']
         stride = self._rowgrid_stride
@@ -2051,7 +2122,7 @@ class Reconstructor:
             # Per-device blocks: squeeze the sharded op/dp axes.
             pos_l = pos_l[:, 0, 0]
             inds_l = inds_l[:, 0, 0]
-            w_l = w_l[:, 0]
+            w_l = w_l[:, 0, 0]
             meas = data_l[i_theta, 0, 0].reshape(
                 (mc['n_c'], gp * mp, py, px))
             k = jax.lax.axis_index(op_ax)
@@ -2094,12 +2165,15 @@ class Reconstructor:
                     pred, meas_c, cfg.loss.loss_function_type,
                     cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
                     self.beamstop_mask, per_item=True)
-                # Rows are shard-local; 'dp' holds mp of each row's mb
-                # patches, so the local per-row mean is 1/n_dp of the true
-                # one — the dp-psum of both the losses and the gradients
-                # restores the exact single-device objective.
-                per_row = per_item.reshape(gp, mp).mean(axis=1) / n_dp
-                return jnp.sum(per_row * w_c), per_row
+                # Rows are shard-local; 'dp' holds mp of each row's
+                # (padded) mb_pad patches with per-SPOT weights ``w_c``
+                # (0 on the virtual pads and on whole padded rows), so
+                # the local weighted sum / mb is a partial of the true
+                # per-row mean — the dp-psum of both the losses and the
+                # gradients restores the exact single-device objective.
+                per_row = (per_item.reshape(gp, mp)
+                           * w_c.reshape(gp, mp)).sum(axis=1) / mb
+                return jnp.sum(per_row), per_row
 
             def chunk(carry, xs):
                 acc_ext, acc_aux = carry
@@ -2160,16 +2234,22 @@ class Reconstructor:
         grad_fn = jax.shard_map(
             grad_body, mesh=mesh,
             in_specs=(spec_params, P(), P(), P(None, op_ax, dp_ax),
-                      P(None, op_ax, dp_ax), P(None, op_ax),
+                      P(None, op_ax, dp_ax), P(None, op_ax, dp_ax),
                       P(None, op_ax, dp_ax)),
             out_specs=(P(op_ax), P(), P(None, op_ax)),
             check_vma=False)
 
         obj_off = self._obj_off_mesh
         cpu_be = jax.default_backend() == 'cpu'
+        reg_list = self.reg_list
+        needs_wl1 = self._needs_weight_l1
+        n_real_rows = float(mc['n_rows'])
+        interp = cfg.train.interpolation
+        grad_back = getattr(self, '_grad_back', None)
 
         def mc_step(params, opt_state, theta, i_theta, pos_mc, inds_mc,
-                    w_mc, data_mc, i_opt_batch, global_batch, support_mask):
+                    w_mc, data_mc, weight_l1, i_opt_batch, global_batch,
+                    support_mask):
             if obj_off:
                 # Per-op-shard pinned-host slab: one HBM visit per angle
                 # (XLA:CPU cannot emit host-kind jit outputs — the driver
@@ -2181,6 +2261,23 @@ class Reconstructor:
                                            inds_mc, w_mc, data_mc)
             grads = dict(g_aux)
             grads['obj'] = g_obj
+            if reg_list:
+                # Regularizers ride GSPMD on the op-sharded object OUTSIDE
+                # the shard_map (the mesh-imm technique, VERDICT r4 item
+                # 3): reference semantics evaluate them on the ROTATED
+                # object once per accumulated batch (the single-chip
+                # angle_step's ``n_real * g_reg``), and rotation is
+                # per-y-plane so the extra rotate/rotate-back stay
+                # shard-local — TV's 1-voxel x/z stencils partition with
+                # automatic halos, never a full-object gather.
+                obj_r = (params['obj'] if two_d
+                         else rotate(params['obj'], theta, method=interp))
+                rv, g_reg = jax.value_and_grad(
+                    lambda o: regs.total_regularization(
+                        reg_list, o, weight_l1=weight_l1))(obj_r)
+                g_back = g_reg if two_d else grad_back(g_reg, theta)
+                grads['obj'] = grads['obj'] + n_real_rows * g_back
+                losses = losses + rv
             params, opt_state = apply_step(params, opt_state, grads,
                                            i_opt_batch, global_batch,
                                            support_mask)
@@ -2191,20 +2288,24 @@ class Reconstructor:
             return params, opt_state, losses
 
         def mc_angles_epoch(params, opt_state, theta_e, itheta_e, pos_mc,
-                            inds_mc, w_mc, data_mc, i_opt0, gb0, n_b,
-                            support_mask):
+                            inds_mc, w_mc, data_mc, weight_l1, i_opt0,
+                            gb0, n_b, support_mask):
             """Whole per-angle epoch of mesh steps as ONE program (the
             multi-chip analog of ``angles_epoch``): the scan tables and
             dataset already live sharded on the mesh, so scanning the
             angles removes the only remaining per-angle host work — the
-            dispatch itself and its gaps."""
+            dispatch itself and its gaps.  The reweighted-L1 weights
+            refresh in-scan at angle boundaries from the carried params,
+            like ``angles_epoch``."""
 
             def body(carry, xs):
                 p, o, i_opt, gb = carry
                 theta, i_theta = xs
+                wl1 = (Reconstructor._weight_l1_refresh(p['obj'])
+                       if needs_wl1 else weight_l1)
                 p, o, losses = mc_step(p, o, theta, i_theta, pos_mc,
-                                       inds_mc, w_mc, data_mc, i_opt, gb,
-                                       support_mask)
+                                       inds_mc, w_mc, data_mc, wl1,
+                                       i_opt, gb, support_mask)
                 return (p, o, i_opt + 1, gb + n_b), losses
 
             (params, opt_state, _, _), losses = jax.lax.scan(
@@ -2244,16 +2345,17 @@ class Reconstructor:
         mpp, mb = mci['mpp'], mci['mb']
         Y, X, nz, nzb = mci['Y'], mci['X'], mci['nz'], mci['nzb']
         prebin = mci['prebin']
-        stride = self._rowgrid_stride
+        stride = mci['stride']
         S_u = Y // n_op
         real_imag = cfg.train.unknown_type == 'real_imag'
         interp = cfg.train.interpolation
         pad_x = np.array([[0, 0], [px0, px1]], np.int64)
 
         def grad_body(params_l, theta, i_theta, i_row, y0, pos_l, inds_l,
-                      data_l):
+                      w_l, data_l):
             pos_r = pos_l[i_row, 0, 0]               # [mpp, 2] float
             inds_r = inds_l[i_row, 0, 0]             # [mpp]
+            w_r = w_l[i_row, 0, 0]                   # [mpp] spot weights
             meas = data_l[i_theta, i_row, 0, 0]      # [mpp, py, px]
             k = jax.lax.axis_index(op_ax)
             obj = params_l['obj']                    # [S_u, X, nz, 2]
@@ -2286,9 +2388,11 @@ class Reconstructor:
                     pred, meas_c, cfg.loss.loss_function_type,
                     cfg.loss.raw_data_type, cfg.loss.poisson_multiplier,
                     self.beamstop_mask, per_item=True)
-                # mpp of the batch's mb items live here; the psum of the
-                # partial sums restores the exact batch mean.
-                return jnp.sum(per_item) / mb
+                # mpp slots of the batch's mb items live here, with
+                # per-SPOT weights (0 on virtual pads; repeat-last
+                # multiplicity on a ragged final row); the psum of the
+                # weighted partial sums restores the exact batch mean.
+                return jnp.sum(per_item * w_r) / mb
 
             batch = {'i_theta': i_theta, 'theta': theta,
                      'pos_batch': pos_r, 'ind_batch': inds_r}
@@ -2321,6 +2425,7 @@ class Reconstructor:
             grad_body, mesh=mesh,
             in_specs=(spec_params, P(), P(), P(), P(),
                       P(None, op_ax, dp_ax), P(None, op_ax, dp_ax),
+                      P(None, op_ax, dp_ax),
                       P(None, None, op_ax, dp_ax)),
             out_specs=(P(op_ax), P(), P()),
             check_vma=False)
@@ -2329,8 +2434,8 @@ class Reconstructor:
         needs_wl1 = self._needs_weight_l1
 
         def mc_imm_epoch(params, opt_state, theta_b, itheta_b, irow_b,
-                         y0_b, pos_t, inds_t, data_t, weight_l1, i_opt0,
-                         gb0, support_mask):
+                         y0_b, pos_t, inds_t, w_t, data_t, weight_l1,
+                         i_opt0, gb0, support_mask):
             """A whole immediate epoch of mesh per-batch steps as ONE
             program (the mesh analog of ``epoch_fused``).  Regularizers
             evaluate OUTSIDE the shard_map via GSPMD on the op-sharded
@@ -2348,7 +2453,8 @@ class Reconstructor:
                 p, o, i_b, wl1, mask = carry
                 theta, i_theta, i_row, y0 = xs
                 g_slab, g_aux, loss = grad_fn(p, theta, i_theta, i_row,
-                                              y0, pos_t, inds_t, data_t)
+                                              y0, pos_t, inds_t, w_t,
+                                              data_t)
                 grads = dict(g_aux)
                 grads['obj'] = g_slab
                 if reg_list:
@@ -2393,9 +2499,22 @@ class Reconstructor:
         """Same-angle minibatches, angles shuffled, positions in scan order
         (shuffled only under ``randomize_probe_pos``,
         ``adorym/ptychography.py:808``) and padded to a full final batch
-        (``adorym/ptychography.py:791-847``)."""
+        (``adorym/ptychography.py:791-847``).
+
+        Final-batch padding: the reference re-draws RANDOM spots; for a
+        static (non-randomized) ragged ROW-GRID table we instead repeat
+        the LAST spot — deterministic, and exactly expressible as a
+        per-spot weight multiplicity, which is what lets the mesh
+        immediate fast path process ragged rows (``_build_mc_imm_layout``;
+        documented deviation, PARITY.md).  Random tables keep the
+        reference's re-draw."""
         mb = self.cfg.train.minibatch_size
         n_spots = self.probe_pos.shape[-2]  # blocks (multi-dist) or spots
+        deterministic_pad = (not self.cfg.train.randomize_probe_pos
+                             and self.probe_pos.ndim == 2
+                             and patch_ops.detect_row_grid_ragged(
+                                 self.probe_pos, mb,
+                                 self.cfg.geometry.probe_size) is not None)
         batches = []
         for i_theta in rng.permutation(self.n_theta):
             spots = (rng.permutation(n_spots)
@@ -2404,7 +2523,9 @@ class Reconstructor:
             n_batches = -(-n_spots // mb)
             pad = n_batches * mb - n_spots
             if pad:
-                spots = np.concatenate([spots, rng.choice(n_spots, pad)])
+                tail = (np.full(pad, n_spots - 1) if deterministic_pad
+                        else rng.choice(n_spots, pad))
+                spots = np.concatenate([spots, tail])
             for b in range(n_batches):
                 batches.append((int(i_theta), spots[b * mb:(b + 1) * mb]))
         return batches
@@ -2503,7 +2624,8 @@ class Reconstructor:
         """Epoch fusion gate for the mesh fast path: like
         :meth:`_angles_fused_ok` but the residency conditions are already
         guaranteed by ``_build_mc_layout`` (sharded device tables, no
-        loader/offload/regularizers)."""
+        loader/offload; regularizers ride GSPMD in-step and rwL1
+        refreshes in-scan)."""
         return (self._mc is not None and not self._off_state
                 and self.cfg.train.shrink_cycle is None
                 and len(groups) > 1
@@ -2530,7 +2652,7 @@ class Reconstructor:
             self.params, self.opt_state, losses = self._mc_angles_epoch(
                 self.params, self.opt_state, jnp.asarray(theta_e),
                 jnp.asarray(itheta_e), mc_dev['pos'], mc_dev['inds'],
-                mc_dev['w'], mc_dev['data'],
+                mc_dev['w'], mc_dev['data'], self.weight_l1,
                 jnp.asarray(self.i_opt_batch, jnp.int32),
                 jnp.asarray(self.global_batch, jnp.int32),
                 jnp.asarray(n_b, jnp.int32), self.finite_support_mask)
@@ -2570,11 +2692,17 @@ class Reconstructor:
                     and self.cfg.io.save_intermediate_level == 'batch')):
             return False
         mb = self._mci['mb']
+        n_pos = self.n_pos
         for _, inds in batches:
             inds = np.asarray(inds)
-            if len(inds) != mb or inds[0] % mb or \
-                    not np.array_equal(inds,
-                                       np.arange(inds[0], inds[0] + mb)):
+            if len(inds) != mb or inds[0] % mb:
+                return False
+            # A full row is [st, st+mb); the ragged final row is the real
+            # tail + make_batches's deterministic repeat-last padding
+            # (clamping arange reproduces both).
+            expect = np.minimum(np.arange(inds[0], inds[0] + mb),
+                                n_pos - 1)
+            if not np.array_equal(inds, expect):
                 return False
         return True
 
@@ -2603,8 +2731,8 @@ class Reconstructor:
             self.params, self.opt_state, mask, losses = self._mc_imm_epoch(
                 self.params, self.opt_state, jnp.asarray(theta_b),
                 jnp.asarray(itheta_b), jnp.asarray(irow_b),
-                jnp.asarray(y0_b), dev['pos'], dev['inds'], dev['data'],
-                self.weight_l1,
+                jnp.asarray(y0_b), dev['pos'], dev['inds'], dev['w'],
+                dev['data'], self.weight_l1,
                 jnp.asarray(self.i_opt_batch, jnp.int32),
                 jnp.asarray(self.global_batch, jnp.int32),
                 self.finite_support_mask)
@@ -2858,13 +2986,16 @@ class Reconstructor:
                 # Mesh patch-granular fast path: the static tables + the
                 # dataset already live sharded on the mesh — the per-angle
                 # call moves two scalars.
+                if self._needs_weight_l1:
+                    self.weight_l1 = self._weight_l1_refresh(
+                        self.params['obj'])
                 with self.timers.time('angle_step'):
                     self.params, self.opt_state, losses = self._mc_step(
                         self.params, self.opt_state,
                         jnp.asarray(self.theta_ls[i_theta], jnp.float32),
                         jnp.asarray(i_theta, jnp.int32),
                         mc_dev['pos'], mc_dev['inds'], mc_dev['w'],
-                        mc_dev['data'],
+                        mc_dev['data'], self.weight_l1,
                         jnp.asarray(self.i_opt_batch, jnp.int32),
                         jnp.asarray(self.global_batch, jnp.int32),
                         self.finite_support_mask)
@@ -2905,12 +3036,19 @@ class Reconstructor:
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 dp = self.cfg.parallel.axis_names[0]
+                # Chunk-axis dp split only when it divides (device_put
+                # rejects uneven shardings); else replicate — correct,
+                # redundant-compute (see parallel.mesh.batch_specs).
+                n_chunk = int(pos_all.shape[1])
+                bspec = (P(None, dp)
+                         if n_chunk % self.cfg.parallel.data_axis == 0
+                         else P())
                 pos_all = jax.device_put(
-                    pos_all, NamedSharding(self.mesh, P(None, dp)))
+                    pos_all, NamedSharding(self.mesh, bspec))
                 inds_all = jax.device_put(
-                    inds_all, NamedSharding(self.mesh, P(None, dp)))
+                    inds_all, NamedSharding(self.mesh, bspec))
                 measured = jax.device_put(
-                    measured, NamedSharding(self.mesh, P(None, dp)))
+                    measured, NamedSharding(self.mesh, bspec))
             with self.timers.time('angle_step'):
                 if self._obj_offloaded:
                     losses = self._run_offl_angle(i_theta, pos_all,

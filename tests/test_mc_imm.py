@@ -137,7 +137,7 @@ class TestMcImmediate:
                 jnp.asarray([i_theta], jnp.int32),
                 jnp.asarray([irow], jnp.int32),
                 jnp.asarray([mci['y0'][irow]], jnp.int32),
-                dev['pos'], dev['inds'], dev['data'], None,
+                dev['pos'], dev['inds'], dev['w'], dev['data'], None,
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                 None)
             np.testing.assert_allclose(float(l1), float(l8[0]), rtol=1e-5)
@@ -206,7 +206,7 @@ class TestMcImmediate:
             rec.params, rec.opt_state,
             jnp.zeros(nb, jnp.float32), jnp.zeros(nb, jnp.int32),
             jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32),
-            dev['pos'], dev['inds'], dev['data'], None,
+            dev['pos'], dev['inds'], dev['w'], dev['data'], None,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             None).compile().as_text()
 
@@ -224,11 +224,80 @@ class TestMcImmediate:
                 if len(dims) >= 3:
                     assert dims[0] <= py, (dims, l)
 
-    def test_wrong_divisibility_declines_with_reason(self):
-        """mb not divisible by the device count falls back to the generic
-        path and says why."""
-        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=3)
-        pcfg = ParallelConfig(data_axis=2, object_axis=4)  # 8 devs, mb=4
+    def test_small_minibatch_engages_by_padding(self):
+        """mb smaller than the device count (mb=4 on 8 devices — the old
+        'divisibility' decline) now ENGAGES via weight-0 spot padding
+        (mpp=1, 4 virtual slots) and matches single-device."""
+        args = _setup(seed=3, optimizer='gd', learning_rate=1e-3)
+        rec1, rec8 = _pair(*args, 2, 4)
+        assert rec8._mci is not None, rec8._mc_decline_reasons
+        mci = rec8._mci
+        assert mci['mb_pad'] == 8 and mci['mpp'] == 1
+        assert float(mci['ws_imm'].sum()) == mci['n_rows'] * mci['mb']
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_prime_row_width_engages_and_matches(self):
+        """Flagship-analog PRIME row width (7-wide rows, the 23-analog)
+        on a full 8-device mesh: weight-0 spot padding engages the
+        immediate fast path (VERDICT r4 item 1) and the trajectory
+        matches single-device."""
+        args = _setup(seed=11, mb=7, pn=8, stride=4, n=32,
+                      optimizer='gd', learning_rate=1e-3)
+        # 7x7 grid: _setup's arange(0, 32-8+1, 4) gives 7 columns.
+        assert len(args[3]) == 49
+        rec1, rec8 = _pair(*args, 2, 4)
+        assert rec8._mci is not None, rec8._mc_decline_reasons
+        mci = rec8._mci
+        assert mci['mpp'] == 1 and mci['mb_pad'] == 8
+        assert float(mci['ws_imm'].sum()) == mci['n_rows'] * 7
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_ragged_final_row_engages_and_matches(self):
+        """A scan whose LAST row is partial (n_pos % mb != 0 — common in
+        real scans) takes the imm path via repeat-last weight padding
+        (VERDICT r4 item 4) and matches the generic single-device path,
+        which sees the SAME deterministic repeat-last batches from
+        make_batches."""
+        cfg, obj_true, probe, pos, theta_ls, _ = _setup(
+            seed=13, mb=8, pn=4, stride=4, n=32,
+            optimizer='gd', learning_rate=1e-3)
+        pos = pos[:-3]          # 8x8 grid minus 3: ragged 5-spot last row
+        from adorym_tpu.simulate import simulate
+        data = simulate(cfg, obj_true, probe, pos, theta_ls)
+        rec1, rec8 = _pair(cfg, obj_true, probe, pos, theta_ls, data,
+                           2, 4)
+        assert rec8._mci is not None, rec8._mc_decline_reasons
+        mci = rec8._mci
+        assert mci['n_last'] == 5 and mci['n_rows'] == 8
+        # Last row: 4 real spots at weight 1, the 5th at 1+3 duplicates.
+        w_last = mci['ws_imm'][-1].reshape(-1)
+        assert float(w_last.sum()) == 8.0 and float(w_last.max()) == 4.0
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_ineligible_declines_with_reason(self):
+        """A non-row-grid table (randomized positions) falls back to the
+        generic path and says why."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(
+            seed=3, randomize_probe_pos=True)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
         cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
                             parallel=pcfg)
         with pytest.warns(UserWarning, match='fast path declined'):
@@ -237,7 +306,7 @@ class TestMcImmediate:
                                 theta_ls=theta_ls,
                                 obj_init=(obj_true * 0.5).copy())
         assert rec._mci is None
-        assert any('divisibility' in r for r in rec._mc_decline_reasons)
+        assert any('row grid' in r for r in rec._mc_decline_reasons)
         # ... and the generic path still reconstructs.
         l0 = rec.run_epoch(0)
         assert np.isfinite(l0)
@@ -291,7 +360,7 @@ def test_regularizers_compose_with_mc_imm():
         rec8.params, rec8.opt_state,
         jnp.zeros(nb, jnp.float32), jnp.zeros(nb, jnp.int32),
         jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32),
-        dev['pos'], dev['inds'], dev['data'], rec8.weight_l1,
+        dev['pos'], dev['inds'], dev['w'], dev['data'], rec8.weight_l1,
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         None).compile().as_text()
     Y = cfg.geometry.obj_size[0]

@@ -47,6 +47,34 @@ def _setup(seed=0, nz=8, binning=2):
     return cfg, obj_true, probe, pos, theta_ls, data
 
 
+def _setup_prime(seed=0, nz=8, binning=2):
+    """Miniature of the REAL flagship scan geometry
+    (``demos/multislice_ptycho_256_theta.py:66-87``: 23x23 positions,
+    minibatch = one 23-wide row — 23 is PRIME, so no mesh shape divides
+    it): 7x7 grid rows at stride 4, minibatch 7."""
+    n, pn, s = 32, 8, 4
+    cfg = ReconConfig(
+        geometry=Geometry(obj_size=(n, n, nz), probe_size=(pn, pn),
+                          energy_ev=5000.0, psize_cm=1e-7,
+                          free_prop_cm='inf', binning=binning),
+        train=TrainConfig(minibatch_size=7, learning_rate=1e-4,
+                          update_scheme='per angle',
+                          rotate_out_of_loop=True, seed=seed),
+    )
+    rng = np.random.default_rng(seed)
+    obj_true = np.stack([rng.random((n, n, nz)) * 1e-3,
+                         rng.random((n, n, nz)) * 3e-5], -1).astype(np.float32)
+    probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                             psize_cm=1e-7, probe_mag_sigma=2,
+                             probe_phase_sigma=2, probe_phase_max=0.3)
+    xs = np.arange(0, 7 * s, s)          # 7 columns / 7 rows, stride 4
+    yy, xx = np.meshgrid(xs, xs, indexing='ij')
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+    theta_ls = np.linspace(0, np.pi, 3, endpoint=False)
+    data = simulate(cfg, obj_true, probe, pos, theta_ls)
+    return cfg, obj_true, probe, pos, theta_ls, data
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
 class TestMcPatch:
     @pytest.mark.parametrize('dp,op', [(2, 4), (4, 2), (1, 4)])
@@ -137,7 +165,7 @@ class TestMcPatch:
         txt = rec._mc_step.lower(
             rec.params, rec.opt_state,
             jnp.asarray(0.3, jnp.float32), jnp.asarray(0, jnp.int32),
-            dev['pos'], dev['inds'], dev['w'], dev['data'],
+            dev['pos'], dev['inds'], dev['w'], dev['data'], None,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             None).compile().as_text()
         ags = re.findall(r'all-gather[^\n]*', txt)
@@ -221,6 +249,114 @@ class TestMcPatch:
                                    np.asarray(recs[1].params['obj']),
                                    rtol=0, atol=0)
 
+    @pytest.mark.parametrize('dp,op', [(2, 4), (4, 2)])
+    def test_prime_row_width_engages_and_matches(self, dp, op):
+        """The REAL flagship geometry's prime row width (23-analog: 7)
+        ENGAGES the mesh fast path via weight-0 spot padding — no mesh
+        shape divides a prime minibatch, so this is the geometry that
+        used to silently decline to the generic GSPMD path (VERDICT r4
+        item 1) — and the trajectory still matches single-device."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup_prime(seed=8)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        assert rec1._patch_mode
+        pcfg = ParallelConfig(data_axis=dp, object_axis=op)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None, rec8._mc_decline_reasons
+        mc = rec8._mc
+        assert mc['mp'] == -(-7 // dp) and mc['mp'] * dp > 7
+        # The virtual pad spots carry weight 0: total weight = real spots.
+        assert float(mc['ws_mc'].sum()) == mc['n_rows'] * 7
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        # atol 1e-7: the weighted-sum/mb decomposition reassociates the
+        # per-row reduction, leaving f32 noise on near-zero voxels.
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-7)
+        np.testing.assert_allclose(rec1.loss_history, rec8.loss_history,
+                                   rtol=1e-4)
+
+    def test_prime_row_width_collective_budget(self):
+        """The padded prime-width geometry keeps the documented
+        collective budget: no all-gather/all-to-all, permutes at halo
+        height only."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup_prime(seed=9)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), data=data,
+                            probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=(obj_true * 0.5).copy())
+        assert rec._mc is not None, rec._mc_decline_reasons
+        dev = rec._mc_device_tables()
+        txt = rec._mc_step.lower(
+            rec.params, rec.opt_state,
+            jnp.asarray(0.3, jnp.float32), jnp.asarray(0, jnp.int32),
+            dev['pos'], dev['inds'], dev['w'], dev['data'], None,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            None).compile().as_text()
+        assert [l for l in txt.splitlines()
+                if 'all-gather(' in l and '=' in l] == []
+        assert [l for l in txt.splitlines()
+                if 'all-to-all(' in l and '=' in l] == []
+
+    @pytest.mark.parametrize('reweighted', [False, True])
+    def test_regularizers_compose(self, reweighted):
+        """TV + (reweighted-)L1 regularized per-angle runs take the mesh
+        fast path (VERDICT r4 item 3): the reg terms evaluate via GSPMD
+        on the op-sharded ROTATED object outside the shard_map, their
+        gradient rides the same rotate-back, and the trajectory matches
+        the single-chip regularized angle step.  rwL1 weights refresh at
+        angle boundaries in-scan."""
+        import dataclasses as dc
+        from adorym_tpu.config import LossConfig
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=12)
+        n3 = float(np.prod(cfg.geometry.obj_size))
+        # GD for the tight trajectory bound (linear in the gradient);
+        # Adam amplifies reduction-order noise through 1/sqrt(v).
+        cfg = dc.replace(
+            cfg,
+            train=dc.replace(cfg.train, optimizer='gd',
+                             learning_rate=1e-3),
+            loss=LossConfig(
+                alpha_d=1e-9 * n3, alpha_b=1e-10 * n3, gamma=1e-9 * n3,
+                reweighted_l1=reweighted))
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = dc.replace(cfg, parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None, rec8._mc_decline_reasons
+        assert rec8.reg_list
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-7)
+        # The reg stencils must not introduce a full-object all-gather.
+        dev = rec8._mc_device_tables()
+        txt = rec8._mc_step.lower(
+            rec8.params, rec8.opt_state,
+            jnp.asarray(0.3, jnp.float32), jnp.asarray(0, jnp.int32),
+            dev['pos'], dev['inds'], dev['w'], dev['data'],
+            rec8.weight_l1,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            None).compile().as_text()
+        ags = [l for l in txt.splitlines()
+               if 'all-gather(' in l and '=' in l
+               and re.search(r'\[32,32,8', l)]
+        assert ags == [], ags
+
     def test_ineligible_configs_fall_back(self):
         cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=2)
         pcfg = ParallelConfig(data_axis=2, object_axis=4)
@@ -241,6 +377,43 @@ class TestMcPatch:
             parallel=pcfg)
         rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
         assert rec._mc is None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_collective_budget_generic_fallback():
+    """The GENERIC mesh fallback (here: ``n_batch_per_update=2`` declines
+    the structured fast path) still keeps sharded-memory discipline on
+    flagship-shaped geometry: the per-batch gradient program's patch
+    gather rides the halo exchange, never a full-object all-gather
+    (VERDICT r4 item 6)."""
+    import dataclasses as dc
+    cfg, obj_true, probe, pos, theta_ls, data = _setup_prime(seed=10)
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train,
+                                           n_batch_per_update=2))
+    pcfg = ParallelConfig(data_axis=2, object_axis=4)
+    cfg_m = dc.replace(cfg, parallel=pcfg)
+    rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), data=data,
+                        probe_pos=pos, probe_init=probe, theta_ls=theta_ls,
+                        obj_init=(obj_true * 0.5).copy())
+    assert rec._mc is None        # the fast path declined...
+    assert rec._gather_fn is not None   # ...but halo gather engaged
+    mb = cfg.train.minibatch_size
+    batch = {'i_theta': jnp.asarray(0, jnp.int32),
+             'theta': jnp.asarray(0.3, jnp.float32),
+             'pos_batch': jnp.asarray(pos[:mb], jnp.float32),
+             'ind_batch': jnp.arange(mb, dtype=jnp.int32)}
+    measured = jnp.asarray(data[0, :mb])
+    txt = rec._grad_step.lower(rec.params, batch, measured,
+                               rec.weight_l1).compile().as_text()
+    Y = cfg.geometry.obj_size[0]
+    ags = [l for l in txt.splitlines() if 'all-gather(' in l and '=' in l]
+    bad = [l for l in ags
+           for d in re.findall(r'f32\[([\d,]+)\]', l)
+           if int(d.split(',')[0]) >= Y]
+    assert bad == [], bad
+    # ... and the step still executes on the mesh.
+    loss = rec.run_epoch(0)
+    assert np.isfinite(loss)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
@@ -265,7 +438,7 @@ def test_collective_budget_per_angle():
     txt = rec._mc_step.lower(
         rec.params, rec.opt_state,
         jnp.asarray(0.3, jnp.float32), jnp.asarray(0, jnp.int32),
-        dev['pos'], dev['inds'], dev['w'], dev['data'],
+        dev['pos'], dev['inds'], dev['w'], dev['data'], None,
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         None).compile().as_text()
 

@@ -184,6 +184,20 @@ class TrainConfig:
     # the scatter-heavy exact transpose; True uses the exact linear-map
     # transpose of the forward rotation.
     exact_grad_rotation: bool = False
+    # How the IMMEDIATE scheme's band step rotates the per-batch gradient
+    # band back to the 0-deg frame.  'exact' (default, reference-faithful:
+    # the reference differentiates THROUGH the rotation, and AD's
+    # transpose of the bilinear gather is an XLA scatter — measured
+    # 16.45 ms of the 21.7 ms flagship step, the scheme's dominant cost,
+    # tools/probe_imm.py) | 'interp': interpolate at -theta instead (the
+    # SAME approximation the per-angle scheme's default rotate-back uses,
+    # a fused gather reading the binned accumulator — cuts the step's
+    # backward from ~16.5 to ~2 ms).  Accuracy note: the interp gradient
+    # destabilized PER-ANGLE convergence on small (32^3) objects
+    # (CLAUDE.md); immediate's many small steps tolerate it better, but
+    # it remains an opt-in perf trade — quality-check against 'exact' on
+    # your data before production use.
+    imm_grad_rotation: str = 'exact'
     # Z-major patch extraction for the delta_beta multislice patch path:
     # keep the per-angle extraction copy pre-transposed to [zb, 2, Yp, Xp]
     # so extracted chunks are born in the z-major layout BOTH kernel paths

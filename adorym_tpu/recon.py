@@ -102,6 +102,28 @@ def _band_adjoint_back(acc, valid, theta, cfg, px0, X, nz):
     return jnp.where(valid, g_band, 0.0)
 
 
+def _band_grad_back(acc, valid, theta, cfg, px0, X, nz):
+    """Band-gradient rotate-back dispatch for the immediate scheme: the
+    reference-faithful EXACT adjoint (default), or the opt-in -theta
+    interpolation (``imm_grad_rotation='interp'``) — a fused gather
+    reading the binned accumulator directly, the per-angle scheme's
+    default rotate-back approximation.  The exact adjoint is the
+    immediate step's dominant cost (16.45 of 21.7 ms at the flagship,
+    XLA's serialized scatter lowering of the bilinear-gather transpose;
+    tools/probe_imm.py, NOTES #15)."""
+    if cfg.train.imm_grad_rotation == 'exact':
+        return _band_adjoint_back(acc, valid, theta, cfg, px0, X, nz)
+    from .ops.rotate import rotate, rotate_expanded_from_binned_z
+    geo = cfg.geometry
+    gb = acc[:, px0:px0 + X]
+    if _band_prebin(cfg):
+        g_band = rotate_expanded_from_binned_z(
+            gb, -theta, geo.binning, nz, method=cfg.train.interpolation)
+    else:
+        g_band = rotate(gb, -theta, method=cfg.train.interpolation)
+    return jnp.where(valid, g_band, 0.0)
+
+
 def _band_prebin(cfg) -> bool:
     geo = cfg.geometry
     return (cfg.train.prebin_z in ('auto', 'on') and geo.binning > 1
@@ -332,6 +354,9 @@ class Reconstructor:
             if val not in ('auto', 'on', 'off'):
                 raise ValueError(f"{knob} must be 'auto'|'on'|'off', "
                                  f"got {val!r}")
+        if cfg.train.imm_grad_rotation not in ('exact', 'interp'):
+            raise ValueError("imm_grad_rotation must be 'exact'|'interp', "
+                             f"got {cfg.train.imm_grad_rotation!r}")
         # Mirror angle_step's ACTUAL patch_mode gate (patch granularity +
         # prebin) so the chunk sizing never assumes binned-depth stacks on
         # a path that moves full-depth ones (e.g. the mesh halo gather).
@@ -444,7 +469,11 @@ class Reconstructor:
             # <= 3.8 GB at the 500-angle flagship fit (data 5.48 G +
             # chunks 5.6 G at whole-angle g=23 + object buffers ran with
             # ~3.8 G unaccounted, no OOM); 3.5 GB scaled to HBM keeps a
-            # whole-angle chunk there.
+            # whole-angle chunk there.  v5p note: the residual is
+            # program-scoped (rotation temps scale with the OBJECT, which
+            # obj_budget already covers; streams/fragmentation track the
+            # chunk) — capping is the right shape, but see the TODO(v5p)
+            # in utils/profiling.xla_reserve_bytes.
             resid = min(3.5e9, 0.22 * hbm)
             fit = (hbm - resid) - 6 * _obj_budget - self.data.nbytes
             g_fit = int(fit // max(1, bufs * patch_bytes))
@@ -1955,7 +1984,7 @@ class Reconstructor:
             acc = jnp.zeros((py, X + px0 + px1, nzb, 2), jnp.float32)
             acc = patch_ops.scatter_rowgrid_add(acc, g_sub, posi[0, 0],
                                                 posi[0, 1], stride)
-            g_band = _band_adjoint_back(acc, valid, theta, cfg, px0, X,
+            g_band = _band_grad_back(acc, valid, theta, cfg, px0, X,
                                         nz)
             g_obj = jnp.zeros_like(obj).at[idx].add(g_band)
             grads = dict(g_aux)
@@ -2410,10 +2439,13 @@ class Reconstructor:
             g_aux = jax.lax.psum(g_aux, (dp_ax, op_ax))
             loss = jax.lax.psum(loss_part, (dp_ax, op_ax))
 
-            # Exact backward (shared): crop x, expand z, per-plane
+            # Backward (shared dispatch): default is the exact per-plane
             # rotation ADJOINT (the same linear transpose AD applies in
-            # the single-device immediate step — NOT the -theta interp).
-            g_band = _band_adjoint_back(acc, valid, theta, cfg, px0, X,
+            # the single-device immediate step); imm_grad_rotation=
+            # 'interp' selects the -theta interpolation instead — the
+            # single-device band step uses the same dispatch, so mesh and
+            # single-device stay trajectory-equal under either setting.
+            g_band = _band_grad_back(acc, valid, theta, cfg, px0, X,
                                         nz)
             g_slab = jnp.zeros_like(obj).at[idx].add(
                 jnp.where(own[:, None, None, None], g_band, 0.0))

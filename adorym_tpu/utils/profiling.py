@@ -121,7 +121,14 @@ def xla_reserve_bytes(hbm: Optional[float] = None) -> float:
     set.  Measured ~6 GB at flagship (256^3) shapes on a 16 GB v5e; the
     scratch tracks the PROGRAM's working set, not the device size, so it is
     capped at that measured value on larger devices (a 95 GB v5p keeps
-    ~89 GB usable) and scales down proportionally on smaller ones."""
+    ~89 GB usable) and scales down proportionally on smaller ones.
+
+    TODO(v5p): the cap has never met real v5p silicon — the program-scoped
+    argument holds for the SAME flagship program, but v5p-scale runs will
+    run bigger chunks/objects whose scratch grows with them.  Re-measure
+    the actual reserve on first v5p access before trusting a 6 GB reserve
+    under a ~30 GB working set (the mock asserts in
+    tests/test_memory_heuristics.py pin today's formula, not silicon)."""
     hbm = hbm_limit_bytes() if hbm is None else hbm
     return min(6e9, 0.375 * hbm)
 
@@ -130,7 +137,10 @@ def data_headroom_bytes(hbm: Optional[float] = None) -> float:
     """Headroom kept free of measured-data residency decisions (loss
     buffers, staging, output transients).  1.5 GB measured adequate on the
     16 GB v5e (~9% of HBM); capped there on larger devices, proportional on
-    smaller ones."""
+    smaller ones.  The transients it covers are O(minibatch), not
+    O(device), so the cap is the right shape for v5p — but see the
+    TODO(v5p) on :func:`xla_reserve_bytes`: validate on first real v5p
+    run."""
     hbm = hbm_limit_bytes() if hbm is None else hbm
     return min(1.5e9, 0.09375 * hbm)
 

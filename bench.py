@@ -192,12 +192,16 @@ def measure_flagship_epoch(run_bfloat16: bool = True,
 
 
 def measure_immediate(run_bfloat16: bool = True,
-                      time_box: float = 120.0) -> float:
+                      time_box: float = 120.0,
+                      imm_grad_rotation: str = 'exact') -> float:
     """Throughput of the reference's DEFAULT ``update_scheme='immediate'``
     (rotation inside AD, one optimizer update per batch — the accuracy-
     faithful mode; the per-angle headline trades per-batch updates for
     fewer, larger steps).  Patterns/s over pipelined fused epochs on a
-    4-angle dataset, same geometry as the headline."""
+    4-angle dataset, same geometry as the headline.
+    ``imm_grad_rotation='interp'`` measures the opt-in approximate
+    backward (reported as a separate JSON field, never the default
+    immediate metric)."""
     from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
     from adorym_tpu.recon import Reconstructor
 
@@ -209,6 +213,7 @@ def measure_immediate(run_bfloat16: bool = True,
         train=TrainConfig(minibatch_size=MINIBATCH, learning_rate=1e-7,
                           optimizer='adam', update_scheme='immediate',
                           fused_multislice='auto',
+                          imm_grad_rotation=imm_grad_rotation,
                           run_bfloat16=run_bfloat16),
     )
     pos = _positions()
@@ -420,6 +425,43 @@ def main():
     def budget_left():
         return MAIN_BUDGET_S - (time.time() - t_main0)
 
+    def roofline_accounting(ep500, pps):
+        """Judge the headline against the HARDWARE, not just the CPU
+        baseline (VERDICT r4 item 5).  The per-angle critical path is a
+        serial chain (angles depend through the object update), so the
+        structural floor is the SUM of the measured per-phase floors —
+        each phase individually pinned near its own wall in round 3-4
+        (docs/experiments/NOTES.md #8, #9, #12, #14: rotation is
+        DMA-descriptor-bound, the Pallas kernel streams at the measured
+        ~250-270 GB/s grid/DMA copy floor with <=8%% layout headroom,
+        modulator transcendentals ~2.3 ms are physics)."""
+        phases = {'rotate_ms': 5.8, 'grad_chunk_ms': 16.6,
+                  'scatter_ms': 1.7, 'rotate_back_ms': 5.1,
+                  'update_glue_ms': 3.0}
+        floor_ms = sum(phases.values())
+        out = {
+            'model_phases_ms_bf16': phases,
+            'modeled_floor_ms_per_angle': round(floor_ms, 1),
+            'kernel_stream_gbps': 260.0,
+            'hbm_peak_gbps': 819.0,
+            'note': ('phase floors measured round 3-4 '
+                     '(tools/profile_flagship.py, probe_kernel.py, '
+                     'probe_rotate_window.py; NOTES #8/#9/#12/#14); the '
+                     'kernel-stream gap to HBM peak is the Pallas '
+                     'grid/DMA structural copy floor, rotation is '
+                     'index/descriptor-bound, not bandwidth-bound'),
+        }
+        n_pos = len(_positions())
+        if ep500 and ep500.get('epoch_wall_s'):
+            obs_ms = ep500['epoch_wall_s'] * 1e3 / ep500['n_theta']
+            out['observed_ms_per_angle'] = round(obs_ms, 1)
+            out['floor_fraction'] = round(floor_ms / obs_ms, 3)
+        elif pps:
+            obs_ms = n_pos / pps * 1e3
+            out['observed_ms_per_angle'] = round(obs_ms, 1)
+            out['floor_fraction'] = round(floor_ms / obs_ms, 3)
+        return out
+
     ep500 = None
     if budget_left() > 900:
         try:
@@ -442,11 +484,25 @@ def main():
                   file=sys.stderr)
     else:
         print('skipping immediate measurement (budget)', file=sys.stderr)
+    imm_interp = None
+    if budget_left() > 500:
+        try:
+            imm_interp = _with_timeout(min(900, budget_left()),
+                                       measure_immediate,
+                                       run_bfloat16=bool(bf16),
+                                       time_box=90.0,
+                                       imm_grad_rotation='interp')
+        except Exception as e:
+            print(f'immediate-interp measurement failed: '
+                  f'{type(e).__name__}: {e}', file=sys.stderr)
     # The 500-angle epoch IS the flagship workload at its real scale
     # (the 4-angle blocks exist to sample pool variance quickly); since
     # the full-scale epoch amortizes per-epoch overheads it can exceed
     # the 4-angle rate — headline the better of the two.
+    headline_cfg = 'per-angle 4-angle blocks'
     if ep500 and ep500.get('patterns_per_sec'):
+        if ep500['patterns_per_sec'] > ours:
+            headline_cfg = f'500-angle epoch ({ep500["dtype"]})'
         ours = max(ours, ep500['patterns_per_sec'])
     base = get_baseline()
     ref = base.get('reference_patterns_per_sec_8rank_cpu')
@@ -456,11 +512,15 @@ def main():
         'value': round(ours, 3),
         'unit': 'patterns/s/chip',
         'vs_baseline': round(vs, 3) if vs else None,
+        'headline_config': headline_cfg,
         'f32_patterns_per_sec': round(f32, 3),
         'bf16_patterns_per_sec': round(bf16, 3) if bf16 else None,
         'scheme': 'per angle + rotate_out_of_loop',
         'epoch_500angle': ep500,
         'immediate_patterns_per_sec': round(imm, 3) if imm else None,
+        'immediate_interp_patterns_per_sec': (round(imm_interp, 3)
+                                              if imm_interp else None),
+        'roofline': roofline_accounting(ep500, ours),
     }))
 
 

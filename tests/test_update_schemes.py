@@ -38,8 +38,9 @@ def _setup(seed=0):
 
 def _run(cfg_kw, obj_true, probe, pos, theta_ls, data, **train_kw):
     cfg = ReconConfig(geometry=Geometry(**cfg_kw),
-                      train=TrainConfig(minibatch_size=3, learning_rate=1e-5,
-                                        seed=7, **train_kw))
+                      train=TrainConfig(minibatch_size=3, seed=7,
+                                        **{'learning_rate': 1e-5,
+                                           **train_kw}))
     rec = Reconstructor(cfg, data=data, probe_pos=pos, probe_init=probe,
                         theta_ls=theta_ls, obj_init=np.zeros_like(obj_true))
     for ep in range(3):
@@ -309,6 +310,41 @@ def test_band_immediate_matches_full_rotation_immediate():
     np.testing.assert_allclose(np.asarray(rec_band.params['obj']),
                                np.asarray(rec_full.params['obj']),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_imm_interp_grad_rotation_converges_and_tracks_exact():
+    """The opt-in ``imm_grad_rotation='interp'`` replaces the immediate
+    band step's exact rotation adjoint (its dominant cost on TPU —
+    16.45 of 21.7 ms at the flagship, tools/probe_imm.py) with the
+    -theta interpolation.  Quality contract: converges on the small 3D
+    drive and tracks the exact trajectory at interpolation-approximation
+    level."""
+    args = _setup(seed=11)
+    # GD: the object is the sum of the gradients, so the correlation
+    # reflects the gradient approximation directly (Adam's 1/sqrt(v)
+    # sign-normalizes near-zero voxels and amplifies ANY gradient
+    # difference into lr-sized divergences — measured corr 0.90 under
+    # Adam for this same drive).  Thresholds mirror
+    # test_interp_grad_rotation_tracks_exact (the per-angle scheme's
+    # identical approximation): 24^3 random-noise volumes exaggerate the
+    # boundary effects (measured corr 0.933 here); finer production
+    # grids agree far closer.
+    rec_e, loss_e = _run(*args, update_scheme='immediate',
+                         optimizer='gd')
+    rec_i, loss_i = _run(*args, update_scheme='immediate',
+                         optimizer='gd', imm_grad_rotation='interp')
+    assert np.isfinite(loss_i)
+    np.testing.assert_allclose(loss_i, loss_e, rtol=0.05)
+    o_e = np.asarray(rec_e.params['obj']).ravel()
+    o_i = np.asarray(rec_i.params['obj']).ravel()
+    assert np.corrcoef(o_e, o_i)[0, 1] > 0.9
+
+
+def test_imm_grad_rotation_validates():
+    import pytest
+    args = _setup(seed=11)
+    with pytest.raises(ValueError, match='imm_grad_rotation'):
+        _run(*args, update_scheme='immediate', imm_grad_rotation='typo')
 
 
 def test_band_immediate_with_position_refinement():

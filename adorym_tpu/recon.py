@@ -955,8 +955,18 @@ class Reconstructor:
         if mesh is None:
             return None
         why = self._mc_decline_reasons = []
-        if self._rowgrid_stride is None:
-            why.append('scan table is not a constant-stride row grid')
+        # Ragged-aware detection (like the imm layout): a final PARTIAL
+        # row is accepted and weight-padded below; the strict single-chip
+        # structured-scatter stride (self._rowgrid_stride) stays None for
+        # ragged tables.
+        rg = None
+        if (self.model is ptycho_model and self.probe_pos.ndim == 2
+                and not cfg.train.randomize_probe_pos):
+            rg = patch_ops.detect_row_grid_ragged(
+                self.probe_pos, cfg.train.minibatch_size, geo.probe_size)
+        if rg is None:
+            why.append('scan table is not a (possibly ragged) '
+                       'constant-stride row grid')
         if self.model is not ptycho_model:
             why.append('model is not far-field ptychography')
         elif not hasattr(self.model, 'predict_from_patches'):
@@ -993,7 +1003,7 @@ class Reconstructor:
         # and the structured scatter keeps its constant-stride shape; the
         # analog of the reference's padded alltoall
         # (adorym/util.py:889-1003).
-        stride = self._rowgrid_stride
+        stride, n_last = rg
         mp = -(-mb // n_dp)
         mb_pad = mp * n_dp
         p = self.pad_arr
@@ -1016,7 +1026,7 @@ class Reconstructor:
         prebin = _band_prebin(cfg)
         nzb = -(-nz // geo.binning) if prebin else nz
         pos = np.round(self.probe_pos).astype(np.int64)
-        n_rows = pos.shape[0] // mb
+        n_rows = -(-pos.shape[0] // mb)
         y0_pad = pos[::mb, 0] + p0
         owner = y0_pad // S_p
         rows_by = [np.nonzero(owner == k)[0] for k in range(n_op)]
@@ -1051,13 +1061,25 @@ class Reconstructor:
         # continues the row's stride (detect_row_grid guarantees
         # x_j = x_0 + stride*j for the real spots).
         j_all = np.arange(mb_pad)
+        # Per-row real-spot counts: mb everywhere except a RAGGED final
+        # row (n_last real spots); pads clamp to the row's last real
+        # spot, and — matching make_batches's deterministic repeat-last
+        # padding — that spot carries weight 1 + n_duplicates, the exact
+        # duplicate-spot semantics of the generic per-batch mean.
+        nr_row = np.full(n_rows, mb, np.int64)
+        nr_row[-1] = n_last
+        wrow = np.zeros((n_rows, mb_pad), np.float32)
+        for r in range(n_rows):
+            wrow[r, :nr_row[r]] = 1.0
+            wrow[r, nr_row[r] - 1] += mb - nr_row[r]
         spot = (row_ids[..., None] * mb
-                + np.minimum(j_all, mb - 1)).reshape(n_op, R, n_dp, mp)
+                + np.minimum(j_all, (nr_row[row_ids] - 1)[..., None])
+                ).reshape(n_op, R, n_dp, mp)
         x_tab = (pos[row_ids * mb, 1][..., None]
                  + stride * j_all).reshape(n_op, R, n_dp, mp)
-        # Per-spot weights: row weight x spot-slot validity.
+        # Per-spot weights: row weight x per-row spot weights.
         wsp = (w[..., None]
-               * (j_all < mb)).astype(np.float32).reshape(
+               * wrow[row_ids]).astype(np.float32).reshape(
                    n_op, R, n_dp, mp)
         y_loc = (y0_pad[row_ids] - np.arange(n_op)[:, None] * S_p)
         pos_mc = np.zeros((n_c, n_op, n_dp, g_rows * mp, 2), np.float32)
@@ -1085,9 +1107,9 @@ class Reconstructor:
         return dict(n_dp=n_dp, n_op=n_op, mb=mb, mp=mp, g_rows=g_rows,
                     n_c=n_c, R=R, S_u=S_u, S_p=S_p, p0=p0, p1=p1, px0=px0,
                     px1=px1, h1=h1, h2=h2, py=py, px=px, Y=Y, X=X, nz=nz,
-                    nzb=nzb, prebin=prebin, n_rows=n_rows,
-                    row_ids=row_ids, w=w, pos_mc=pos_mc, inds_mc=inds_mc,
-                    ws_mc=ws_mc, dev=None)
+                    nzb=nzb, prebin=prebin, n_rows=n_rows, stride=stride,
+                    n_last=n_last, row_ids=row_ids, w=w, pos_mc=pos_mc,
+                    inds_mc=inds_mc, ws_mc=ws_mc, dev=None)
 
     def _mc_device_tables(self):
         """Lazily stage the static mc tables + the full dataset onto the
@@ -1945,6 +1967,16 @@ class Reconstructor:
                    and hasattr(self.model, 'predict_from_patches')
                    and self.transform_measured is None
                    and self.external_algorithm is None)
+        if (cfg.train.imm_grad_rotation == 'interp'
+                and cfg.train.update_scheme == 'immediate'
+                and not band_ok and self._mci is None):
+            # The knob only reaches the band/mesh decompositions; the
+            # generic step differentiates through the rotation (exact).
+            import warnings
+            warnings.warn("imm_grad_rotation='interp' requires the "
+                          'band-granular immediate fast path (row-grid '
+                          'scan table, 3D far-field ptychography); '
+                          'running the exact-AD generic step instead')
 
         def step_band(params, opt_state, batch, measured, weight_l1,
                       i_opt_batch, global_batch, support_mask):
@@ -2142,7 +2174,7 @@ class Reconstructor:
         gp, mp, mb = mc['g_rows'], mc['mp'], mc['mb']
         Y, X, nz, nzb = mc['Y'], mc['X'], mc['nz'], mc['nzb']
         prebin = mc['prebin']
-        stride = self._rowgrid_stride
+        stride = mc['stride']
         two_d = geo.two_d_mode
         real_imag = cfg.train.unknown_type == 'real_imag'
         pad_x = np.array([[0, 0], [px0, px1]], np.int64)

@@ -282,6 +282,44 @@ class TestMcPatch:
         np.testing.assert_allclose(rec1.loss_history, rec8.loss_history,
                                    rtol=1e-4)
 
+    def test_ragged_final_row_engages_and_matches(self):
+        """A scan whose LAST row is partial takes the per-angle mesh
+        fast path via repeat-last weight multiplicity (same machinery as
+        the imm layout) and matches the generic single-device path,
+        which sees the SAME deterministic repeat-last batches from
+        make_batches."""
+        import dataclasses as dc
+        cfg, obj_true, probe, pos, theta_ls, _ = _setup(seed=14)
+        # GD for the tight bound: rec1 runs the GENERIC (non-patch)
+        # accumulate here — its reduction order differs more than the
+        # patch-vs-patch rows', and Adam's 1/sqrt(v) amplifies that
+        # noise ~1e4x (measured: GD agrees to 2.3e-8, Adam drifts to
+        # 1.3e-4 by epoch 2).
+        cfg = dc.replace(cfg, train=dc.replace(cfg.train, optimizer='gd',
+                                               learning_rate=1e-3))
+        pos = pos[:-2]            # 4x4 grid minus 2: ragged 2-spot row
+        data = simulate(cfg, obj_true, probe, pos, theta_ls)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        assert rec1._rowgrid_stride is None    # strict single-chip path
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+        assert rec8._mc is not None, rec8._mc_decline_reasons
+        mc = rec8._mc
+        assert mc['n_last'] == 2 and mc['n_rows'] == 4
+        # Total weight = mb per row (duplicates fold into multiplicity).
+        assert float(mc['ws_mc'].sum()) == mc['n_rows'] * mc['mb']
+        for ep in range(2):
+            l1 = rec1.run_epoch(ep)
+            l8 = rec8.run_epoch(ep)
+            np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-7)
+
     def test_prime_row_width_collective_budget(self):
         """The padded prime-width geometry keeps the documented
         collective budget: no all-gather/all-to-all, permutes at halo

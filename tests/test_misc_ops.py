@@ -219,3 +219,36 @@ def test_probe_init_types():
     p4 = initialize_probe((16, 16), 'plane', n_probe_modes=3, seed=0)
     assert p4.shape == (3, 16, 16, 2)
     assert not np.allclose(p4[0], p4[1])
+
+
+def test_detect_row_grid_ragged():
+    """Ragged-aware row-grid detection (the mesh layouts' gate for
+    real-scan tables whose last row is partial)."""
+    from adorym_tpu.ops.patches import detect_row_grid, detect_row_grid_ragged
+
+    def grid(rows, cols, s=4, drop=0):
+        ys, xs = np.meshgrid(np.arange(rows) * s, np.arange(cols) * s,
+                             indexing='ij')
+        pos = np.stack([ys.ravel(), xs.ravel()], -1).astype(float)
+        return pos[:len(pos) - drop]
+
+    probe = (8, 8)
+    # Divisible table: both agree; n_last == mb.
+    assert detect_row_grid(grid(4, 4), 4, probe) == 4
+    assert detect_row_grid_ragged(grid(4, 4), 4, probe) == (4, 4)
+    # Ragged final row: strict declines, ragged reports the tail count.
+    assert detect_row_grid(grid(4, 4, drop=3), 4, probe) is None
+    assert detect_row_grid_ragged(grid(4, 4, drop=3), 4, probe) == (4, 1)
+    assert detect_row_grid_ragged(grid(4, 4, drop=2), 4, probe) == (4, 2)
+    # Tail breaking the stride declines both.
+    pos = grid(4, 4, drop=2)
+    pos[-1, 1] += 1
+    assert detect_row_grid_ragged(pos, 4, probe) is None
+    # Tail on a different y declines.
+    pos = grid(4, 4, drop=2)
+    pos[-1, 0] += 1
+    assert detect_row_grid_ragged(pos, 4, probe) is None
+    # No full rows at all declines.
+    assert detect_row_grid_ragged(grid(1, 4, drop=2), 4, probe) is None
+    # Stride must divide the probe width.
+    assert detect_row_grid_ragged(grid(4, 4, s=3), 4, probe) is None

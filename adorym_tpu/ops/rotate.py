@@ -283,6 +283,101 @@ def rotate_expanded_from_binned_z(g_binned, theta, binning, nz_full,
     return jax.lax.fori_loop(0, k, body, out0)
 
 
+def _taps_margin(s1: int, s2: int) -> int:
+    """Static extension margin covering every theta: the rotated grid's
+    sample coordinates overshoot an axis by at most
+    ``sqrt(a^2 + b^2) - a`` (half-extents a, b), plus slack for the
+    +-1 tap window and f32 rounding of the inverse-map centers."""
+    a, b = (s1 - 1) / 2.0, (s2 - 1) / 2.0
+    return int(np.ceil(float(np.hypot(a, b)) - min(a, b))) + 2
+
+
+def rotate_adjoint_taps(cot, theta, binning: int = 1,
+                        nz_full: int = None):
+    """EXACT transpose of ``rotate(·, theta, axis=0, method='bilinear')``
+    as a pure GATHER — no scatter anywhere.
+
+    ``jax.vjp`` of the rotation's 4-corner gather lowers to an XLA
+    scatter of ~4x|plane| slice updates, which TPU serializes (~16x off
+    the bandwidth roofline — the immediate scheme's dominant cost,
+    tools/probe_imm.py / NOTES #15).  This reformulation is exact:
+
+    * Edge-clamped bilinear sampling of ``src`` equals UNCLAMPED
+      sampling of the edge-replicated extension of ``src`` (replicated
+      texels are constant along the clamped directions), so the adjoint
+      factorizes as replicate^T (cheap margin-strip sums folded into the
+      edge lines) after the unclamped adjoint on the extended grid.
+    * The unclamped adjoint at extended texel ``e`` is a sum over output
+      points ``p`` with ``|c(p) - e| < 1`` per axis (tent weights); all
+      such ``p`` lie within the 3x3 integer window around
+      ``round(R^{-1}(e))`` (the rotated unit box has circumradius
+      sqrt(2) < 1.5), so 9 weighted tap-gathers reconstruct it exactly.
+      Tap weights recompute the forward coordinates ``c(p)`` with the
+      same f32 expression as :func:`_rotation_source_coords` — identical
+      values, so the summed terms equal AD's (up to f32 association).
+
+    ``cot``: the rotated-frame cotangent ``[Y, S1, S2, *rest]``; with
+    ``binning > 1`` it is given z-BINNED (``[Y, S1, ceil(nz/binning),
+    *rest]``) and read as its piecewise-constant expansion to
+    ``nz_full`` — the repeat never materializes.  Returns the
+    source-frame cotangent at full depth.
+    """
+    Y_, S1 = cot.shape[0], cot.shape[1]
+    S2 = int(nz_full) if binning > 1 else cot.shape[2]
+    rest = cot.shape[3:]
+    M1 = _taps_margin(S1, S2)
+    M2 = _taps_margin(S2, S1)
+    ctr1 = (S1 - 1) / 2.0
+    ctr2 = (S2 - 1) / 2.0
+    theta = jnp.asarray(theta, jnp.float32)
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    # Inverse-map centers for every extended texel (used only to LOCATE
+    # the tap window, so f32 rounding here cannot break exactness).
+    e1 = jnp.arange(S1 + 2 * M1, dtype=jnp.float32)[:, None] - M1 - ctr1
+    e2 = jnp.arange(S2 + 2 * M2, dtype=jnp.float32)[None, :] - M2 - ctr2
+    p1c = cos_t * e1 + sin_t * e2 + ctr1
+    p2c = -sin_t * e1 + cos_t * e2 + ctr2
+    b1 = jnp.round(p1c).astype(jnp.int32)
+    b2 = jnp.round(p2c).astype(jnp.int32)
+    e1_idx = e1 + ctr1        # the source-index value each texel holds
+    e2_idx = e2 + ctr2
+    # Plane-axes-first view for the shared-index tap gathers.
+    v = jnp.moveaxis(cot, 0, 2)             # [S1, S2(b), Y, *rest]
+    acc = None
+    for d1 in (-1, 0, 1):
+        for d2 in (-1, 0, 1):
+            t1 = b1 + d1
+            t2 = b2 + d2
+            valid = ((t1 >= 0) & (t1 < S1) & (t2 >= 0) & (t2 < S2))
+            t1 = jnp.clip(t1, 0, S1 - 1)
+            t2 = jnp.clip(t2, 0, S2 - 1)
+            # Forward coords of the tap output point — the SAME f32
+            # expression tree as _rotation_source_coords, so the weights
+            # match the forward's bit-for-bit.
+            g1 = t1.astype(jnp.float32) - ctr1
+            g2 = t2.astype(jnp.float32) - ctr2
+            c1t = cos_t * g1 - sin_t * g2 + ctr1
+            c2t = sin_t * g1 + cos_t * g2 + ctr2
+            w = (jnp.maximum(0.0, 1.0 - jnp.abs(c1t - e1_idx))
+                 * jnp.maximum(0.0, 1.0 - jnp.abs(c2t - e2_idx))
+                 * valid)
+            t2v = t2 // binning if binning > 1 else t2
+            vals = v[t1.ravel(), t2v.ravel()]        # [N, Y, *rest]
+            w = w.reshape((-1,) + (1,) * (vals.ndim - 1)).astype(
+                vals.dtype)
+            acc = vals * w if acc is None else acc + vals * w
+    ext = acc.reshape((S1 + 2 * M1, S2 + 2 * M2) + acc.shape[1:])
+    # replicate^T: fold the margin strips into the edge lines, per axis.
+    core = ext[M1:M1 + S1]
+    core = core.at[0].add(ext[:M1].sum(axis=0))
+    core = core.at[S1 - 1].add(ext[M1 + S1:].sum(axis=0))
+    core2 = core[:, M2:M2 + S2]
+    core2 = core2.at[:, 0].add(core[:, :M2].sum(axis=1))
+    core2 = core2.at[:, S2 - 1].add(core[:, M2 + S2:].sum(axis=1))
+    return jnp.moveaxis(core2, 2, 0)        # back to [Y, S1, S2, *rest]
+
+
 def rotate_adjoint(cotangent, theta, axis=0, method='bilinear'):
     """Transpose (adjoint) of :func:`rotate` at the same ``theta``.
 

@@ -88,15 +88,40 @@ def _band_rotate_fwd(band, valid, theta, cfg, px0, px1):
     return rb
 
 
+#: Force the tap-gather exact adjoint on/off regardless of backend
+#: (None = auto: TPU only, where XLA's scatter lowering of the vjp
+#: transpose is serialization-bound).  Tests override this to cover the
+#: taps path on the CPU mesh.
+FORCE_ADJOINT_TAPS = None
+
+
+def _use_adjoint_taps(cfg) -> bool:
+    if FORCE_ADJOINT_TAPS is not None:
+        return bool(FORCE_ADJOINT_TAPS)
+    return (cfg.train.interpolation == 'bilinear'
+            and jax.default_backend() == 'tpu')
+
+
 def _band_adjoint_back(acc, valid, theta, cfg, px0, X, nz):
     """Shared band-decomposition BACKWARD: crop the x padding from the
     band cotangent, expand z, apply the EXACT per-plane rotation adjoint
     (the same linear transpose AD uses on the full object), and mask the
-    vacuum rows out."""
-    from .ops.rotate import rotate_adjoint
+    vacuum rows out.
+
+    On TPU (bilinear) the adjoint runs as the tap-GATHER reformulation
+    (``rotate_adjoint_taps`` — exact, no scatter, reads the binned
+    accumulator directly so the z repeat never materializes); jax.vjp's
+    scatter lowering is serialization-bound there (16.4 ms of the
+    21.7 ms immediate step, tools/probe_imm.py / NOTES #15)."""
+    from .ops.rotate import rotate_adjoint, rotate_adjoint_taps
     geo = cfg.geometry
     gb = acc[:, px0:px0 + X]
-    if _band_prebin(cfg):
+    prebin = _band_prebin(cfg)
+    if _use_adjoint_taps(cfg) and cfg.train.interpolation == 'bilinear':
+        g_band = rotate_adjoint_taps(
+            gb, theta, binning=geo.binning if prebin else 1, nz_full=nz)
+        return jnp.where(valid, g_band, 0.0)
+    if prebin:
         gb = jnp.repeat(gb, geo.binning, axis=2)[:, :, :nz]
     g_band = rotate_adjoint(gb, theta, method=cfg.train.interpolation)
     return jnp.where(valid, g_band, 0.0)
@@ -1701,7 +1726,8 @@ class Reconstructor:
         self._shrink_fn = jax.jit(
             lambda m, o: m * (o[..., 0] >= cfg.train.shrink_threshold))
         if not cfg.geometry.two_d_mode:
-            from .ops.rotate import rotate, rotate_adjoint
+            from .ops.rotate import (rotate, rotate_adjoint,
+                                     rotate_adjoint_taps)
             _interp = cfg.train.interpolation
             self._rotate_fwd = jax.jit(
                 lambda o, th: rotate(o, th, method=_interp))
@@ -1709,8 +1735,11 @@ class Reconstructor:
             # (``adorym/ptychography.py:1069-1078``) — a gather, ~3x faster
             # than the scatter-heavy exact transpose.
             if cfg.train.exact_grad_rotation:
-                grad_back = lambda g, th: rotate_adjoint(g, th,
-                                                         method=_interp)
+                if _use_adjoint_taps(cfg):
+                    grad_back = lambda g, th: rotate_adjoint_taps(g, th)
+                else:
+                    grad_back = lambda g, th: rotate_adjoint(
+                        g, th, method=_interp)
             else:
                 grad_back = lambda g, th: rotate(g, -th, method=_interp)
             self._rotate_adj = jax.jit(grad_back)
@@ -2163,7 +2192,8 @@ class Reconstructor:
         mesh = self.mesh
         dp_ax, op_ax = cfg.parallel.axis_names
         from jax.sharding import PartitionSpec as P
-        from .ops.rotate import (rotate, rotate_adjoint, rotate_and_bin_z,
+        from .ops.rotate import (rotate, rotate_adjoint,
+                                 rotate_adjoint_taps, rotate_and_bin_z,
                                  rotate_expanded_from_binned_z)
         from .parallel.halo import neighbor_extend
         predict_patches = self.model.predict_from_patches
@@ -2279,6 +2309,13 @@ class Reconstructor:
             elif prebin and not cfg.train.exact_grad_rotation:
                 g_obj = rotate_expanded_from_binned_z(
                     g_slab, -theta, geo.binning, nz, method=cfg.train.interpolation)
+            elif cfg.train.exact_grad_rotation and _use_adjoint_taps(cfg):
+                # Tap-gather exact adjoint reading the binned slab
+                # directly (no scatter, no z repeat) — see
+                # _band_adjoint_back.
+                g_obj = rotate_adjoint_taps(
+                    g_slab, theta,
+                    binning=geo.binning if prebin else 1, nz_full=nz)
             else:
                 if prebin:
                     g_obj = jnp.repeat(g_slab, geo.binning,

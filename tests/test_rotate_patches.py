@@ -65,6 +65,50 @@ class TestRotate:
         rhs = jnp.vdot(x, rotate_adjoint(y, theta))
         np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
 
+    @pytest.mark.parametrize('theta', [0.0, 0.3, 0.7854, 1.5708, 2.5,
+                                       3.1416, -0.9])
+    def test_adjoint_taps_matches_vjp(self, theta):
+        """The tap-gather exact adjoint (no scatter) equals jax.vjp's
+        transpose to f32 association noise — including the edge-clamp
+        pile-up lines the 9-tap interior alone would miss."""
+        from adorym_tpu.ops.rotate import rotate_adjoint_taps
+        rng = np.random.default_rng(5)
+        y = jnp.asarray(rng.random((5, 16, 16, 2)).astype(np.float32))
+        ref = rotate_adjoint(y, theta)
+        got = rotate_adjoint_taps(y, theta)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_adjoint_taps_rectangular_and_binned(self):
+        from adorym_tpu.ops.rotate import rotate_adjoint_taps
+        rng = np.random.default_rng(6)
+        # Rectangular plane.
+        y = jnp.asarray(rng.random((3, 12, 20, 2)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(rotate_adjoint_taps(y, 0.9)),
+            np.asarray(rotate_adjoint(y, 0.9)), rtol=1e-4, atol=1e-5)
+        # Binned z source: reading acc[z // binning] equals the adjoint
+        # of the materialized repeat.
+        nz, binning = 16, 4
+        acc = jnp.asarray(rng.random((5, 16, nz // binning, 2))
+                          .astype(np.float32))
+        expanded = jnp.repeat(acc, binning, axis=2)
+        ref = rotate_adjoint(expanded, 1.1)
+        got = rotate_adjoint_taps(acc, 1.1, binning=binning, nz_full=nz)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_adjoint_taps_is_transpose(self):
+        """<R x, y> == <x, R_taps^T y> directly against the forward."""
+        from adorym_tpu.ops.rotate import rotate_adjoint_taps
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((4, 10, 13, 2)).astype(np.float32))
+        y = jnp.asarray(rng.random((4, 10, 13, 2)).astype(np.float32))
+        theta = 1.3
+        lhs = float(jnp.vdot(rotate(x, theta), y))
+        rhs = float(jnp.vdot(x, rotate_adjoint_taps(y, theta)))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
     def test_grad_wrt_theta(self):
         """d/dtheta of a smooth functional of the rotated object exists and
         matches finite differences."""

@@ -44,6 +44,12 @@ def main():
     ap.add_argument('--k1', type=int, default=4)
     ap.add_argument('--k2', type=int, default=12)
     ap.add_argument('--reps', type=int, default=5)
+    ap.add_argument('--fused', default='auto',
+                    help="fused_multislice ('auto'|'on'|'off') — 'off' "
+                         'A/Bs the XLA-FFT z-scan at the small immediate '
+                         'batch')
+    ap.add_argument('--only', default=None,
+                    help='comma list of variants to run (default all)')
     args = ap.parse_args()
 
     import jax
@@ -62,7 +68,7 @@ def main():
                           free_prop_cm='inf', binning=args.binning),
         train=TrainConfig(minibatch_size=mb, learning_rate=1e-7,
                           update_scheme='immediate',
-                          fused_multislice='auto',
+                          fused_multislice=args.fused,
                           run_bfloat16=args.bf16))
     stride = 8
     xs = np.arange(23) * stride - 4
@@ -205,11 +211,26 @@ def main():
         v2 = b2 * v + (1 - b2) * g * g
         return (o - lr * m2 / (jnp.sqrt(v2) + eps), m2, v2), ()
 
+    def v_taps(carry, _):
+        """Production step shape with the tap-gather EXACT adjoint
+        (rotate_adjoint_taps reading the binned accumulator)."""
+        from adorym_tpu.ops.rotate import rotate_adjoint_taps
+        o, m, v = carry
+        _, acc = stages_fine(o)
+        gb = acc[:, px0:px0 + n]
+        g_band = rotate_adjoint_taps(gb, theta, binning=args.binning,
+                                     nz_full=n)
+        g_band = jnp.where(valid, g_band, 0.0)
+        g = jnp.zeros_like(o).at[idx].add(g_band)
+        m2 = b1 * m + (1 - b1) * g
+        v2 = b2 * v + (1 - b2) * g * g
+        return (o - lr * m2 / (jnp.sqrt(v2) + eps), m2, v2), ()
+
     variants = {'band': v_band, 'grad': v_grad,
                 'scatter': v_scatter, 'adjoint': v_adjoint,
                 'slabadd': v_slabadd, 'gd': v_gd,
                 'full': v_full, 'band_adam': v_band_adam,
-                'interp': v_interp}
+                'interp': v_interp, 'taps': v_taps}
 
     def make_scan(body, k):
         @jax.jit
@@ -228,7 +249,11 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    print(f'devices: {jax.devices()}  bf16={args.bf16}', flush=True)
+    print(f'devices: {jax.devices()}  bf16={args.bf16} '
+          f'fused={args.fused}', flush=True)
+    if args.only:
+        keep = args.only.split(',')
+        variants = {k: v for k, v in variants.items() if k in keep}
     slopes = {}
     for name, body in variants.items():
         t1 = timed(make_scan(body, args.k1))
@@ -238,6 +263,8 @@ def main():
         print(f'{name:10s} K{args.k1} {t1*1e3:8.1f} ms  K{args.k2} '
               f'{t2*1e3:8.1f} ms  -> {slope:7.2f} ms/step', flush=True)
 
+    if args.only:
+        return
     print('\nphase decomposition (ms/step):')
     print(f"  band rotate+gather      {slopes['band']:7.2f}")
     print(f"  extract+grad (mb {args.mb:3d})   "
@@ -256,6 +283,8 @@ def main():
           f"(= {args.mb / slopes['band_adam'] * 1e3:.0f} pps)")
     print(f"  interp-back step        {slopes['interp']:7.2f}  "
           f"(= {args.mb / slopes['interp'] * 1e3:.0f} pps)")
+    print(f"  taps-EXACT step         {slopes['taps']:7.2f}  "
+          f"(= {args.mb / slopes['taps'] * 1e3:.0f} pps)")
 
 
 if __name__ == '__main__':

@@ -1726,20 +1726,21 @@ class Reconstructor:
         self._shrink_fn = jax.jit(
             lambda m, o: m * (o[..., 0] >= cfg.train.shrink_threshold))
         if not cfg.geometry.two_d_mode:
-            from .ops.rotate import (rotate, rotate_adjoint,
-                                     rotate_adjoint_taps)
+            from .ops.rotate import rotate, rotate_adjoint
             _interp = cfg.train.interpolation
             self._rotate_fwd = jax.jit(
                 lambda o, th: rotate(o, th, method=_interp))
             # Gradient rotate-back: the reference interpolates at -theta
             # (``adorym/ptychography.py:1069-1078``) — a gather, ~3x faster
             # than the scatter-heavy exact transpose.
+            # Full-OBJECT exact adjoint stays on the vjp scatter: the
+            # 256-plane slices amortize the scatter's per-update cost,
+            # and the tap-gather's 2x extended area LOSES there
+            # (27.4 vs 23.2 ms measured, tools/probe_adjoint_full.py) —
+            # taps only wins at BAND height (_band_adjoint_back).
             if cfg.train.exact_grad_rotation:
-                if _use_adjoint_taps(cfg):
-                    grad_back = lambda g, th: rotate_adjoint_taps(g, th)
-                else:
-                    grad_back = lambda g, th: rotate_adjoint(
-                        g, th, method=_interp)
+                grad_back = lambda g, th: rotate_adjoint(g, th,
+                                                         method=_interp)
             else:
                 grad_back = lambda g, th: rotate(g, -th, method=_interp)
             self._rotate_adj = jax.jit(grad_back)
@@ -2192,8 +2193,7 @@ class Reconstructor:
         mesh = self.mesh
         dp_ax, op_ax = cfg.parallel.axis_names
         from jax.sharding import PartitionSpec as P
-        from .ops.rotate import (rotate, rotate_adjoint,
-                                 rotate_adjoint_taps, rotate_and_bin_z,
+        from .ops.rotate import (rotate, rotate_adjoint, rotate_and_bin_z,
                                  rotate_expanded_from_binned_z)
         from .parallel.halo import neighbor_extend
         predict_patches = self.model.predict_from_patches
@@ -2309,13 +2309,6 @@ class Reconstructor:
             elif prebin and not cfg.train.exact_grad_rotation:
                 g_obj = rotate_expanded_from_binned_z(
                     g_slab, -theta, geo.binning, nz, method=cfg.train.interpolation)
-            elif cfg.train.exact_grad_rotation and _use_adjoint_taps(cfg):
-                # Tap-gather exact adjoint reading the binned slab
-                # directly (no scatter, no z repeat) — see
-                # _band_adjoint_back.
-                g_obj = rotate_adjoint_taps(
-                    g_slab, theta,
-                    binning=geo.binning if prebin else 1, nz_full=nz)
             else:
                 if prebin:
                     g_obj = jnp.repeat(g_slab, geo.binning,

@@ -363,28 +363,6 @@ def test_adjoint_taps_band_step_matches_vjp_adjoint():
                                rtol=1e-4, atol=1e-6)
 
 
-def test_adjoint_taps_exact_grad_rotation_matches():
-    """Same for the per-angle exact_grad_rotation rotate-back."""
-    from adorym_tpu import recon as rec_mod
-    args = _setup(seed=16)
-    kw = dict(update_scheme='per angle', rotate_out_of_loop=True,
-              exact_grad_rotation=True, optimizer='gd',
-              learning_rate=1e-4)
-    rec_v, loss_v = _run(*args, **kw)
-    old = rec_mod.FORCE_ADJOINT_TAPS
-    rec_mod.FORCE_ADJOINT_TAPS = True
-    try:
-        rec_t, loss_t = _run(*args, **kw)
-    finally:
-        rec_mod.FORCE_ADJOINT_TAPS = old
-    np.testing.assert_allclose(loss_t, loss_v, rtol=1e-4)
-    # atol 1e-6: f32 association noise on near-zero voxels (the taps
-    # formulation sums the same real terms in a different order).
-    np.testing.assert_allclose(np.asarray(rec_t.params['obj']),
-                               np.asarray(rec_v.params['obj']),
-                               rtol=1e-4, atol=1e-6)
-
-
 def test_imm_grad_rotation_validates():
     import pytest
     args = _setup(seed=11)

@@ -71,6 +71,11 @@ CASES = [
     ('rol_immediate_scheme_l1',
      dict(rotate_out_of_loop=True), {},
      dict(alpha_d=1e-8, alpha_b=1e-9)),
+    ('imm_interp_bf16_shrink_positions',
+     dict(imm_grad_rotation='interp', run_bfloat16=True,
+          shrink_cycle=2, shrink_threshold=1e-9),
+     dict(optimize_all_probe_pos=True,
+          all_probe_pos_learning_rate=1e-3), {}),
 ]
 
 
@@ -82,6 +87,8 @@ MESH_CASES = [
      dict(), dict(optimize_probe=True), {}),
     ('mesh_rwl1_immediate',
      dict(), {}, dict(alpha_d=1e-8, alpha_b=1e-9, reweighted_l1=True)),
+    ('mesh_imm_interp_probe_opt',
+     dict(imm_grad_rotation='interp'), dict(optimize_probe=True), {}),
 ]
 
 

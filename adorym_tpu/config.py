@@ -192,11 +192,13 @@ class TrainConfig:
     # tools/probe_imm.py) | 'interp': interpolate at -theta instead (the
     # SAME approximation the per-angle scheme's default rotate-back uses,
     # a fused gather reading the binned accumulator — cuts the step's
-    # backward from ~16.5 to ~2 ms).  Accuracy note: the interp gradient
-    # destabilized PER-ANGLE convergence on small (32^3) objects
-    # (CLAUDE.md); immediate's many small steps tolerate it better, but
-    # it remains an opt-in perf trade — quality-check against 'exact' on
-    # your data before production use.
+    # backward from ~16.5 to ~2 ms; 1105 -> 2996 patterns/s measured at
+    # the flagship).  Accuracy: MEASURED phantom-recovery cost on the
+    # ptychotomo quality drive — 32^3: corr 0.61 vs exact's 0.82;
+    # 64^3: 0.83 vs 0.93 (loss floors 4-6x higher) — the interpolation
+    # error shrinks with grid resolution but is a REAL quality trade at
+    # small/medium scales.  Opt-in only; quality-check against 'exact'
+    # on your data before production use.
     imm_grad_rotation: str = 'exact'
     # Z-major patch extraction for the delta_beta multislice patch path:
     # keep the per-angle extraction copy pre-transposed to [zb, 2, Yp, Xp]

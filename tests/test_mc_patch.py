@@ -395,6 +395,59 @@ class TestMcPatch:
                and re.search(r'\[32,32,8', l)]
         assert ags == [], ags
 
+    def test_literal_flagship_23x23_geometry(self):
+        """The LITERAL flagship scan: 23x23 positions, minibatch = one
+        23-wide row (``demos/multislice_ptycho_256_theta.py:66-87``),
+        stride 4, probe 8 — both the per-angle AND immediate mesh fast
+        paths must ENGAGE on the full 8-device mesh, match single-device,
+        and compile without a full-object all-gather."""
+        import dataclasses as dc
+        w, pn, s = 23, 8, 4
+        n = s * (w - 1) + pn                      # 96
+        cfg = ReconConfig(
+            geometry=Geometry(obj_size=(n, n, 4), probe_size=(pn, pn),
+                              energy_ev=5000.0, psize_cm=1e-7,
+                              free_prop_cm='inf', binning=2),
+            train=TrainConfig(minibatch_size=w, learning_rate=1e-3,
+                              optimizer='gd', update_scheme='per angle',
+                              rotate_out_of_loop=True, seed=21))
+        rng = np.random.default_rng(21)
+        obj_true = np.stack([rng.random((n, n, 4)) * 1e-3,
+                             rng.random((n, n, 4)) * 3e-5],
+                            -1).astype(np.float32)
+        probe = initialize_probe((pn, pn), 'gaussian', energy_ev=5000.0,
+                                 psize_cm=1e-7, probe_mag_sigma=2,
+                                 probe_phase_sigma=2, probe_phase_max=0.3)
+        xs = np.arange(0, w * s, s)
+        yy, xx = np.meshgrid(xs, xs, indexing='ij')
+        pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(float)
+        assert len(pos) == 529
+        theta_ls = np.linspace(0, np.pi, 2, endpoint=False)
+        data = simulate(cfg, obj_true, probe, pos, theta_ls)
+        kw = dict(data=data, probe_pos=pos, probe_init=probe,
+                  theta_ls=theta_ls, obj_init=(obj_true * 0.5).copy())
+        rec1 = Reconstructor(cfg, **kw)
+        pcfg = ParallelConfig(data_axis=4, object_axis=2)
+        for scheme, attr in (('per angle', '_mc'), ('immediate', '_mci')):
+            cfg_m = dc.replace(
+                cfg,
+                train=dc.replace(cfg.train, update_scheme=scheme,
+                                 rotate_out_of_loop=(scheme
+                                                     == 'per angle')),
+                parallel=pcfg)
+            rec8 = Reconstructor(cfg_m, mesh=make_mesh(pcfg), **kw)
+            assert getattr(rec8, attr) is not None, (
+                scheme, rec8._mc_decline_reasons)
+        # Trajectory equality for the per-angle path (1 epoch, GD).
+        rec8 = Reconstructor(dc.replace(cfg, parallel=pcfg),
+                             mesh=make_mesh(pcfg), **kw)
+        l1 = rec1.run_epoch(0)
+        l8 = rec8.run_epoch(0)
+        np.testing.assert_allclose(l1, l8, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rec8.params['obj']),
+                                   np.asarray(rec1.params['obj']),
+                                   rtol=1e-3, atol=1e-7)
+
     def test_ineligible_configs_fall_back(self):
         cfg, obj_true, probe, pos, theta_ls, data = _setup(seed=2)
         pcfg = ParallelConfig(data_axis=2, object_axis=4)

@@ -322,9 +322,8 @@ def rotate_adjoint_taps(cot, theta, binning: int = 1,
     ``nz_full`` — the repeat never materializes.  Returns the
     source-frame cotangent at full depth.
     """
-    Y_, S1 = cot.shape[0], cot.shape[1]
+    S1 = cot.shape[1]
     S2 = int(nz_full) if binning > 1 else cot.shape[2]
-    rest = cot.shape[3:]
     M1 = _taps_margin(S1, S2)
     M2 = _taps_margin(S2, S1)
     ctr1 = (S1 - 1) / 2.0

@@ -194,11 +194,14 @@ class TrainConfig:
     # a fused gather reading the binned accumulator — cuts the step's
     # backward from ~16.5 to ~2 ms; 1105 -> 2996 patterns/s measured at
     # the flagship).  Accuracy: MEASURED phantom-recovery cost on the
-    # ptychotomo quality drive — 32^3: corr 0.61 vs exact's 0.82;
-    # 64^3: 0.83 vs 0.93 (loss floors 4-6x higher) — the interpolation
-    # error shrinks with grid resolution but is a REAL quality trade at
-    # small/medium scales.  Opt-in only; quality-check against 'exact'
-    # on your data before production use.
+    # ptychotomo quality drives — 32^3: corr 0.61 vs exact's 0.82;
+    # 64^3: 0.83 vs 0.93 (loss floors 4-6x higher); 256^3
+    # mid-convergence: 0.35 vs 0.42 at equal epochs — the interp
+    # gradient costs convergence RATE at every scale tested, while
+    # affording ~2.5x the epochs per unit wall-clock (an
+    # epochs-vs-quality trade, not free speed; NOTES #15).  Opt-in
+    # only; quality-check against 'exact' on your data before
+    # production use.
     imm_grad_rotation: str = 'exact'
     # Z-major patch extraction for the delta_beta multislice patch path:
     # keep the per-angle extraction copy pre-transposed to [zb, 2, Yp, Xp]

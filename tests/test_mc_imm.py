@@ -242,6 +242,41 @@ class TestMcImmediate:
                                    np.asarray(rec1.params['obj']),
                                    rtol=1e-3, atol=1e-6)
 
+    def test_prime_row_width_collective_budget(self):
+        """The padded prime-width imm geometry keeps band-sized
+        collectives only (no all-gather/all-to-all; nothing at
+        full-object y extent)."""
+        cfg, obj_true, probe, pos, theta_ls, data = _setup(
+            seed=19, mb=7, pn=8, stride=4, n=32)
+        pcfg = ParallelConfig(data_axis=2, object_axis=4)
+        cfg_m = ReconConfig(geometry=cfg.geometry, train=cfg.train,
+                            parallel=pcfg)
+        rec = Reconstructor(cfg_m, mesh=make_mesh(pcfg), data=data,
+                            probe_pos=pos, probe_init=probe,
+                            theta_ls=theta_ls,
+                            obj_init=(obj_true * 0.5).copy())
+        assert rec._mci is not None, rec._mc_decline_reasons
+        dev = rec._mc_imm_device_tables()
+        nb = 2
+        txt = rec._mc_imm_epoch.lower(
+            rec.params, rec.opt_state,
+            jnp.zeros(nb, jnp.float32), jnp.zeros(nb, jnp.int32),
+            jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32),
+            dev['pos'], dev['inds'], dev['w'], dev['data'], None,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            None).compile().as_text()
+        lines = txt.splitlines()
+        assert [l for l in lines if 'all-gather(' in l and '=' in l] == []
+        assert [l for l in lines if 'all-to-all(' in l and '=' in l] == []
+        py = cfg.geometry.probe_size[0]
+        for l in lines:
+            if ('all-reduce(' in l or 'collective-permute(' in l) \
+                    and '=' in l:
+                for d in re.findall(r'f32\[([\d,]+)\]', l):
+                    dims = tuple(map(int, d.split(',')))
+                    if len(dims) >= 3:
+                        assert dims[0] <= py, (dims, l)
+
     def test_prime_row_width_engages_and_matches(self):
         """Flagship-analog PRIME row width (7-wide rows, the 23-analog)
         on a full 8-device mesh: weight-0 spot padding engages the

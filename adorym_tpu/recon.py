@@ -2977,14 +2977,19 @@ class Reconstructor:
                       and not self._per_angle_path_ok()
                       and self._mci is not None
                       and self._mc_imm_ok(batches))
-            if may_pipeline and (fused_ok or mc_ok or imm_ok):
+            sfi_ok = (not (fused_ok or mc_ok or imm_ok)
+                      and not self._per_angle_path_ok()
+                      and self._imm_fused_ok(batches))
+            if may_pipeline and (fused_ok or mc_ok or imm_ok or sfi_ok):
                 if fused_ok:
                     pend = self._fused_dispatch(i_epoch, groups)
                 elif mc_ok:
                     pend = self._mc_fused_dispatch(
                         i_epoch, groups, self._mc_device_tables())
-                else:
+                elif imm_ok:
                     pend = self._mc_imm_dispatch(i_epoch, batches)
+                else:
+                    pend = self._imm_fused_dispatch(i_epoch, batches)
                 if pending is not None:
                     out.append(self._fused_finish(pending, callback))
                 pending = pend
@@ -3197,6 +3202,15 @@ class Reconstructor:
     def _run_epoch_fused(self, i_epoch: int, batches, callback) -> float:
         """Whole-epoch fusion for the immediate-update scheme (see
         ``epoch_fused`` in _build_step): one device dispatch per epoch."""
+        return self._fused_finish(
+            self._imm_fused_dispatch(i_epoch, batches), callback)
+
+    def _imm_fused_dispatch(self, i_epoch: int, batches) -> dict:
+        """Single-device immediate analog of :meth:`_fused_dispatch`
+        (same pending contract, so :meth:`run_epochs` can pipeline it).
+        The in-scan rwL1 refresh fires at batch 0, so the weight_l1
+        argument is never stale under pipelining; the shrink-wrap mask
+        chains through the returned (async) device value."""
         t = self.cfg.train
         n_b = len(batches)
         theta_b = np.empty(n_b, np.float32)
@@ -3215,7 +3229,7 @@ class Reconstructor:
                 # Once per run: the dataset stays device-resident; every
                 # fused epoch gathers batch rows on device (zero H2D).
                 self._data_dev = jnp.asarray(self.data)
-        with self.timers.time('train_step'):
+        with self.timers.time('angle_step'):
             self.params, self.opt_state, mask, losses = self._epoch_fused(
                 self.params, self.opt_state,
                 jnp.asarray(theta_b), jnp.asarray(itheta_b),
@@ -3230,36 +3244,32 @@ class Reconstructor:
         self.i_opt_batch += n_b
         self.global_batch += n_b
         self._rehome_state()
-        losses = [float(v) for v in np.asarray(losses)]
-        if callback is not None or self._logger is not None:
-            for b, l in enumerate(losses):
-                if callback is not None:
-                    callback(i_epoch, b, l)
-                if self._logger is not None:
-                    self._logger.log(i_epoch, b, l)
-        # Checkpoint / walltime at epoch granularity (the reference's
-        # per-batch cadence implies a host visit per batch), on the
-        # cross-epoch every-N-batches schedule: save when this epoch
-        # crossed a multiple of n_batch_per_checkpoint.
-        n_ckpt = self.cfg.io.n_batch_per_checkpoint
-        # Epoch complete: resume position is (i_epoch + 1, 0).
-        if (self.output_folder is not None and self.cfg.io.store_checkpoint
-                and self.global_batch // n_ckpt > gb_before // n_ckpt):
-            self.save_checkpoint(i_epoch + 1, 0)
-        t_max = self.cfg.io.t_max_min
-        if t_max is not None and (time.time() - self._t_start) / 60 > t_max:
-            if self.output_folder is not None:
-                self.save_checkpoint(i_epoch + 1, 0)
-            self.stop_requested = True
-        mean_loss = float(np.mean(losses))
-        self.loss_history.append(mean_loss)
-        if self.verbose:
-            dt = self.timers.total.get('train_step', 0.0) or 1e-9
-            self._print(f'[epoch {i_epoch}] loss={mean_loss:.4e} '
-                        f'{n_b * t.minibatch_size / dt:.1f} patterns/s '
-                        f'(fused epoch); {self.timers.summary()}')
-            self.timers.reset()
-        return mean_loss
+        return {'i_epoch': i_epoch, 'losses': losses,
+                'map_losses': lambda ls: ls.ravel(),
+                'label': 'fused epoch',
+                'gb_before': gb_before, 'gb_after': self.global_batch}
+
+    def _imm_fused_ok(self, batches) -> bool:
+        """Eligibility of the single-device fused immediate epoch (the
+        routing conditions of :meth:`run_epoch`, shared with
+        :meth:`run_epochs` for pipelining)."""
+        t = self.cfg.train
+        use_accum = ((t.update_scheme == 'per angle' or self._rol_active()
+                      or t.n_batch_per_update > 1)
+                     and not self.second_order)
+        data_bytes = (self.data.dtype.itemsize * len(batches)
+                      * t.minibatch_size
+                      * int(np.prod(self.data.shape[2:]))
+                      if self.data is not None else np.inf)
+        return (not use_accum and not self.second_order
+                and self.external_algorithm is None
+                and self.loader is None and self.expand_indices is None
+                and self.mesh is None
+                and not (self.output_folder is not None
+                         and self.cfg.io.save_intermediate
+                         and self.cfg.io.save_intermediate_level
+                         == 'batch')
+                and data_bytes <= _prof.data_headroom_bytes())
 
     def run_epoch(self, i_epoch: int, rng: Optional[np.random.Generator] = None,
                   callback=None) -> float:
@@ -3316,20 +3326,10 @@ class Reconstructor:
         # Immediate-update epochs fuse into ONE compiled program (a scan of
         # the per-batch step) when nothing needs a mid-epoch host visit:
         # remote-dispatch latency dominates small 2D batches otherwise.
-        data_bytes = (self.data.dtype.itemsize * len(batches)
-                      * t.minibatch_size * int(np.prod(self.data.shape[2:]))
-                      if self.data is not None else np.inf)
         if (not use_accum and skip == 0 and self._mci is not None
                 and self._mc_imm_ok(batches)):
             return self._run_epoch_mc_imm(i_epoch, batches, callback)
-        if (not use_accum and not self.second_order and skip == 0
-                and self.external_algorithm is None
-                and self.loader is None and self.expand_indices is None
-                and self.mesh is None
-                and not (self.output_folder is not None
-                         and self.cfg.io.save_intermediate
-                         and self.cfg.io.save_intermediate_level == 'batch')
-                and data_bytes <= _prof.data_headroom_bytes()):
+        if skip == 0 and self._imm_fused_ok(batches):
             return self._run_epoch_fused(i_epoch, batches, callback)
         accum = None
         n_acc = 0

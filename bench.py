@@ -229,12 +229,15 @@ def measure_immediate(run_bfloat16: bool = True,
     rates = []
     t_start = time.time()
     r = 0
+    # 2-epoch pipelined blocks (run_epochs dispatches epoch r+1 before
+    # fetching epoch r's losses — the fused immediate epoch carries the
+    # same pending contract as the per-angle paths since round 5).
     while r < 2 or (time.time() - t_start < time_box and r < 8):
         t0 = time.time()
-        rec.run_epoch(1 + r)
-        rates.append(n_batches * MINIBATCH / (time.time() - t0))
+        rec.run_epochs(2, start_epoch=1 + 2 * r)
+        rates.append(2 * n_batches * MINIBATCH / (time.time() - t0))
         r += 1
-    print(f'immediate per-epoch patterns/s: '
+    print(f'immediate per-2-epoch-block patterns/s: '
           f'{[round(x, 1) for x in rates]}', file=sys.stderr)
     tail = sorted(rates[len(rates) // 2:])
     return tail[len(tail) // 2]

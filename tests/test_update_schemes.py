@@ -363,6 +363,28 @@ def test_adjoint_taps_band_step_matches_vjp_adjoint():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_run_epochs_pipelines_single_device_imm():
+    """run_epochs pipelining covers the SINGLE-DEVICE fused immediate
+    epoch (one dispatch per epoch, next epoch dispatched before this
+    epoch's loss fetch): identical losses to sequential run_epoch
+    calls."""
+    from adorym_tpu.config import Geometry, ReconConfig, TrainConfig
+    cfg_kw, obj_true, probe, pos, theta_ls, data = _setup(seed=18)
+    cfg = ReconConfig(geometry=Geometry(**cfg_kw),
+                      train=TrainConfig(minibatch_size=3,
+                                        learning_rate=1e-5, seed=7,
+                                        update_scheme='immediate'))
+    kw = dict(data=data, probe_pos=pos, probe_init=probe,
+              theta_ls=theta_ls, obj_init=np.zeros_like(obj_true))
+    rec_a = Reconstructor(cfg, **kw)
+    rec_b = Reconstructor(cfg, **kw)
+    rng = np.random.default_rng(cfg.train.seed)
+    assert rec_a._imm_fused_ok(rec_a.make_batches(rng))
+    seq = [rec_a.run_epoch(ep) for ep in range(3)]
+    pip = rec_b.run_epochs(3, start_epoch=0)
+    np.testing.assert_allclose(seq, pip, rtol=0, atol=0)
+
+
 def test_imm_grad_rotation_validates():
     import pytest
     args = _setup(seed=11)
